@@ -1,0 +1,80 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}``.
+
+Each query is forced end-to-end with a noop sink (full computation,
+no driver-side collect cost). A warmup run of the flagship query
+first absorbs JVM/codegen warmup so numbers reflect steady-state
+execution, which is what matters for the 100 TB posture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_flagship",
+    "q_agg_multi",
+    "q_join_fact_dim",
+    "q_join_latest",
+    "q_latest_window",
+    "q_topk",
+    "q_dedup_exact",
+    "q_token_count",
+    "q_text_quality",
+    "q_knn_exact",
+    "q_minhash_pairs",
+    "q_window_tumbling",
+    "q_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    import __spark_entry__ as entrymod
+    from fifa_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q_flagship")  # warmup: JVM + codegen + parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name in queries:
+            timings[name] = round(run(name), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

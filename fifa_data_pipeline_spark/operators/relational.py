@@ -1,0 +1,194 @@
+"""Relational operators (SURVEY.md §2.2-2.4).
+
+Every operator the reference exercises — projections, filters, casts,
+inner equi-joins, hash aggregations, distinct, and the "latest row
+per group" idiom — as pure functions over DataFrames. Each function
+declares a logical plan; Catalyst plans the physical side (partial +
+final HashAggregate, broadcast vs sort-merge join, pushdown).
+
+Scale notes are attached per function; the common themes:
+
+- Aggregations are expressed as ``groupBy().agg()`` so Spark always
+  plans a map-side partial aggregate before the shuffle.
+- Joins against genuinely-small dimensions take an optional broadcast
+  hint; fact-fact joins are left to AQE, which demotes sort-merge to
+  broadcast at runtime if the build side turns out small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (P1-P4)
+# ---------------------------------------------------------------------------
+
+def project(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Explicit select-list projection (P1/P2, reference
+    ``prefect/spark/fifa_spark.py:44-47,57-61``). Catalyst's
+    ColumnPruning pushes the narrow ReadSchema into the parquet scan.
+    """
+    return df.select(*cols)
+
+
+def filter_neq(df: DataFrame, col: str, value) -> DataFrame:
+    """Inequality filter (P3: ``WHERE league_id != 78``, reference
+    ``etl_kaggle_to_big_query.py:109``). Pushed to the parquet scan
+    as a ``Not(EqualTo)`` filter."""
+    return df.filter(F.col(col) != F.lit(value))
+
+
+def filter_notnull(df: DataFrame, col: str) -> DataFrame:
+    """Null-predicate filter (P4: ``WHERE player_id IS NOT NULL``,
+    reference ``etl_kaggle_to_big_query.py:161``)."""
+    return df.filter(F.col(col).isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A3)
+# ---------------------------------------------------------------------------
+
+def group_max(df: DataFrame, key: str, value: str, alias: str) -> DataFrame:
+    """GROUP BY one key + MAX (A1: latest update per FIFA version,
+    reference ``fifa_spark.py:34-39``). Works identically for string
+    MAX (A2's canonical-name pick, ``fifa_spark.py:72-77``).
+
+    Scale: partial MAX runs map-side, so the shuffle carries one row
+    per (task, key) — cardinality of the key, not of the input.
+    """
+    return df.groupBy(key).agg(F.max(value).alias(alias))
+
+
+def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """DISTINCT / dropDuplicates (A2's redundant ``SELECT DISTINCT``,
+    reference ``fifa_spark.py:74``). Planned as a hash aggregate with
+    map-side partial dedup."""
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+def multi_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """GROUP BY k keys + mixed SUM/MAX/AVG aggregate list (A3: the
+    flagship ``team_view`` aggregate, reference ``fifa_spark.py:80-98``).
+    Catalyst plans partial+final HashAggregate automatically."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4) and the latest-per-group idiom
+# ---------------------------------------------------------------------------
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[tuple[str, str]],
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Inner equi-join on composite keys (J1-J4). ``on`` is a list of
+    (left_col, right_col) pairs. ``broadcast_right=True`` hints a
+    broadcast-hash join for genuinely-small dimensions (the versions
+    table in the reference is ≤ #game-versions rows); otherwise AQE
+    picks the strategy at runtime."""
+    cond = None
+    for lc, rc in on:
+        clause = left[lc] == right[rc]
+        cond = clause if cond is None else (cond & clause)
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond, "inner")
+
+
+def latest_per_group_join(
+    df: DataFrame, group_key: str, order_col: str
+) -> DataFrame:
+    """"Latest row per group" via max-agg + self-join back — the
+    reference's idiom (A1+J1/J2, ``fifa_spark.py:34-66``): keep every
+    row whose ``order_col`` equals the group max. Ties keep ALL rows
+    of the max, which is the semantic the reference's data needs
+    (multiple teams share one latest update).
+
+    Scale: the agg output has one row per group — usually far smaller
+    than the fact side but NOT broadcastable in general (cardinality =
+    #groups); both sides shuffle on ``group_key`` and the join
+    co-partitions with the aggregate that produced the max, so no
+    extra exchange is needed for the agg side.
+    """
+    latest = (
+        df.groupBy(group_key)
+        .agg(F.max(order_col).alias("__latest"))
+        .withColumnRenamed(group_key, "__gk")
+    )
+    out = df.join(
+        latest,
+        (F.col(group_key) == F.col("__gk")) & (F.col(order_col) == F.col("__latest")),
+        "inner",
+    )
+    return out.drop("__gk", "__latest")
+
+
+def latest_per_group_window(
+    df: DataFrame, group_key: str, order_col: str, tiebreak: str
+) -> DataFrame:
+    """The idiomatic Spark alternative (SURVEY.md §2.3 note):
+    ``row_number() == 1`` over a window. Deterministic tie-break via
+    ``tiebreak`` (keeps exactly ONE row per group — different tie
+    semantics from the join form, by design).
+
+    Scale: one shuffle on ``group_key`` and no self-join — cheaper
+    than the join form when the fact side is wide; but rows of a group
+    must sort within a partition, so salt-or-split if one group is
+    huge.
+    """
+    w = Window.partitionBy(group_key).orderBy(
+        F.desc(order_col), F.desc(tiebreak)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordering / top-k (§2.5 extension surface)
+# ---------------------------------------------------------------------------
+
+def topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """ORDER BY + LIMIT k. Spark plans ``TakeOrderedAndProject`` — a
+    per-partition top-k followed by a k-row merge on the driver, so no
+    global sort materializes even at 100 TB."""
+    return df.orderBy(*order_by).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Skew helper (scale posture, SURVEY.md §7.3 M3)
+# ---------------------------------------------------------------------------
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: dict[str, str],
+    count_alias: str | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation for heavily-skewed group keys.
+
+    Phase 1 groups on (keys + random salt) so a hot key spreads over
+    ``salt_buckets`` reducers; phase 2 re-aggregates the partials.
+    Only algebraic aggregates (SUM/COUNT here; MIN/MAX trivially) can
+    be salted this way. For most workloads AQE skew handling is
+    enough — this is the explicit form for the pathological tail.
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    phase1 = salted.groupBy(*keys, "__salt").agg(
+        *[F.sum(c).alias(f"__s_{a}") for c, a in sum_cols.items()],
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    aggs = [F.sum(f"__s_{a}").alias(a) for a in sum_cols.values()]
+    if count_alias:
+        aggs.append(F.sum("__cnt").alias(count_alias))
+    return phase1.groupBy(*keys).agg(*aggs)

@@ -1,0 +1,33 @@
+"""Central query/oracle registry backing ``__spark_entry__``.
+
+Each domain module contributes a ``QUERIES`` dict of
+``name -> (spark, sf_dir) -> DataFrame`` and an ``ORACLES`` dict of
+``name -> DuckDB SQL``. Names without an oracle get the driver's
+weaker rows-only check (documented per query).
+"""
+
+from __future__ import annotations
+
+from fifa_data_pipeline_spark.plans.flagship import FLAGSHIP_ORACLE, flagship
+
+QUERIES = {
+    "q_flagship": flagship,
+}
+
+ORACLES = {
+    "q_flagship": FLAGSHIP_ORACLE,
+}
+
+
+def _merge(module) -> None:
+    QUERIES.update(module.QUERIES)
+    ORACLES.update(module.ORACLES)
+
+
+def _load() -> None:
+    from fifa_data_pipeline_spark.plans import parity
+
+    _merge(parity)
+
+
+_load()

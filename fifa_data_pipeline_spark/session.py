@@ -1,0 +1,62 @@
+"""SparkSession factory with a scale-aware default configuration.
+
+The reference delegates all engine configuration to BigQuery and a
+3-node Dataproc cluster (reference ``terraform/main.tf:104-127``,
+``prefect/spark/fifa_spark.py:15-17``); our engine owns its session
+config instead. Defaults are chosen so the same code runs correctly
+on ``local[N]`` for tests and would behave sanely on a large cluster:
+
+- AQE on (runtime join-strategy demotion, partition coalescing, skew
+  join splitting) — the main lever that keeps a static plan viable at
+  100x the data.
+- ``spark.sql.shuffle.partitions`` sized to the local core count; on
+  a real cluster AQE's coalescing makes a high initial value cheap.
+- Session timezone pinned to UTC so timestamp semantics are stable
+  and match the DuckDB oracle (naive timestamps).
+- Arrow enabled for all Pandas UDF / toPandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Core count the driver told us to use (bench contract)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "fifa-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

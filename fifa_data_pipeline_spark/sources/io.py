@@ -1,0 +1,118 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S11).
+
+The reference's source surface is: CSV external tables with inferred
+schema (S3/S4, reference ``prefect/flows/etl_kaggle_to_big_query.py:65-78,
+114-127``), CTAS materialization into typed + partitioned + clustered
+tables (S5/S6, ``:81-111,130-163``), table scans registered as temp
+views (S7/S9, ``prefect/spark/fifa_spark.py:24-32``), and a table sink
+(S8, ``fifa_spark.py:102-104``). Here each becomes a thin wrapper over
+``spark.read`` / ``DataFrameWriter`` so Catalyst sees a plain
+declarative scan/write and can push filters and prune columns/
+partitions on its own.
+
+Scale notes (100 TB posture):
+
+- ``read_table`` is a bare parquet scan: predicate pushdown, column
+  pruning and partition pruning all happen below it for free.
+- ``write_clustered`` reproduces BigQuery ``PARTITION BY ... CLUSTER
+  BY ...`` with hive-style directory partitioning plus a sort within
+  each output file. Parquet min/max column stats over the sorted
+  cluster columns then give scan-time row-group pruning — the OSS
+  analogue of BigQuery clustering (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables in the driver testdata (TESTDATA.md).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table (S7 analogue: typed table scan)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register each table as a temp view (S9: ``createOrReplaceTempView``).
+
+    Temp views are plan aliases, not materializations — chains of SQL
+    over them fuse into one logical plan, exactly as the reference's
+    five chained statements do (SURVEY.md §3.3).
+    """
+    for name in names or TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-on-read CSV scan (S3/S4: BigQuery external table with
+    inferred schema, reference ``etl_kaggle_to_big_query.py:70-78``).
+
+    Scale note: ``inferSchema`` runs an extra pass over the data; at
+    real scale, sample-infer once, then pin the schema with
+    ``spark.read.schema(st).csv(path)`` — see ``infer_then_pin``.
+    """
+    return spark.read.option("header", True).option("inferSchema", True).csv(path)
+
+
+def infer_then_pin(spark: SparkSession, sample_path: str, full_path: str) -> DataFrame:
+    """Infer a schema from a small sample, then scan the full data with
+    the pinned schema (single pass — the 100 TB-safe variant of S3/S4).
+    """
+    schema = read_csv_inferred(spark, sample_path).schema
+    return spark.read.option("header", True).schema(schema).csv(full_path)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Plain parquet sink (S8: the reference's BigQuery result write,
+    ``fifa_spark.py:102-104``). Overwrite semantics match the
+    reference's CREATE OR REPLACE idempotency (SURVEY.md §1.3)."""
+    df.write.mode(mode).parquet(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    cluster_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """CTAS-equivalent materialization (S5/S6): typed + partitioned +
+    clustered write, the engine analogue of
+
+        CREATE OR REPLACE TABLE ... PARTITION BY d CLUSTER BY a,b,c
+
+    (reference ``etl_kaggle_to_big_query.py:86-111,135-163``).
+
+    Implementation: repartition on the partition columns so each hive
+    partition is written by as few tasks as possible, sort rows within
+    each task on (partition + cluster) columns, then directory-
+    partition the files. Parquet per-row-group min/max stats over the
+    sorted cluster columns make point/range scans prune row groups —
+    the OSS stand-in for BigQuery clustering.
+
+    Scale note: repartitioning by a low-cardinality partition column
+    can skew (one task per date); at 100 TB add a salt column to the
+    repartition — ``F.spark_partition_id()`` style — or rely on AQE
+    skew splitting. We keep the declarative form here.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .sortWithinPartitions(*(partition_by + cluster_by))
+        .write.mode(mode)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

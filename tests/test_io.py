@@ -1,0 +1,62 @@
+"""Source/sink tests (SURVEY.md §2.1): CSV schema-on-read, CTAS-style
+partitioned+clustered write, plain parquet sink, view registration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fifa_data_pipeline_spark.sources import io
+
+
+def test_read_table_and_register_views(spark, sf_dir):
+    io.register_views(spark, sf_dir, ["nation", "region"])
+    out = spark.sql(
+        "SELECT r_name, COUNT(*) AS n FROM nation "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    assert out.count() == 5
+
+
+def test_csv_inferred_roundtrip(spark, sf_dir, tmp_path):
+    nation = io.read_table(spark, sf_dir, "nation")
+    csv_path = str(tmp_path / "nation_csv")
+    nation.write.option("header", True).mode("overwrite").csv(csv_path)
+    back = io.read_csv_inferred(spark, csv_path)
+    assert {f.name for f in back.schema.fields} == set(nation.columns)
+    assert isinstance(back.schema["n_nationkey"].dataType, T.IntegerType)
+    assert back.count() == 25
+
+
+def test_infer_then_pin(spark, sf_dir, tmp_path):
+    nation = io.read_table(spark, sf_dir, "nation")
+    csv_path = str(tmp_path / "nation_csv2")
+    nation.write.option("header", True).mode("overwrite").csv(csv_path)
+    df = io.infer_then_pin(spark, csv_path, csv_path)
+    assert df.count() == 25
+
+
+def test_write_clustered_partition_pruning(spark, sf_dir, tmp_path):
+    orders = io.read_table(spark, sf_dir, "orders").withColumn(
+        "o_status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "orders_part")
+    io.write_clustered(
+        orders, path, partition_by=["o_status"], cluster_by=["o_custkey"]
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # Partition pruning: a filter on the partition column must show up
+    # as PartitionFilters in the scan, not a post-scan Filter.
+    pruned = back.filter(F.col("o_status") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_status" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+
+def test_write_table_roundtrip(spark, sf_dir, tmp_path):
+    nation = io.read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_out")
+    io.write_table(nation, path)
+    assert spark.read.parquet(path).count() == 25

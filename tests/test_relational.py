@@ -1,0 +1,97 @@
+"""Unit tests for relational operators and scalar helpers — edge cases
+the reference semantics imply (SURVEY.md §5): NULL propagation in
+CONCAT, truncation (not rounding) in CAST(AVG), ties in max-based
+latest-per-group."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.functions.scalar import (
+    avg_int,
+    cast_columns,
+    concat_label,
+)
+from fifa_data_pipeline_spark.operators import relational as R
+
+
+def test_concat_null_propagates(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b="y"), Row(a="x", b=None)],
+    )
+    out = df.select(concat_label("a", "b").alias("l")).collect()
+    assert out[0].l == "x - y"
+    assert out[1].l is None  # concat, not concat_ws
+
+
+def test_avg_int_truncates_toward_zero(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (2.0,)], ["v"])  # avg 5/3
+    assert df.select(avg_int("v").alias("a")).collect()[0].a == 1
+    neg = spark.createDataFrame([(-1.0,), (-2.0,), (-2.0,)], ["v"])
+    assert neg.select(avg_int("v").alias("a")).collect()[0].a == -1
+
+
+def test_cast_double_to_int_truncates(spark):
+    df = spark.createDataFrame([(2.9,), (-2.9,)], ["v"])
+    vals = [r.v for r in cast_columns(df, {"v": "int"}).collect()]
+    assert vals == [2, -2]
+
+
+def test_latest_per_group_join_keeps_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 9, "c"), (2, 5, "d")],
+        ["k", "upd", "payload"],
+    )
+    out = R.latest_per_group_join(df, "k", "upd")
+    rows = {(r.k, r.payload) for r in out.collect()}
+    assert rows == {(1, "a"), (1, "b"), (2, "d")}
+    assert out.columns == df.columns
+
+
+def test_latest_per_group_window_single_row(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 100), (1, 10, 200), (1, 9, 300), (2, 5, 400)],
+        ["k", "upd", "id"],
+    )
+    out = R.latest_per_group_window(df, "k", "upd", "id")
+    rows = {(r.k, r.id) for r in out.collect()}
+    assert rows == {(1, 200), (2, 400)}  # tie broken by id desc
+
+
+def test_filter_and_project(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = R.filter_neq(nation, "n_regionkey", 2)
+    assert all(r.n_regionkey != 2 for r in out.collect())
+    proj = R.project(nation, ["n_name"])
+    assert proj.columns == ["n_name"]
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = R.topk(orders, [F.desc("o_totalprice")], 5)
+    vals = [r.o_totalprice for r in out.collect()]
+    assert vals == sorted(vals, reverse=True) and len(vals) == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salted_group_agg_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = R.salted_group_agg(
+        li, ["l_returnflag"], {"l_quantity": "sum_qty"}, count_alias="cnt"
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    s = {(r.l_returnflag, round(r.sum_qty, 6), r.cnt) for r in salted.collect()}
+    p = {(r.l_returnflag, round(r.sum_qty, 6), r.cnt) for r in plain.collect()}
+    assert s == p
+
+
+def test_equi_join_broadcast_hint(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = R.equi_join(cust, nation, [("c_nationkey", "n_nationkey")], broadcast_right=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
