@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+Design (all public-knowledge constructions — Broder's MinHash, the
+banding LSH scheme, Charikar's SimHash):
+
+- Signatures are computed with **higher-order array functions only**
+  (``transform``/``aggregate``/``array_min`` over per-row shingle
+  arrays + ``xxhash64``) — no explode, no Python, no shuffle until
+  the candidate join. Per-row cost is O(#shingles × #hashes); the
+  only shuffles are the band-bucket self-join and the final distinct.
+- Candidate generation is the classic band trick: split the
+  signature into ``bands`` bands of ``rows_per_band`` hashes, bucket
+  by (band_id, band_hash), and emit pairs that share any bucket.
+  At 100 TB this is THE reason the approach works: the self-join keys
+  on (band_id, band_hash) — a fine-grained, well-distributed key —
+  instead of comparing all O(n²) pairs.
+- Everything is seeded/deterministic (xxhash64 with fixed per-slot
+  seeds), so results are reproducible run-to-run, which the driver's
+  hash checks require.
+
+Skew note: a degenerate bucket (e.g. thousands of boilerplate-
+identical docs) makes the bucket join quadratic in that bucket. The
+``max_bucket_size`` guard drops buckets larger than the cap —
+standard practice (such buckets are near-certain duplicates of one
+another; route them to exact dedup by fingerprint instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators.text import shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, on: list[str], id_col: str) -> DataFrame:
+    """Exact deduplication via hash-groupBy on the dedup key: one row
+    per distinct key, keeping the smallest ``id_col`` as the canonical
+    representative plus the duplicate count. Deterministic (unlike
+    bare ``dropDuplicates``, which keeps an arbitrary row)."""
+    return df.groupBy(*on).agg(
+        F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    text_col: str, n_hashes: int = 32, k: int = 3
+) -> Column:
+    """MinHash signature as an array<bigint> column: slot i is
+    ``min(xxhash64(shingle, seed=i))`` over the doc's distinct word
+    k-gram shingles. Pure per-row expression — no shuffle."""
+    sh = shingles(text_col, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Hash each band of the signature into one bucket key."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(sig, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band_id, band_hash) bucket assignments — one output row
+    per doc per band."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(text_col, n_hashes, k)
+    return (
+        df.select(F.col(id_col), _band_hashes(sig, bands, rows_per_band).alias("__bands"))
+        .select(
+            id_col,
+            F.posexplode("__bands").alias("band_id", "band_hash"),
+        )
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs (id_a < id_b) that share at
+    least one LSH bucket. The bucket-size guard keeps a degenerate
+    bucket from going quadratic (see module docstring)."""
+    buckets = minhash_buckets(df, id_col, text_col, n_hashes, bands, k)
+    sized = buckets.withColumn(
+        "__bsize",
+        F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash")),
+    ).filter(F.col("__bsize") <= max_bucket_size)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard over candidate pairs; keeps pairs at
+    or above ``threshold``. This is the verification stage after LSH:
+    cost is O(#candidates), not O(n²)."""
+    sets = df.select(
+        F.col(id_col), shingles(text_col, k).alias("__set")
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size(F.array_union("__sa", "__sb"))
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dedup: LSH candidates → Jaccard verify →
+    greedily drop the larger id of each confirmed pair (single-pass
+    stand-in for connected components, which needs an iterative
+    algorithm; documented trade-off: in a chain a-b-c it may keep
+    both a and c)."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, **lsh_kwargs)
+    confirmed = jaccard_verify_pairs(df, pairs, id_col, text_col, threshold=threshold)
+    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signature(text_col: str = "text") -> Column:
+    """Charikar-style 64-bit SimHash over whitespace tokens (with
+    multiplicity), again as a pure per-row expression: accumulate a
+    64-wide ±1 counter array with ``aggregate`` + ``zip_with``, then
+    fold the sign bits into one BIGINT."""
+    toks = tokens(text_col)
+
+    def bit_contrib(t, j: int):
+        bit_set = F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1
+        return F.when(bit_set, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[bit_contrib(t, j) for j in range(64)]),
+            lambda a, b: a + b,
+        ),
+    )
+    # Fold sign bits into one BIGINT. Bit 63 is the two's-complement
+    # sign bit: setting it means adding -2^63, not +2^63 (which would
+    # overflow a signed long).
+    def bit_value(j: int) -> int:
+        return (1 << j) if j < 63 else -(1 << 63)
+
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim + F.when(
+            F.element_at(counters, j + 1) > 0, F.lit(bit_value(j)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sim
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation uses the pigeonhole band trick: split the 64
+    bits into ``max_hamming + 1`` bands — any pair within the distance
+    budget must agree exactly on at least one band, so the self-join
+    keys on (band_id, band_bits) instead of O(n²) comparisons."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sigs = df.select(F.col(id_col), simhash_signature(text_col).alias("simhash"))
+    bands = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "band_bits"),
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__ha"), "band_id", "band_bits"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__hb"), "band_id", "band_bits"
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        a.join(b, ["band_id", "band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,89 @@
+"""Event-stream batch operators: tumbling windows, sessionization,
+JSON property extraction (SURVEY.md §2.6 north-star surface; the
+reference itself has no temporal operators — its only temporal column
+is a partition date).
+
+All timestamps are handled in UTC (session config) and surfaced as
+epoch seconds so results compare exactly across engines regardless of
+parquet ms/ns precision (FIXTURES.md caveat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: list[str] | None = None,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window aggregate via ``F.window`` — count and value
+    sum per (window, keys). The same expression works unchanged under
+    Structured Streaming with a watermark (see streaming module).
+
+    Scale: one shuffle on (window, keys); partial aggregation runs
+    map-side so the exchange carries one row per window per task.
+    """
+    keys = keys or ["event_type"]
+    win = F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(win.alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("bigint").alias("ws"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the user's previous event exceeds ``gap_seconds``. Classic
+    lag + cumulative-sum over a per-user window.
+
+    Scale: one shuffle on the user key; each user's events sort
+    within a partition. Hot users (bot traffic) are the skew risk —
+    AQE skew-split does not apply to window functions, so a real
+    deployment bounds per-user event counts upstream or splits by
+    (user, day) first.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("bigint")
+    w_order = Window.partitionBy(user_col).orderBy(ts_col)
+    w_running = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = epoch - F.lag(epoch).over(w_order)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    with_sessions = df.withColumn("__epoch", epoch).withColumn(
+        "session_idx", F.sum(is_new).over(w_running).cast("bigint")
+    )
+    return (
+        with_sessions.groupBy(user_col, "session_idx")
+        .agg(
+            F.min("__epoch").alias("session_start"),
+            F.max("__epoch").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def json_prop(
+    df: DataFrame, json_col: str = "props", path: str = "$.k", alias: str = "k"
+) -> DataFrame:
+    """Extract a JSON property from a string column
+    (``get_json_object``) — the events table's ``props`` column is a
+    JSON string, per the reference's schema-on-read spirit."""
+    return df.withColumn(
+        alias, F.get_json_object(F.col(json_col), path).cast("int")
+    )

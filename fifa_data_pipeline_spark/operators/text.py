@@ -1,0 +1,120 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column-expression pipelines (tokenize → higher-order array
+functions) — JVM-side, whole-stage-codegen'd, no Python in the hot
+path. Designed over the ``documents`` table (doc_id, text, lang,
+source, n_chars) but parameterized on column names.
+
+Scale notes: every operator here is embarrassingly parallel (per-row,
+no shuffle), so it scales linearly with input splits; the only
+shuffles appear in downstream aggregations the caller adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny English-stopword list used by the heuristic scorer/lang-id.
+STOPWORDS = ("the", "a")
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization: ``split(trim(text), '\\s+')``."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(text), r"\s+")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """A BPE-ish regex tokenization: word pieces, digit runs, and
+    single non-space symbols — the pre-tokenizer split rule most BPE
+    vocabularies (GPT-2 style) apply before merges."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(
+        text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", alias: str = "n_tokens") -> DataFrame:
+    """Whitespace token count per document (BIGINT to align with the
+    DuckDB oracle's ``len(list)``)."""
+    return df.withColumn(alias, F.size(tokens(text_col)).cast("bigint"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring statistics per document: length, token count,
+    average token length, stopword ratio, whitespace ratio, and a
+    composite quality score. All deterministic closed-form
+    expressions so a SQL oracle can reproduce them exactly."""
+    toks = tokens(text_col)
+    df = df.withColumn("__toks", toks)
+    n_tokens = F.size("__toks").cast("bigint")
+    tok_chars = F.aggregate(
+        "__toks", F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    stop_hits = F.size(
+        F.filter("__toks", lambda t: t.isin(*STOPWORDS))
+    ).cast("bigint")
+    length = F.length(text_col).cast("bigint")
+    out = (
+        df.withColumn("len", length)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len", F.round(tok_chars / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "stopword_ratio", F.round(stop_hits / F.col("n_tokens"), 6)
+        )
+        .withColumn(
+            "space_ratio",
+            F.round((F.col("len") - tok_chars) / F.col("len"), 6),
+        )
+        .withColumn(
+            "quality_score",
+            F.round(
+                F.least(F.col("n_tokens"), F.lit(50)) / F.lit(50.0)
+                * (F.lit(1.0) - F.col("stopword_ratio")),
+                6,
+            ),
+        )
+        .drop("__toks")
+    )
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text", alias: str = "lang_guess") -> DataFrame:
+    """Heuristic language ID: stopword-hit-ratio n-gram heuristic —
+    classify as 'en' when the English-stopword token ratio clears a
+    threshold. (A real pipeline plugs a model here; the engine
+    surface — per-row scoring, no shuffle — is identical.)"""
+    toks = tokens(text_col)
+    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    return df.withColumn(
+        alias, F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unk"))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> DataFrame:
+    """Document fingerprint: MD5 over the case/whitespace-normalized
+    text. Stable across engines (both Spark and DuckDB ship standard
+    MD5 → lowercase hex), so it doubles as a distributed exact-dedup
+    key whose comparison cost is O(16 bytes) regardless of doc size."""
+    return df.withColumn(
+        alias, F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+
+
+def shingles(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a text column — the unit set
+    for Jaccard similarity and MinHash. Documents shorter than k
+    tokens contribute their full text as a single shingle."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, grams).otherwise(F.array(F.trim(F.col(text_col))))
+    )

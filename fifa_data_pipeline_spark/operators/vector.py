@@ -1,0 +1,269 @@
+"""Vector similarity search over an ``array<float>`` embedding column.
+
+Three tiers, mirroring how production ANN systems are layered:
+
+1. **Exact brute-force top-k** (`knn_bruteforce`) — the correctness
+   baseline. Query set broadcast against the corpus; cosine computed
+   with higher-order functions (``zip_with`` + ``aggregate``) entirely
+   JVM-side; per-query top-k via window rank. At 100 TB this is the
+   right tool only for small query batches (cost = |Q| × |corpus|),
+   but it parallelizes perfectly: the corpus never shuffles — only
+   k rows per query cross the exchange for the final rank.
+2. **Hyperplane-LSH ANN** (`knn_lsh`) — sign-random-projection
+   buckets (Charikar SRP). Corpus is bucketed once (a narrow column
+   + shuffle-free map); queries probe their own bucket plus all
+   hamming-1 neighbor buckets. Recall/cost dial = number of planes.
+3. **IVF** (`knn_ivf`) — k-means coarse quantizer (pyspark.ml KMeans,
+   fixed seed), queries probe the ``nprobe`` nearest centroids. The
+   canonical 100 TB path: the per-query candidate set shrinks by
+   ~n_clusters/nprobe, and cluster assignment is a broadcast-join
+   (centroids are tiny).
+
+Embedding-cosine near-dedup (`embedding_near_dup_pairs`) reuses the
+LSH bucketing for candidate pairs, then verifies exact cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, computed in double
+    precision (sequential accumulation → bit-identical to the DuckDB
+    oracle's ``list_cosine_similarity`` on DOUBLE[])."""
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, sim, rank), rank 1..k per
+    query. Ranks on ROUNDED similarity (6 dp) with id tie-break so
+    ordering is stable across engines and partial-sum orders.
+
+    ``queries`` is broadcast — the corpus-side scan never shuffles;
+    only the per-partition top candidates feed the window rank."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .join(q, F.col(id_col) != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes (fixed seed → reproducible
+    buckets run-to-run, which the driver's checks require)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(v · plane_i).
+    Planes enter the plan as array literals — evaluated JVM-side, no
+    Python at row time."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(_as_double(vec_col), p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe the query's SRP bucket and all
+    hamming-1 neighbor buckets (multi-probe), exact cosine within
+    candidates. Join keys on the bucket id → the corpus shuffles on a
+    well-spread bigint key instead of cross-joining."""
+    planes = random_hyperplanes(n_planes, dim, seed)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__bkt")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qvec"),
+        srp_bucket(F.col(vec_col), planes).alias("__qbkt"),
+    )
+    # multi-probe: own bucket + flip each bit once
+    probes = F.array(
+        F.col("__qbkt"),
+        *[
+            F.col("__qbkt").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ],
+    )
+    q_probed = F.broadcast(
+        q.withColumn("__bkt", F.explode(probes)).select("qid", "__qvec", "__bkt")
+    )
+    scored = (
+        c.join(q_probed, "__bkt")
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "sim", "rank")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (k-means coarse quantizer)
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+):
+    """Fit a k-means coarse quantizer (pyspark.ml, fixed seed) and
+    return (assignments DataFrame with ``__cluster``, centroids as a
+    python list). Centroids are tiny → downstream joins broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    feats = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, maxIter=20).fit(feats)
+    assigned = model.transform(feats).select(
+        id_col, vec_col, F.col("prediction").alias("__cluster")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF top-k: assign corpus to k-means cells once, probe the
+    ``nprobe`` nearest cells per query, exact cosine within them."""
+    assigned, centroids = ivf_assign(corpus, id_col, vec_col, n_clusters, seed)
+    cent_rows = [(i, c) for i, c in enumerate(centroids)]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cent_rows, ["__cluster", "__centroid"])
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__qvec"))
+    # rank centroids per query, keep nprobe nearest cells
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__csim", cosine(F.col("__qvec"), F.col("__centroid"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("__csim"), F.asc("__cluster"))
+    probes = F.broadcast(
+        qc.withColumn("__crank", F.row_number().over(wq))
+        .filter(F.col("__crank") <= nprobe)
+        .select("qid", "__qvec", "__cluster")
+    )
+    scored = (
+        assigned.join(probes, "__cluster")
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dedup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold. SRP
+    buckets generate candidates (plus hamming-1 multi-probe on one
+    side so near-threshold pairs straddling a hyperplane aren't all
+    lost), exact cosine verifies."""
+    planes = random_hyperplanes(n_planes, dim, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__bkt")
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bkt"
+    )
+    probes = F.array(
+        F.col("__bkt"),
+        *[F.col("__bkt").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)],
+    )
+    b = (
+        bucketed.withColumn("__probe", F.explode(probes))
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__probe").alias("__bkt"),
+        )
+    )
+    return (
+        a.join(b, "__bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )

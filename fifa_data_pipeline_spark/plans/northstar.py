@@ -1,0 +1,326 @@
+"""North-star queries (SURVEY.md §2.6): text analysis, dedup,
+similarity search, event windowing, multimodal plumbing — each as a
+``(spark, sf_dir) -> DataFrame`` with a DuckDB oracle wherever the
+semantics are SQL-expressible. LSH-based ops are rows-only by design
+(the oracle cannot reproduce xxhash64/hyperplane buckets); each one
+pairs with an oracle-checked exact counterpart so correctness is
+still pinned (q_minhash_pairs ↔ q_ngram_jaccard, q_knn_lsh/q_knn_ivf
+↔ q_knn_exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators import (
+    dedup as D,
+    events as E,
+    multimodal as M,
+    text as X,
+    vector as V,
+)
+from fifa_data_pipeline_spark.sources.io import read_table
+
+_STOP_PRED = " OR ".join(f"t = '{w}'" for w in X.STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return X.token_count(docs).select("doc_id", "n_tokens")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return X.text_stats(docs).select(
+        "doc_id",
+        "len",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "space_ratio",
+        "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return X.lang_id(docs).select("doc_id", "lang", "lang_guess")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return X.fingerprint(docs).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, ["text"], "doc_id").select("doc_id", "n_dups")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 over a bounded id range —
+    the oracle-checkable exact counterpart of the LSH pipeline."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sets = docs.select("doc_id", X.shingles("text", 3).alias("s"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard ≥ 0.6.
+    Rows-only (xxhash64 signatures are not oracle-reproducible);
+    exactness of the verify stage is pinned by q_ngram_jaccard."""
+    docs = read_table(spark, sf_dir, "documents")
+    cands = D.minhash_candidate_pairs(docs, "doc_id", "text")
+    return D.jaccard_verify_pairs(docs, cands, "doc_id", "text", threshold=0.6)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming ≤ 3 (rows-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: surviving documents after dropping the
+    larger id of each confirmed near-dup pair (rows-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.near_dedup_minhash(docs, "doc_id", "text", threshold=0.6).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP-LSH candidates
+    (rows-only; exact-cosine correctness pinned by q_knn_exact)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _qset(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < 5)
+
+
+def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.knn_bruteforce(emb, _qset(emb), "vec_id", "embedding", k=10)
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.knn_lsh(emb, _qset(emb), "vec_id", "embedding", k=10)
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.knn_ivf(emb, _qset(emb), "vec_id", "embedding", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Events
+# ---------------------------------------------------------------------------
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return E.json_prop(ev).select("event_id", "k")
+
+
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return E.tumbling_window_agg(ev)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return E.sessionize(ev)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    mm = M.attach_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("payload_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads
+    (rows-only: the kernel is a Python/Arrow fake-decode)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return M.decode_features(M.attach_payload(docs))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-many frame sampling via mapInPandas (rows-only)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_payload(docs))
+
+
+QUERIES = {
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash_pairs": q_simhash_pairs,
+    "q_near_dedup": q_near_dedup,
+    "q_embed_near_dup": q_embed_near_dup,
+    "q_knn_exact": q_knn_exact,
+    "q_knn_lsh": q_knn_lsh,
+    "q_knn_ivf": q_knn_ivf,
+    "q_json_extract": q_json_extract,
+    "q_window_tumbling": q_window_tumbling,
+    "q_sessionize": q_sessionize,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_features": q_multimodal_features,
+    "q_frame_sample": q_frame_sample,
+}
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+ORACLES = {
+    "q_token_count": (
+        f"SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents"
+    ),
+    "q_text_quality": f"""
+        WITH t AS (
+          SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS len,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS tok_chars,
+                 CAST(len(list_filter(toks, t -> {_STOP_PRED})) AS BIGINT) AS stop_hits
+          FROM t
+        )
+        SELECT doc_id, len, n_tokens,
+               ROUND(tok_chars / n_tokens, 6) AS avg_token_len,
+               ROUND(stop_hits / n_tokens, 6) AS stopword_ratio,
+               ROUND((len - tok_chars) / len, 6) AS space_ratio,
+               ROUND(LEAST(n_tokens, 50) / 50.0 *
+                     (1.0 - ROUND(stop_hits / n_tokens, 6)), 6) AS quality_score
+        FROM s
+    """,
+    "q_lang_id": f"""
+        SELECT doc_id, lang,
+               CASE WHEN len(list_filter({_TOKS}, t -> {_STOP_PRED}))
+                         / len({_TOKS}) >= 0.08
+                    THEN 'en' ELSE 'unk' END AS lang_guess
+        FROM documents
+    """,
+    "q_fingerprint": (
+        "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents"
+    ),
+    "q_dedup_exact": (
+        "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
+        "FROM documents GROUP BY text"
+    ),
+    "q_ngram_jaccard": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+        ), g AS (
+          SELECT doc_id, list_distinct(
+            [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             for i in range(1, len(toks) - 1)]) AS s
+          FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.s, b.s)) /
+                     len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM g a, g b
+        WHERE a.doc_id < b.doc_id
+          AND ROUND(len(list_intersect(a.s, b.s)) /
+                    len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    # q_minhash_pairs / q_simhash_pairs / q_near_dedup / q_embed_near_dup:
+    # rows-only by design (hash/hyperplane buckets not SQL-reproducible).
+    "q_knn_exact": """
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5
+        ), s AS (
+          SELECT q.qid, e.vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+          FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ), r AS (
+          SELECT qid, vec_id, sim,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM s
+        )
+        SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+    """,
+    "q_json_extract": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+        "FROM events"
+    ),
+    "q_window_tumbling": """
+        SELECT CAST(FLOOR(extract(epoch FROM date_trunc('hour', ts))) AS BIGINT) AS ws,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_sessionize": """
+        WITH e AS (
+          SELECT user_id, CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep,
+                 ts FROM events
+        ), flagged AS (
+          SELECT user_id, ep,
+                 CASE WHEN ep - LAG(ep) OVER w IS NULL
+                        OR ep - LAG(ep) OVER w > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ep,
+                 CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ep
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_idx
+          FROM flagged
+        )
+        SELECT user_id, session_idx,
+               MIN(ep) AS session_start, MAX(ep) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_idx
+    """,
+    "q_multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+               CAST((doc_id % 64 + 1) * 8 AS INTEGER) AS width,
+               CAST((doc_id % 48 + 1) * 8 AS INTEGER) AS height
+        FROM documents
+    """,
+}

@@ -25,9 +25,10 @@ def _merge(module) -> None:
 
 
 def _load() -> None:
-    from fifa_data_pipeline_spark.plans import parity
+    from fifa_data_pipeline_spark.plans import northstar, parity
 
     _merge(parity)
+    _merge(northstar)
 
 
 _load()

@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise rejected;
+        # read as int64 nanos and rebuild µs timestamps in io.read_table
+        # (truncation ns→µs matches DuckDB's read of the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Tables in the driver testdata (TESTDATA.md).
 TABLES = [
@@ -42,8 +43,16 @@ TABLES = [
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one testdata table (S7 analogue: typed table scan)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Scan one testdata table (S7 analogue: typed table scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it lands as int64 nanos
+    and is rebuilt here as a µs TimestampType (truncating ns→µs, the
+    same thing DuckDB does reading that file)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

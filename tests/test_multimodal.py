@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: binary payload schema, Arrow-batched
+feature extraction, one-to-many frame sampling, stubbed real decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from fifa_data_pipeline_spark.operators import multimodal as M
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "x" * 600)], ["doc_id", "text"]
+    )
+
+
+def test_attach_payload_schema(spark):
+    mm = M.attach_payload(_docs(spark))
+    assert isinstance(mm.schema["payload"].dataType, T.BinaryType)
+    meta = mm.schema["meta"].dataType
+    assert isinstance(meta, T.StructType)
+    assert [f.name for f in meta.fields] == ["width", "height", "channels", "media_format"]
+
+
+def test_decode_features_deterministic(spark):
+    mm = M.attach_payload(_docs(spark))
+    out = {r.doc_id: r for r in M.decode_features(mm).collect()}
+    assert out[2].payload_len == 3
+    assert out[2].byte_checksum == (ord("a") + ord("b") + ord("c")) % 997
+    assert out[2].feat == [3.0, float(ord("a")), float(ord("c"))]
+    again = {r.doc_id: r.byte_checksum for r in M.decode_features(mm).collect()}
+    assert again == {k: v.byte_checksum for k, v in out.items()}
+
+
+def test_sample_frames_one_to_many(spark):
+    mm = M.attach_payload(_docs(spark))
+    rows = [r for r in M.sample_frames(mm, frame_bytes=256, every=2).collect()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 3 has 600 bytes -> chunks [256,256,88] -> sampled idx 0,2
+    assert sorted(r.frame_idx for r in by_doc[3]) == [0, 2]
+    assert {r.frame_idx: r.frame_len for r in by_doc[3]}[2] == 88
+    # small docs produce exactly one frame
+    assert len(by_doc[1]) == 1 and by_doc[1][0].frame_len == 11
+
+
+def test_real_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        M.decode_image_real(_docs(spark))

@@ -1,0 +1,91 @@
+"""Unit tests for text analysis + dedup operators with constructed
+inputs (the registry queries check oracle parity; these check the
+algorithmic behavior — recall on planted near-dups, determinism)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators import dedup as D
+from fifa_data_pipeline_spark.operators import text as X
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count_and_stats(spark):
+    df = _docs(spark, [(1, "  the quick  brown fox "), (2, "a")])
+    out = {r.doc_id: r for r in X.text_stats(X.token_count(df)).collect()}
+    assert out[1].n_tokens == 4
+    assert out[2].n_tokens == 1
+    assert out[2].stopword_ratio == 1.0
+    assert out[1].avg_token_len == round((3 + 5 + 5 + 3) / 4, 6)
+
+
+def test_bpe_ish_tokens(spark):
+    df = _docs(spark, [(1, "hello, world42!")])
+    toks = df.select(X.bpe_ish_tokens("text").alias("t")).collect()[0].t
+    assert toks == ["hello", ",", "world", "42", "!"]
+
+
+def test_fingerprint_normalizes(spark):
+    df = _docs(spark, [(1, "  Hello World "), (2, "hello world")])
+    fps = [r.fp for r in X.fingerprint(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = _docs(spark, [(5, "x"), (2, "x"), (9, "y")])
+    out = {r.doc_id: r.n_dups for r in D.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {2: 2, 9: 1}
+
+
+NEAR_DUP_A = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR_DUP_B = "the quick brown fox jumps over the lazy dog again and again tonight"
+DISTINCT_C = "completely different content about spark engines and parquet files"
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    df = _docs(spark, [(1, NEAR_DUP_A), (2, NEAR_DUP_B), (3, DISTINCT_C)])
+    cands = D.minhash_candidate_pairs(df, "doc_id", "text")
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (1, 2) in pairs
+    confirmed = D.jaccard_verify_pairs(df, cands, "doc_id", "text", threshold=0.6)
+    rows = confirmed.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].jaccard > 0.7
+
+
+def test_minhash_deterministic(spark):
+    df = _docs(spark, [(1, NEAR_DUP_A), (2, NEAR_DUP_B), (3, DISTINCT_C)])
+    sig = df.select(D.minhash_signature("text").alias("s"))
+    a = sig.collect()
+    b = sig.collect()
+    assert a == b
+
+
+def test_near_dedup_drops_larger_id(spark):
+    df = _docs(spark, [(1, NEAR_DUP_A), (2, NEAR_DUP_B), (3, DISTINCT_C)])
+    kept = sorted(r.doc_id for r in D.near_dedup_minhash(df, "doc_id", "text").collect())
+    assert kept == [1, 3]
+
+
+def test_simhash_near_for_similar_far_for_distinct(spark):
+    df = _docs(spark, [(1, NEAR_DUP_A), (2, NEAR_DUP_B), (3, DISTINCT_C)])
+    out = D.simhash_pairs(df, "doc_id", "text", max_hamming=10)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_shingles_short_doc_fallback(spark):
+    df = _docs(spark, [(1, "only two")])
+    s = df.select(X.shingles("text", 3).alias("s")).collect()[0].s
+    assert s == ["only two"]
+
+
+def test_lang_id_threshold(spark):
+    df = _docs(spark, [(1, "the cat sat on a mat"), (2, "xyz abc def")])
+    out = {r.doc_id: r.lang_guess for r in X.lang_id(df).collect()}
+    assert out == {1: "en", 2: "unk"}

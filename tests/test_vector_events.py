@@ -1,0 +1,118 @@
+"""Unit tests for vector similarity + event operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators import events as E
+from fifa_data_pipeline_spark.operators import vector as V
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_known_values(spark):
+    df = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])])
+    a = df.filter("vec_id=1").select(F.col("embedding").alias("a"))
+    out = (
+        a.crossJoin(df.filter("vec_id=3").select(F.col("embedding").alias("b")))
+        .select(V.cosine(F.col("a"), F.col("b")).alias("c"))
+        .collect()[0]
+        .c
+    )
+    assert abs(out - 1 / math.sqrt(2)) < 1e-12
+
+
+def test_knn_bruteforce_orders_and_excludes_self(spark):
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.05]),
+        ],
+    )
+    out = V.knn_bruteforce(df, df.filter("vec_id=0"), k=2).collect()
+    assert [(r.vec_id, r.rank) for r in out] == [(3, 1), (1, 2)]
+    assert all(r.qid == 0 for r in out)
+
+
+def test_knn_lsh_recovers_planted_neighbor(spark):
+    # Plant a near-identical neighbor for each query: with cosine
+    # ~0.9999 the SRP bucket almost surely matches, so multi-probe
+    # LSH must recover it; distant vectors are mostly filtered out.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for qid in range(3):
+        base = rng.standard_normal(64)
+        rows.append((qid, [float(x) for x in base]))
+        rows.append((100 + qid, [float(x) for x in base + 0.01 * rng.standard_normal(64)]))
+    for i in range(50):
+        rows.append((200 + i, [float(x) for x in rng.standard_normal(64)]))
+    emb = _emb(spark, rows)
+    q = emb.filter("vec_id < 3")
+    approx = V.knn_lsh(emb, q, k=3, n_planes=8).collect()
+    top1 = {r.qid: r.vec_id for r in approx if r.rank == 1}
+    for qid in range(3):
+        assert top1[qid] == 100 + qid  # rank-1 hit is the planted twin
+
+
+def test_knn_ivf_shape(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = V.knn_ivf(emb, emb.filter("vec_id < 2"), k=5, n_clusters=8).collect()
+    assert len(out) == 10
+    for qid in (0, 1):
+        ranks = sorted(r.rank for r in out if r.qid == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_embedding_near_dup_finds_identical(spark):
+    v = [0.5] * 4
+    df = _emb(spark, [(1, v), (2, list(v)), (3, [0.5, -0.5, 0.5, -0.5])])
+    out = V.embedding_near_dup_pairs(df, threshold=0.99, n_planes=4, dim=4)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(1, 2)}
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "ts", "value"])
+
+
+def test_sessionize_gap_splits(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=10), 1.0),
+        (1, t0 + dt.timedelta(minutes=50), 1.0),  # 40min gap -> new session
+        (2, t0, 1.0),
+    ]
+    out = E.sessionize(_events(spark, rows))
+    sess = {(r.user_id, r.session_idx): r.n_events for r in out.collect()}
+    assert sess == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_tumbling_window_hour_buckets(spark):
+    t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        (1, t0, 2.0),
+        (1, t0 + dt.timedelta(minutes=20), 3.0),
+        (1, t0 + dt.timedelta(hours=1), 5.0),
+    ]
+    df = _events(spark, rows).withColumn("event_type", F.lit("x"))
+    out = {r.ws: (r.n_events, r.sum_value) for r in E.tumbling_window_agg(df).collect()}
+    epoch0 = int(dt.datetime(2024, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    assert out[epoch0] == (2, 5.0)
+    assert out[epoch0 + 3600] == (1, 5.0)
+
+
+def test_json_prop(spark):
+    df = spark.createDataFrame([(1, '{"k": 42}'), (2, '{"x": 1}')], ["event_id", "props"])
+    out = {r.event_id: r.k for r in E.json_prop(df).collect()}
+    assert out == {1: 42, 2: None}
