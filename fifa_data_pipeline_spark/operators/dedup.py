@@ -57,13 +57,48 @@ def minhash_signature(
 ) -> Column:
     """MinHash signature as an array<bigint> column: slot i is
     ``min(xxhash64(shingle, seed=i))`` over the doc's distinct word
-    k-gram shingles. Pure per-row expression — no shuffle."""
+    k-gram shingles. Pure per-row expression — no shuffle.
+
+    NOTE: as a single expression the shingle subtree gets inlined
+    once per slot (CollapseProject duplicates it), so for bulk
+    signature computation prefer ``minhash_signatures`` below — the
+    explode + 32-way min hash-aggregate form, which evaluates
+    shingles once per doc and lets the partial aggregate run
+    map-side. This Column form is kept for inline/one-off use."""
     sh = shingles(text_col, k)
+
+    def hasher(seed: int):
+        # single-param lambda: a 2-param lambda would make Spark pass
+        # the array INDEX as the 2nd arg, silently overriding the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(n_hashes)
-        ]
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>) via explode → 32-way MIN hash
+    aggregate — the scalable form: shingles are computed once per
+    doc, the 32 hashes are plain codegen'd expressions over the
+    exploded rows, and the groupBy's map-side partial MIN means the
+    shuffle carries 32 longs per doc regardless of doc size."""
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__sh"))
+    aggs = [
+        F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__h{i}") for i in range(n_hashes)
+    ]
+    return (
+        ex.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("sig")
+        )
     )
 
 
@@ -94,13 +129,12 @@ def minhash_buckets(
     """(id, band_id, band_hash) bucket assignments — one output row
     per doc per band."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(text_col, n_hashes, k)
-    return (
-        df.select(F.col(id_col), _band_hashes(sig, bands, rows_per_band).alias("__bands"))
-        .select(
-            id_col,
-            F.posexplode("__bands").alias("band_id", "band_hash"),
-        )
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            _band_hashes(F.col("sig"), bands, rows_per_band)
+        ).alias("band_id", "band_hash"),
     )
 
 
@@ -203,18 +237,44 @@ def simhash_signature(text_col: str = "text") -> Column:
             lambda a, b: a + b,
         ),
     )
-    # Fold sign bits into one BIGINT. Bit 63 is the two's-complement
-    # sign bit: setting it means adding -2^63, not +2^63 (which would
-    # overflow a signed long).
-    def bit_value(j: int) -> int:
-        return (1 << j) if j < 63 else -(1 << 63)
-
     sim = F.lit(0).cast("long")
     for j in range(64):
         sim = sim + F.when(
-            F.element_at(counters, j + 1) > 0, F.lit(bit_value(j)).cast("long")
+            F.element_at(counters, j + 1) > 0, F.lit(_bit_value(j)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return sim
+
+
+def _bit_value(j: int) -> int:
+    # Bit 63 is the two's-complement sign bit: setting it means
+    # adding -2^63, not +2^63 (which would overflow a signed long).
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) via explode → 64 conditional-SUM aggregates —
+    the scalable form (same reasoning as ``minhash_signatures``):
+    per exploded token one xxhash64 + 64 bit tests, all inside
+    whole-stage codegen; the shuffle carries 64 longs per doc."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    h = F.xxhash64("__t")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .cast("long")
+        ).alias(f"__c{j}")
+        for j in range(64)
+    ]
+    grouped = ex.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim + F.when(
+            F.col(f"__c{j}") > 0, F.lit(_bit_value(j)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return grouped.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -231,7 +291,7 @@ def simhash_pairs(
     keys on (band_id, band_bits) instead of O(n²) comparisons."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sigs = df.select(F.col(id_col), simhash_signature(text_col).alias("simhash"))
+    sigs = simhash_signatures(df, id_col, text_col)
     bands = sigs.select(
         id_col,
         "simhash",
