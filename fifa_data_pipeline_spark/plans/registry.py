@@ -25,10 +25,11 @@ def _merge(module) -> None:
 
 
 def _load() -> None:
-    from fifa_data_pipeline_spark.plans import northstar, parity
+    from fifa_data_pipeline_spark.plans import northstar, parity, streaming_queries
 
     _merge(parity)
     _merge(northstar)
+    _merge(streaming_queries)
 
 
 _load()

@@ -1,0 +1,55 @@
+"""Streaming-backed registry queries (rows-only: streaming execution
+isn't SQL-expressible for the DuckDB oracle; the underlying
+aggregation/sessionization logic is oracle-checked via the batch
+twins q_window_tumbling / q_sessionize).
+
+Each query lands the events table into a temp directory (file stream
+sources require directories), drains the stream with an availableNow
+trigger into a memory sink, and returns the resulting batch table —
+so the driver exercises the real streaming engine end-to-end."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fifa_data_pipeline_spark.sources.io import read_table
+from fifa_data_pipeline_spark.streaming import stream_events as S
+
+
+def _land_events(spark: SparkSession, sf_dir: str) -> str:
+    d = tempfile.mkdtemp(prefix="spark_graft_stream_") + "/events"
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window count/sum via Structured Streaming
+    (append mode: only watermark-closed windows are emitted)."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_tumbling_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_tumbling_counts(stream), name, "append")
+    return spark.table(name)
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization via applyInPandasWithState;
+    returns the final per-session update rows."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_sessionize_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_sessionize(stream), name, "update")
+    return spark.table(name)
+
+
+QUERIES = {
+    "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_sessionize": q_stream_sessionize,
+}
+
+ORACLES: dict[str, str] = {}

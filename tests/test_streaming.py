@@ -1,0 +1,94 @@
+"""Structured Streaming tests: batch/stream result parity for the
+tumbling window agg, stateful sessionization across micro-batches,
+watermark config. File source + availableNow trigger + memory sink."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators.events import sessionize, tumbling_window_agg
+from fifa_data_pipeline_spark.sources.io import read_table
+from fifa_data_pipeline_spark.streaming import stream_events as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-landed as a parquet directory (file stream sources
+    read directories; this also normalizes ts to µs)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    read_table(spark, SF, "events").write.parquet(path)
+    return path
+
+
+def test_stream_tumbling_matches_batch(spark, events_dir):
+    batch = read_table(spark, SF, "events")
+    expected = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(batch).collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    S.run_to_memory(S.stream_tumbling_counts(stream), "t_tumbling", "append")
+    got = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    # append mode emits only watermark-closed windows; with availableNow
+    # the final watermark closes all but the latest window(s)
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
+
+
+def test_stream_sessionize_matches_batch(spark, events_dir):
+    batch = read_table(spark, SF, "events")
+    expected = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in sessionize(batch).collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    S.run_to_memory(S.stream_sessionize(stream), "t_sessions", "update")
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    # update mode may emit a session several times; the LAST update per
+    # (user, session) must equal the batch result
+    final = {}
+    for r in rows:
+        final[(r.user_id, r.session_idx)] = (r.session_start, r.session_end, r.n_events)
+    assert final == expected
+
+
+def test_sessionize_state_carries_across_batches(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    d1 = str(tmp_path / "ev")
+    rows1 = [(1, t0), (1, t0 + dt.timedelta(minutes=5))]
+    rows2 = [(1, t0 + dt.timedelta(minutes=10)), (1, t0 + dt.timedelta(hours=2))]
+    spark.createDataFrame(rows1, ["user_id", "ts"]).write.mode("overwrite").parquet(d1)
+    schema = spark.read.parquet(d1).schema
+
+    # ONE continuous query; files arrive in two waves — per-user state
+    # must carry across the micro-batches.
+    stream = S.read_event_stream(spark, d1, schema)
+    q = (
+        S.stream_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("s_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, ["user_id", "ts"]).write.mode("append").parquet(d1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {}
+    for r in spark.sql("SELECT * FROM s_state").collect():
+        final[(r.user_id, r.session_idx)] = r.n_events
+    # events at 0,5,10min are one session (3 events); +2h starts session 2
+    assert final == {(1, 1): 3, (1, 2): 1}
