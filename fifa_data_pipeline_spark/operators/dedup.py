@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import shingles, tokens
+from fifa_data_pipeline_spark.sources.io import spread
 
 
 # ---------------------------------------------------------------------------
@@ -89,7 +90,9 @@ def minhash_signatures(
     doc, the 32 hashes are plain codegen'd expressions over the
     exploded rows, and the groupBy's map-side partial MIN means the
     shuffle carries 32 longs per doc regardless of doc size."""
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("__sh"))
+    ex = spread(df).select(
+        F.col(id_col), F.explode(shingles(text_col, k)).alias("__sh")
+    )
     aggs = [
         F.min(F.xxhash64("__sh", F.lit(i))).alias(f"__h{i}") for i in range(n_hashes)
     ]
@@ -180,7 +183,7 @@ def jaccard_verify_pairs(
     """Exact word-k-gram Jaccard over candidate pairs; keeps pairs at
     or above ``threshold``. This is the verification stage after LSH:
     cost is O(#candidates), not O(n²)."""
-    sets = df.select(
+    sets = spread(df).select(
         F.col(id_col), shingles(text_col, k).alias("__set")
     )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
@@ -258,7 +261,7 @@ def simhash_signatures(
     the scalable form (same reasoning as ``minhash_signatures``):
     per exploded token one xxhash64 + 64 bit tests, all inside
     whole-stage codegen; the shuffle carries 64 longs per doc."""
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    ex = spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
     h = F.xxhash64("__t")
     aggs = [
         F.sum(

@@ -29,6 +29,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.sources.io import spread
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -70,7 +72,7 @@ def knn_bruteforce(
         )
     )
     scored = (
-        corpus.select(id_col, vec_col)
+        spread(corpus.select(id_col, vec_col))
         .join(q, F.col(id_col) != F.col("qid"))
         .withColumn("sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
     )
@@ -122,7 +124,7 @@ def knn_lsh(
     candidates. Join keys on the bucket id → the corpus shuffles on a
     well-spread bigint key instead of cross-joining."""
     planes = random_hyperplanes(n_planes, dim, seed)
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__bkt")
     )
     q = queries.select(
@@ -241,7 +243,7 @@ def embedding_near_dup_pairs(
     side so near-threshold pairs straddling a hyperplane aren't all
     lost), exact cosine verifies."""
     planes = random_hyperplanes(n_planes, dim, seed)
-    bucketed = df.select(
+    bucketed = spread(df).select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__bkt")
     )
     a = bucketed.select(

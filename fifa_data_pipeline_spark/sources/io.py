@@ -66,6 +66,20 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Ensure at least ``defaultParallelism × multiple`` partitions
+    before CPU-dense per-row work (hashing, cosine scoring).
+
+    A small parquet table arrives as one split, which would serialize
+    e.g. MinHash signature computation onto one core; at production
+    scale inputs already have >= cores splits and this is a no-op
+    (the guard keeps it from ever REDUCING parallelism)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_csv_inferred(spark: SparkSession, path: str) -> DataFrame:
     """Schema-on-read CSV scan (S3/S4: BigQuery external table with
     inferred schema, reference ``etl_kaggle_to_big_query.py:70-78``).
