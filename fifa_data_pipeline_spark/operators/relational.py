@@ -165,6 +165,142 @@ def topk(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Join variants beyond the reference (SURVEY.md §2.5 extension surface)
+# ---------------------------------------------------------------------------
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[tuple[str, str]]) -> DataFrame:
+    """LEFT SEMI: keep left rows with at least one match — the
+    EXISTS/IN idiom without duplicating or widening rows. Same
+    shuffle shape as inner join but the build side only stores keys."""
+    cond = _join_cond(left, right, on)
+    return left.join(right, cond, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[tuple[str, str]]) -> DataFrame:
+    """LEFT ANTI: keep left rows with NO match (NOT EXISTS)."""
+    cond = _join_cond(left, right, on)
+    return left.join(right, cond, "left_anti")
+
+
+def outer_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[tuple[str, str]],
+    how: str = "left_outer",
+) -> DataFrame:
+    """LEFT/RIGHT/FULL OUTER equi-join."""
+    cond = _join_cond(left, right, on)
+    return left.join(right, cond, how)
+
+
+def _join_cond(left: DataFrame, right: DataFrame, on: Sequence[tuple[str, str]]):
+    cond = None
+    for lc, rc in on:
+        clause = left[lc] == right[rc]
+        cond = clause if cond is None else (cond & clause)
+    return cond
+
+
+def range_join(
+    left: DataFrame, right: DataFrame, cond: Column, broadcast_right: bool = True
+) -> DataFrame:
+    """Non-equi (range/theta) join. With a tiny band/interval side the
+    plan is BroadcastNestedLoopJoin — each left partition scans the
+    broadcast bands, no shuffle of the fact side; that is the only
+    range-join shape that survives 100 TB (a non-broadcast theta join
+    is cartesian). For interval joins against a LARGE side, bucket
+    both sides by coarse range first to recover an equi-join prefix."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, cond, "inner")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    prefix: str = "prior_",
+) -> DataFrame:
+    """AS-OF join: attach to each left row the most recent right row
+    with ``right_ts <= left_ts`` for the same key (inclusive), or
+    NULLs if none — the trades↔quotes idiom; matches DuckDB
+    ``ASOF LEFT JOIN``.
+
+    Implementation is the scalable union + running-``last`` form:
+    tag both sides, union, one shuffle on ``key``, sort within
+    partition by (ts, side) so an equal-timestamp right row sorts
+    before the left row, then ``last(payload, ignorenulls)`` over the
+    running window carries the latest right payload forward. No
+    self-join, no per-left-row probe: cost is one shuffle + one sort
+    regardless of how many right rows precede each left row."""
+    lpay = F.struct(*[F.col(c) for c in left.columns])
+    l_side = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        lpay.alias("__lpay"),
+        F.lit(None).cast(
+            right.select(F.struct(*payload_cols).alias("s")).schema["s"].dataType
+        ).alias("__rpay"),
+    )
+    r_side = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_side.schema["__lpay"].dataType).alias("__lpay"),
+        F.struct(*payload_cols).alias("__rpay"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_side.unionByName(r_side)
+        .withColumn("__match", F.last("__rpay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in payload_cols
+    ]
+    return matched.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# Set operations / multi-dimensional aggregates (§2.5)
+# ---------------------------------------------------------------------------
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def intersect_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.subtract(b)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical subtotals (NULL key = total).
+    Planned as an Expand + single hash aggregate: input replicated
+    once per grouping set, partial-agg'd map-side."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """GROUP BY CUBE — all key-subset subtotals."""
+    return df.cube(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
 # Skew helper (scale posture, SURVEY.md §7.3 M3)
 # ---------------------------------------------------------------------------
 

@@ -106,6 +106,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", alias: str = "fp") -> Dat
     )
 
 
+def top_tokens(
+    df: DataFrame, text_col: str = "text", n: int = 20
+) -> DataFrame:
+    """Corpus-wide token frequencies, top n (count desc, token asc).
+    Explode → hash aggregate (map-side partial counts) → top-k merge;
+    the shuffle carries one row per distinct token per task."""
+    ex = df.select(F.explode(tokens(text_col)).alias("token"))
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(n)
+
+
+def tfidf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Raw-count TF-IDF per (doc, token): tf × ln(N / df_token).
+
+    Three aggregates over one exploded token table (tf per doc-term,
+    document frequency per term, corpus size), joined back — all
+    hash aggregates with map-side partials; the df-per-term side is
+    one row per distinct token, broadcastable at any corpus size for
+    a bounded vocabulary."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = ex.groupBy("token").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("__n"))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("__df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
 def shingles(text_col: str, k: int = 3) -> Column:
     """Distinct word k-gram shingles of a text column — the unit set
     for Jaccard similarity and MinHash. Documents shorter than k

@@ -158,7 +158,7 @@ def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag", "l_linestatus"],
         [
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+            F.round(F.sum("l_extendedprice"), 3).alias("sum_price"),
             F.max("l_discount").alias("max_discount"),
             F.max("l_tax").alias("max_tax"),
             avg_int("l_quantity").alias("avg_qty_int"),
@@ -184,7 +184,7 @@ def q_join_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         j,
         ["n_name"],
         [
-            F.round(F.sum("l_extendedprice"), 6).alias("revenue"),
+            F.round(F.sum("l_extendedprice"), 3).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         ],
     )
@@ -269,7 +269,7 @@ ORACLES = {
     "q_agg_multi": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 6) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 6) AS sum_price,
+               ROUND(SUM(l_extendedprice), 3) AS sum_price,
                MAX(l_discount) AS max_discount,
                MAX(l_tax) AS max_tax,
                CAST(TRUNC(AVG(l_quantity)) AS INTEGER) AS avg_qty_int,
@@ -278,7 +278,7 @@ ORACLES = {
     """,
     "q_join_fact_dim": """
         SELECT n.n_name,
-               ROUND(SUM(li.l_extendedprice), 6) AS revenue,
+               ROUND(SUM(li.l_extendedprice), 3) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem li
         JOIN orders o ON li.l_orderkey = o.o_orderkey

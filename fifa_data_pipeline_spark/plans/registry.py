@@ -25,10 +25,16 @@ def _merge(module) -> None:
 
 
 def _load() -> None:
-    from fifa_data_pipeline_spark.plans import northstar, parity, streaming_queries
+    from fifa_data_pipeline_spark.plans import (
+        extended,
+        northstar,
+        parity,
+        streaming_queries,
+    )
 
     _merge(parity)
     _merge(northstar)
+    _merge(extended)
     _merge(streaming_queries)
 
 
