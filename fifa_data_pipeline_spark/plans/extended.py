@@ -190,6 +190,40 @@ def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distinct aggregation / analytic windows ------------------------------
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggregates. Catalyst plans the
+    distinct-agg as a two-phase expand+aggregate; at scale the
+    approximate form (approx_count_distinct, HLL) avoids the expand —
+    provided as q_agg_approx's building block."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface: rank/dense_rank over date ordering
+    (ties share ranks), lag, and a moving-sum frame — per customer."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w_date = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    w_full = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_frame = w_full.rowsBetween(-2, Window.currentRow)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w_date).alias("rnk"),
+        F.dense_rank().over(w_date).alias("drnk"),
+        F.lag("o_totalprice").over(w_full).alias("prev_price"),
+        F.round(F.sum("o_totalprice").over(w_frame), 2).alias("mov3"),
+    )
+
+
 # --- text frequencies -----------------------------------------------------
 
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,6 +248,8 @@ QUERIES = {
     "q_cube": q_cube,
     "q_scalar_funcs": q_scalar_funcs,
     "q_case_bucket": q_case_bucket,
+    "q_agg_distinct": q_agg_distinct,
+    "q_window_funcs": q_window_funcs,
     "q_top_tokens": q_top_tokens,
     "q_tfidf": q_tfidf,
 }
@@ -307,6 +343,26 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                ROUND(AVG(o_totalprice), 4) AS avg_price
         FROM orders GROUP BY 1
+    """,
+    "q_agg_distinct": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_window_funcs": """
+        SELECT o_orderkey, o_custkey,
+               CAST(RANK() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS INTEGER) AS rnk,
+               CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate) AS INTEGER) AS drnk,
+               LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS prev_price,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov3
+        FROM orders
     """,
     "q_top_tokens": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -66,6 +66,30 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table: rows hash-partitioned
+    into ``num_buckets`` files by ``bucket_by``, optionally sorted
+    within each bucket.
+
+    This is the 100 TB co-location lever the reference's BigQuery
+    CLUSTER BY only approximates: two tables bucketed on their join
+    key with the same bucket count join with NO shuffle exchange on
+    either side (verified by plan assertion in tests) — at scale that
+    removes the dominant cost of repeated fact-fact joins. Pair with
+    ``sort_by`` on the join key to also skip the sort phase."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table_name)
+
+
 def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Ensure at least ``defaultParallelism × multiple`` partitions
     before CPU-dense per-row work (hashing, cosine scoring).

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): operator invariants on
+generated inputs, checked against plain-Python models."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fifa_data_pipeline_spark.operators.events import sessionize
+from fifa_data_pipeline_spark.operators.text import token_count
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=100_000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _model_sessions(rows: list[tuple[int, int]], gap: int = 1800):
+    """Plain-python sessionizer: expected (user, session) -> n_events."""
+    out: dict[tuple[int, int], int] = {}
+    by_user: dict[int, list[int]] = {}
+    for u, s in rows:
+        by_user.setdefault(u, []).append(s)
+    for u, secs in by_user.items():
+        idx = 0
+        last = None
+        for s in sorted(secs):
+            if last is None or s - last > gap:
+                idx += 1
+            out[(u, idx)] = out.get((u, idx), 0) + 1
+            last = s
+    return out
+
+
+@given(rows=events_strategy)
+@settings(**SETTINGS)
+def test_sessionize_matches_python_model(spark, rows):
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, t0 + dt.timedelta(seconds=s)) for u, s in rows], ["user_id", "ts"]
+    )
+    got = {
+        (r.user_id, r.session_idx): r.n_events for r in sessionize(df).collect()
+    }
+    assert got == _model_sessions(rows)
+
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abc xyz"),
+        min_size=1,
+        max_size=40,
+    ).filter(lambda t: t.strip() != ""),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=texts_strategy)
+@settings(**SETTINGS)
+def test_token_count_matches_python_split(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: r.n_tokens for r in token_count(df).collect()}
+    expected = {i: len(t.split()) for i, t in enumerate(texts)}
+    assert got == expected
