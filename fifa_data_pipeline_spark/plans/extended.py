@@ -205,6 +205,20 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the at-scale form of q_agg_distinct:
+    HLL++ approx_count_distinct (mergeable sketch, no expand phase)
+    and approx percentiles (Greenwald-Khanna summaries). Rows-only:
+    approximate values have no exact oracle; accuracy bounds vs the
+    exact aggregates are asserted in tests."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10_000).alias("p99_price"),
+    )
+
+
 def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window surface: rank/dense_rank over date ordering
     (ties share ranks), lag, and a moving-sum frame — per customer."""
@@ -249,6 +263,7 @@ QUERIES = {
     "q_scalar_funcs": q_scalar_funcs,
     "q_case_bucket": q_case_bucket,
     "q_agg_distinct": q_agg_distinct,
+    "q_agg_approx": q_agg_approx,
     "q_window_funcs": q_window_funcs,
     "q_top_tokens": q_top_tokens,
     "q_tfidf": q_tfidf,

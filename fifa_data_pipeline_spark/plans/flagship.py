@@ -102,6 +102,64 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def flagship_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship expressed exactly the way the reference expresses
+    it (``prefect/spark/fifa_spark.py:34-99``): chained ``spark.sql``
+    statements over temp views, each re-registered for the next.
+    Temp views are plan aliases, so the five statements fuse into ONE
+    logical plan — identical physical plan and results to the
+    DataFrame-API ``flagship`` (same oracle)."""
+    for name in ("orders", "lineitem", "customer", "nation"):
+        read_table(spark, sf_dir, name).createOrReplaceTempView(f"fs_{name}")
+
+    spark.sql(
+        """
+        SELECT o_custkey AS lk, MAX(o_orderdate) AS latest_odate
+        FROM fs_orders GROUP BY o_custkey
+        """
+    ).createOrReplaceTempView("fs_latest")
+
+    spark.sql(
+        """
+        SELECT o.* FROM fs_orders o
+        JOIN fs_latest l
+          ON o.o_custkey = l.lk AND o.o_orderdate = l.latest_odate
+        """
+    ).createOrReplaceTempView("fs_latest_orders")
+
+    spark.sql(
+        """
+        SELECT c_custkey, MAX(c_name) AS cust_name,
+               MAX(c_nationkey) AS c_nationkey,
+               MAX(c_mktsegment) AS c_mktsegment
+        FROM fs_customer GROUP BY c_custkey
+        """
+    ).createOrReplaceTempView("fs_cust_dim")
+
+    return spark.sql(
+        """
+        SELECT
+          o.o_orderpriority,
+          c.cust_name,
+          n.n_name,
+          c.c_mktsegment,
+          CONCAT(n.n_name, ' - ', c.c_mktsegment) AS nation_segment,
+          ROUND(SUM(li.l_extendedprice), 6) AS total_value,
+          ROUND(SUM(li.l_quantity), 6) AS total_qty,
+          MAX(li.l_extendedprice) AS best_price,
+          MAX(li.l_discount) AS best_discount,
+          CAST(AVG(li.l_quantity) AS INT) AS avg_qty_int,
+          ROUND(AVG(o.o_totalprice), 4) AS avg_order_value,
+          COUNT(*) AS n_lines
+        FROM fs_lineitem li
+        JOIN fs_latest_orders o ON li.l_orderkey = o.o_orderkey
+        JOIN fs_cust_dim c ON o.o_custkey = c.c_custkey
+        JOIN fs_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY o.o_orderpriority, c.cust_name, n.n_name, c.c_mktsegment
+        """
+    )
+
+
 FLAGSHIP_ORACLE = """
 WITH latest AS (
   SELECT o_custkey AS lk, MAX(o_orderdate) AS latest_odate

@@ -8,14 +8,20 @@ weaker rows-only check (documented per query).
 
 from __future__ import annotations
 
-from fifa_data_pipeline_spark.plans.flagship import FLAGSHIP_ORACLE, flagship
+from fifa_data_pipeline_spark.plans.flagship import (
+    FLAGSHIP_ORACLE,
+    flagship,
+    flagship_sql,
+)
 
 QUERIES = {
     "q_flagship": flagship,
+    "q_flagship_sql": flagship_sql,
 }
 
 ORACLES = {
     "q_flagship": FLAGSHIP_ORACLE,
+    "q_flagship_sql": FLAGSHIP_ORACLE,
 }
 
 
