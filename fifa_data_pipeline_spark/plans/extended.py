@@ -240,6 +240,16 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- text frequencies -----------------------------------------------------
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count (word pieces / digit runs /
+    symbols — the GPT-2-style pre-merge split)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(X.bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.top_tokens(read_table(spark, sf_dir, "documents"), n=20)
 
@@ -265,6 +275,7 @@ QUERIES = {
     "q_agg_distinct": q_agg_distinct,
     "q_agg_approx": q_agg_approx,
     "q_window_funcs": q_window_funcs,
+    "q_bpe_tokens": q_bpe_tokens,
     "q_top_tokens": q_top_tokens,
     "q_tfidf": q_tfidf,
 }
@@ -378,6 +389,13 @@ ORACLES = {
                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov3
         FROM orders
+    """,
+    "q_bpe_tokens": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+                 AS n_bpe_tokens
+        FROM documents
     """,
     "q_top_tokens": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -126,6 +126,20 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+    The watermark is what bounds the dedup state — without it,
+    streaming dedup state grows forever; with it, a key older than
+    the horizon can be evicted because any duplicate arriving later
+    would be dropped as late data anyway."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> None:

@@ -1,0 +1,69 @@
+"""Empty-input robustness: every major operator must return an empty
+(but correctly-schemed) result on empty input, not throw. At 100 TB
+a partition-pruned scan routinely produces zero rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fifa_data_pipeline_spark.operators import dedup as D
+from fifa_data_pipeline_spark.operators import events as E
+from fifa_data_pipeline_spark.operators import relational as R
+from fifa_data_pipeline_spark.operators import text as X
+from fifa_data_pipeline_spark.operators import vector as V
+
+
+def _empty(spark, schema: str):
+    return spark.createDataFrame([], schema)
+
+
+def test_relational_ops_on_empty(spark):
+    df = _empty(spark, "k int, upd int, v double")
+    assert R.latest_per_group_join(df, "k", "upd").count() == 0
+    assert R.latest_per_group_window(df, "k", "upd", "v").count() == 0
+    assert R.group_max(df, "k", "upd", "m").count() == 0
+    assert R.topk(df, [F.desc("v")], 5).count() == 0
+    assert R.salted_group_agg(df, ["k"], {"v": "s"}).count() == 0
+
+
+def test_text_dedup_on_empty(spark):
+    docs = _empty(spark, "doc_id long, text string")
+    assert X.text_stats(docs).count() == 0
+    assert X.tfidf(docs).count() == 0
+    assert D.minhash_signatures(docs).count() == 0
+    assert D.minhash_candidate_pairs(docs).count() == 0
+    assert D.simhash_pairs(docs).count() == 0
+    assert D.near_dedup_minhash(docs).count() == 0
+
+
+def test_vector_on_empty_corpus_and_queries(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    corpus = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])], schema)
+    # empty queries -> empty result; empty corpus -> empty result
+    assert V.knn_bruteforce(corpus, empty).count() == 0
+    assert V.knn_bruteforce(empty, corpus.limit(1)).count() == 0
+    assert V.embedding_near_dup_pairs(empty, dim=2).count() == 0
+
+
+def test_events_on_empty(spark):
+    ev = _empty(spark, "user_id long, ts timestamp, value double, event_type string")
+    assert E.sessionize(ev).count() == 0
+    assert E.tumbling_window_agg(ev).count() == 0
+
+
+def test_asof_empty_right_keeps_left(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "x")], ["user_id", "ts", "name"]
+    )
+    right = _empty(spark, "user_id long, ts timestamp, quote_id long")
+    out = R.as_of_join(left, right, "user_id", "ts", "ts", ["quote_id"]).collect()
+    assert len(out) == 1 and out[0].prior_quote_id is None

@@ -61,6 +61,23 @@ def test_stream_sessionize_matches_batch(spark, events_dir):
     assert final == expected
 
 
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 10.0), (1, t0 + dt.timedelta(minutes=1), 11.0), (2, t0, 12.0)]
+    d = str(tmp_path / "dup_events")
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    # write the same rows twice -> exact duplicates across files
+    df.write.mode("overwrite").parquet(d)
+    df.write.mode("append").parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    S.run_to_memory(S.stream_dedup(stream, ["event_id"]), "t_dedup", "append")
+    got = spark.sql("SELECT event_id, count(*) c FROM t_dedup GROUP BY 1").collect()
+    assert {r.event_id: r.c for r in got} == {1: 1, 2: 1}
+
+
 def test_sessionize_state_carries_across_batches(spark, tmp_path):
     import datetime as dt
 
