@@ -115,6 +115,33 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-cleaning pipeline (the north-star flagship):
+    fingerprint-dedup → quality filter → language filter → per-source
+    stats. Composes fingerprint, exact dedup, text_stats, and lang_id
+    into one fused plan — the shape of a real pretraining-data
+    cleaning job, fully oracle-checkable."""
+    docs = read_table(spark, sf_dir, "documents")
+    fp = X.fingerprint(docs)
+    # canonical doc per fingerprint (exact dedup on normalized text)
+    canonical = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(canonical, ["fp", "doc_id"])
+    scored = X.lang_id(X.text_stats(deduped))
+    cleaned = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("quality_score") >= 0.3)
+        & (F.col("lang_guess") == "en")
+    )
+    # MIN (not AVG) of the rounded scores: averaging 6dp-rounded
+    # values lands exactly on .xxxxxx5 halves where engines' float
+    # state diverges; MIN is a comparison, bit-exact everywhere.
+    return cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality_score").alias("min_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -191,6 +218,7 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
     "q_dedup_exact": q_dedup_exact,
+    "q_clean_corpus": q_clean_corpus,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash_pairs": q_simhash_pairs,
@@ -246,6 +274,37 @@ ORACLES = {
         "SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups "
         "FROM documents GROUP BY text"
     ),
+    "q_clean_corpus": f"""
+        WITH fp AS (
+          SELECT *, md5(lower(trim(text))) AS fp FROM documents
+        ), canonical AS (
+          SELECT fp AS cfp, MIN(doc_id) AS cdoc FROM fp GROUP BY fp
+        ), deduped AS (
+          SELECT f.* FROM fp f
+          JOIN canonical c ON f.fp = c.cfp AND f.doc_id = c.cdoc
+        ), t AS (
+          SELECT doc_id, source, {_TOKS} AS toks, text FROM deduped
+        ), s AS (
+          SELECT doc_id, source,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT) AS tok_chars,
+                 CAST(len(list_filter(toks, t -> {_STOP_PRED})) AS BIGINT) AS stop_hits
+          FROM t
+        ), scored AS (
+          SELECT source, n_tokens,
+                 ROUND(LEAST(n_tokens, 50) / 50.0 *
+                       (1.0 - ROUND(stop_hits / n_tokens, 6)), 6) AS quality_score,
+                 CASE WHEN stop_hits / n_tokens >= 0.08
+                      THEN 'en' ELSE 'unk' END AS lang_guess
+          FROM s
+        )
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MIN(quality_score) AS min_quality
+        FROM scored
+        WHERE n_tokens >= 20 AND quality_score >= 0.3 AND lang_guess = 'en'
+        GROUP BY source
+    """,
     "q_ngram_jaccard": f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
