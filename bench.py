@@ -28,11 +28,17 @@ HEADLINE = [
     "q_join_latest",
     "q_latest_window",
     "q_topk",
+    "q_rollup",
+    "q_asof",
     "q_dedup_exact",
+    "q_clean_corpus",
     "q_token_count",
     "q_text_quality",
+    "q_tfidf",
     "q_knn_exact",
+    "q_knn_lsh",
     "q_minhash_pairs",
+    "q_simhash_pairs",
     "q_window_tumbling",
     "q_sessionize",
 ]

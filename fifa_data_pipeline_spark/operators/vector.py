@@ -100,9 +100,12 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     Planes enter the plan as array literals — evaluated JVM-side, no
     Python at row time."""
     bucket = F.lit(0).cast("long")
+    vd = _as_double(vec_col)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(_as_double(vec_col), p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+        # one py4j call per plane (array literal), not one per element
+        # — per-element F.lit chains cost ~seconds of driver time
+        p = F.lit([float(x) for x in plane])
+        bit = F.when(dot(vd, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + bit
