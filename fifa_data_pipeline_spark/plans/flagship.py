@@ -52,7 +52,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     lineitem = read_table(spark, sf_dir, "lineitem")
     customer = read_table(spark, sf_dir, "customer")
-    nation = read_table(spark, sf_dir, "nation")
 
     # A1 + J1: keep all orders on each customer's latest order date
     # (ties keep all rows, matching the reference's agg+join idiom).
@@ -79,7 +78,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("c_nationkey", "n_nationkey")],
         broadcast_right=True,
     )
-    del nation  # scanned inline above with an explicit 2-col projection
 
     # A3 + P6 + P7: 4-key multi-aggregate with concat label and
     # truncating int-cast averages. Double SUM/AVG outputs are rounded

@@ -126,6 +126,46 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookback: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs
+    with right-stream events of the same key in the window
+    ``[left.ts - lookback, left.ts]`` (e.g. purchases ⋈ the views
+    that preceded them).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions — that pair of constraints is what lets
+    the streaming planner evict join state; an unbounded condition
+    would grow state forever. Scale: state is partitioned by the join
+    key, sized by (event rate × lookback window).
+    """
+    l = left.select(
+        F.col(key),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    ).withWatermark("r_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.expr(f"l_ts - {lookback}"))
+    )
+    return l.join(r, cond, "inner").select(
+        key, "l_event_id", "r_event_id",
+        F.unix_timestamp("l_ts").cast("bigint").alias("l_epoch"),
+        F.unix_timestamp("r_ts").cast("bigint").alias("r_epoch"),
+    )
+
+
 def stream_dedup(
     events: DataFrame, key_cols: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:
