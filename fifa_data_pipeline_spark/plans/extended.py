@@ -390,7 +390,7 @@ ORACLES = {
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov3
         FROM orders
     """,
-    "q_bpe_tokens": """
+    "q_bpe_tokens": r"""
         SELECT doc_id,
                CAST(len(regexp_extract_all(text,
                     '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
