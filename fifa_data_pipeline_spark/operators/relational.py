@@ -328,3 +328,89 @@ def salted_group_agg(
     if count_alias:
         aggs.append(F.sum("__cnt").alias(count_alias))
     return phase1.groupBy(*keys).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot / grouping sets / merge (§2.5 extended surface)
+# ---------------------------------------------------------------------------
+
+def pivot_agg(
+    df: DataFrame,
+    group_key: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+    prefix: str = "v_",
+) -> DataFrame:
+    """GROUP BY + PIVOT: one output column per pivot value.
+
+    ``pivot_values`` is EXPLICIT (never inferred): inference costs an
+    extra distinct-scan of the input, and at 100 TB an unbounded value
+    set would explode the schema. With fixed values the plan is a
+    single hash aggregate over conditional expressions — no extra
+    pass, no shuffle beyond the groupBy."""
+    out = df.groupBy(group_key).pivot(pivot_col, list(pivot_values)).agg(agg)
+    for v in pivot_values:
+        out = out.withColumnRenamed(str(v), f"{prefix}{v}")
+    return out
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    value_cols: Sequence[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> DataFrame:
+    """UNPIVOT/melt: wide → long. Planned as a single Expand node
+    (each input row emitted once per value column) — one pass, no
+    shuffle, no union of N scans."""
+    return df.unpivot(list(ids), list(value_cols), var_name, value_name)
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """GROUP BY GROUPING SETS — arbitrary subtotal combinations
+    (rollup/cube are special cases). Same Expand + single hash-agg
+    physical shape as rollup_agg."""
+    return df.groupingSets([list(s) for s in sets], *keys).agg(*aggs)
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """SCD-1 MERGE (upsert): rows in ``updates`` overwrite same-key
+    rows in ``base``; unmatched update rows are inserted; unmatched
+    base rows pass through. Engine form: one full-outer join on the
+    key + per-column COALESCE(update, base).
+
+    Scale: both sides shuffle once on the key — the same cost profile
+    as a Delta/Iceberg MERGE rewrite without a transaction log. For
+    repeated merges at 100 TB, bucket both tables on the key so the
+    join is shuffle-free (see sources/io.write_bucketed)."""
+    cols = base.columns
+    assert updates.columns == cols, "merge requires identical schemas"
+    u = updates.select([F.col(c).alias(f"__u_{c}") for c in cols])
+    j = base.join(u, F.col(key) == F.col(f"__u_{key}"), "full_outer")
+    return j.select(
+        *[F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c) for c in cols]
+    )
+
+
+def systematic_sample(
+    df: DataFrame, key_cols: Sequence[str], modulus: int, keep: int
+) -> DataFrame:
+    """Deterministic systematic sample: keep rows where a linear
+    combination of the key columns ≡ ``keep`` (mod ``modulus``).
+    Unlike ``df.sample`` (Bernoulli per split — irreproducible across
+    engines/partitionings) this is exactly reproducible anywhere,
+    which is what a training-corpus sample needs for auditability.
+    The predicate pushes down to the scan like any other filter."""
+    expr = F.lit(0).cast("long")
+    for i, c in enumerate(key_cols):
+        expr = expr * 31 + F.col(c).cast("long") * (i + 1)
+    return df.filter(F.pmod(expr, modulus) == keep)

@@ -159,3 +159,24 @@ def shingles(text_col: str, k: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(toks) >= k, grams).otherwise(F.array(F.trim(F.col(text_col))))
     )
+
+
+def rolling_hash(
+    df: DataFrame, text_col: str = "text", alias: str = "rfp",
+    base: int = 31, mod: int = 1_000_000_007, init: int = 7,
+) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Rabin–Karp
+    style): fold character code points left-to-right with
+    ``acc*base + code (mod m)``. Pure per-row expression inside
+    whole-stage codegen — no shuffle, no Python. Unlike the MD5
+    ``fingerprint``, the rolling form is the building block for
+    content-defined chunking (same construction, windowed).
+
+    Engine-portable: DuckDB computes the identical value with
+    list_reduce over ord() codes, so the query is oracle-checkable."""
+    fp = F.expr(
+        f"aggregate(transform(split({text_col}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT)), CAST({init} AS BIGINT), "
+        f"(acc, c) -> (acc * {base} + c) % {mod})"
+    )
+    return df.withColumn(alias, fp)

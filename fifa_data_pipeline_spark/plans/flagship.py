@@ -67,17 +67,25 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # J3: fact-fact join lineitem ⋈ latest orders.
-    joined = equi_join(lineitem, latest_orders, [("l_orderkey", "o_orderkey")])
-    # J4: dim joins; nation is tiny → broadcast hint (like the
-    # reference's versions dim); customer dim left to AQE.
-    joined = equi_join(joined, cust_dim, [("o_custkey", "c_custkey")])
-    joined = equi_join(
-        joined,
+    # J4 first, J3 second — deliberately the reverse of the reference's
+    # statement order: latest_orders is already hash-partitioned on
+    # o_custkey by the latest-per-group aggregate, so joining cust_dim
+    # (also custkey-keyed) here reuses that partitioning with no new
+    # exchange on the orders side. Joining lineitem FIRST (the
+    # reference order) would force the widest intermediate — every
+    # lineitem row — through an extra custkey shuffle. Inner joins
+    # commute, so results are identical; only bytes-moved changes.
+    orders_cust = equi_join(latest_orders, cust_dim, [("o_custkey", "c_custkey")])
+    # nation is tiny → broadcast hint (like the reference's versions
+    # dim); customer dim left to AQE.
+    orders_cust = equi_join(
+        orders_cust,
         read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
         [("c_nationkey", "n_nationkey")],
         broadcast_right=True,
     )
+    # J3: the single unavoidable big shuffle — lineitem by orderkey.
+    joined = equi_join(lineitem, orders_cust, [("l_orderkey", "o_orderkey")])
 
     # A3 + P6 + P7: 4-key multi-aggregate with concat label and
     # truncating int-cast averages. Double SUM/AVG outputs are rounded

@@ -177,9 +177,13 @@ def q_join_fact_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = R.equi_join(li, orders, [("l_orderkey", "o_orderkey")])
-    j = R.equi_join(j, customer, [("o_custkey", "c_custkey")])
+    # dims-first join order: orders⋈customer⋈nation is far narrower
+    # than lineitem, so the wide fact crosses exactly one shuffle
+    # (orderkey) instead of also re-shuffling on custkey. Inner joins
+    # commute — identical results, fewer bytes moved.
+    j = R.equi_join(orders, customer, [("o_custkey", "c_custkey")])
     j = R.equi_join(j, nation, [("c_nationkey", "n_nationkey")], broadcast_right=True)
+    j = R.equi_join(li, j, [("l_orderkey", "o_orderkey")])
     return R.multi_agg(
         j,
         ["n_name"],

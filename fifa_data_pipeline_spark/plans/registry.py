@@ -33,6 +33,7 @@ def _merge(module) -> None:
 def _load() -> None:
     from fifa_data_pipeline_spark.plans import (
         extended,
+        extended2,
         northstar,
         parity,
         streaming_queries,
@@ -41,6 +42,7 @@ def _load() -> None:
     _merge(parity)
     _merge(northstar)
     _merge(extended)
+    _merge(extended2)
     _merge(streaming_queries)
 
 
