@@ -349,3 +349,72 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup-group closure)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair set via min-label
+    propagation: every node converges to the smallest id reachable
+    from it. Returns (node, component).
+
+    Each round is one distributed join + min-aggregate; rounds needed
+    = graph diameter (dedup-pair graphs are shallow — near-dup
+    clusters are cliques or short chains, so 2-4 rounds typical).
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow exponentially across iterations; the convergence
+    probe is a LIMIT 1 count (stops at the first changed row). For
+    web-scale graphs with long chains, swap the propagation step for
+    the large-star/small-star rounds of Kiveris et al.'s "Connected
+    Components in MapReduce" — same loop skeleton."""
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["d"] == labels["node"]
+        ).select(F.col("s").alias("node"), F.col("label"))
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dedup_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop all but the smallest-id member of each near-dup component
+    (proper transitive closure: in a chain a-b-c only a survives,
+    unlike the greedy pair-drop in ``near_dedup_minhash``)."""
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,61 @@
+"""Grouped-map Pandas UDF operators (``applyInPandas``).
+
+The reference has no UDFs at all (SURVEY.md §2.5); these exist for
+the training-pipeline surface where per-group Python/numpy logic is
+genuinely needed. Rules of engagement (the module exists to model
+them):
+
+- Built-in expressions first — a z-score IS expressible with window
+  functions, and ``grouped_zscore`` has an exact SQL oracle for that
+  reason. ``applyInPandas`` earns its place when the per-group logic
+  outgrows SQL (model scoring, per-group fits, custom resampling).
+- Grouped-map shuffles the full group to one task: groups must fit
+  in executor memory. At 100 TB group by something bounded (user,
+  day, document) — never a handful of mega-groups (that's what the
+  salted/aggregate paths are for).
+- Arrow batches in/out; pandas float64 matches Spark DOUBLE, so
+  6-dp-rounded results hash-match the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    alias: str = "z",
+) -> DataFrame:
+    """Per-group z-score ((v − mean) / sample-std) via
+    ``applyInPandas`` — the canonical grouped-map shape. Sample std
+    (ddof=1) matches SQL ``STDDEV_SAMP``; single-row groups and
+    zero-variance groups yield NULL exactly as the window form does.
+    """
+    out_schema = f"{group_col} int, {id_col} long, {alias} double"
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        std = v.std(ddof=1) if len(v) > 1 else np.nan
+        mean = v.mean()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.round((v - mean) / std, 6)
+        z = np.where(np.isfinite(z), z, np.nan)
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                id_col: pdf[id_col],
+                alias: z,
+            }
+        )
+
+    return (
+        df.select(group_col, id_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(zscore, out_schema)
+    )

@@ -348,3 +348,60 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "sim")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow/Pandas vectorized brute force (the documented fast path)
+# ---------------------------------------------------------------------------
+
+def knn_bruteforce_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k scored with one BLAS matrix multiply per
+    Arrow batch (``mapInPandas``) instead of per-pair higher-order
+    functions — the vectorized alternative to :func:`knn_bruteforce`.
+
+    The query set is collected to the driver and closed over (same
+    small-query-batch contract as the broadcast in the HOF form); the
+    corpus streams through executors in Arrow batches, each batch
+    scoring ALL queries in a single ``(batch × dim) @ (dim × q)``
+    product. Python cost is O(1) per batch, not O(rows); at 64 dims
+    this is the faster path once batches exceed a few thousand rows,
+    and the gap widens with dimensionality. Results match the HOF
+    form at 6-dp rounding (float64 throughout)."""
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    out_schema = f"qid long, {id_col} long, sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(m @ qm.T, 6)  # (batch, q)
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                yield pd.DataFrame(
+                    {
+                        "qid": qids[j],
+                        id_col: ids[mask],
+                        "sim": sims[mask, j],
+                    }
+                )
+
+    scored = spread(corpus.select(id_col, vec_col)).mapInPandas(score, out_schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "sim", "rank")
+    )

@@ -108,6 +108,54 @@ def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT n-gram-Jaccard pair graph
+    (doc_id < 200, the q_ngram_jaccard pair set): every doc labeled
+    with the smallest doc_id in its near-dup component — proper
+    transitive closure (a-b-c chains collapse to a), vs the greedy
+    per-pair drop. Pairs are engine-reproducible, so the min-label
+    propagation loop is oracle-checked against a DuckDB recursive
+    CTE."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sets = docs.select("doc_id", X.shingles("text", 3).alias("s"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(jac, 6) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    cc = D.connected_components(pairs)
+    return docs.select("doc_id").join(
+        cc, docs["doc_id"] == cc["node"], "left"
+    ).select(
+        "doc_id", F.coalesce("label", "doc_id").alias("component")
+    )
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas UDF (applyInPandas): per-nation z-score of
+    customer balances. Exactly reproducible in SQL window functions —
+    which is the point: the Arrow/pandas path is oracle-checked
+    against STDDEV_SAMP/AVG windows."""
+    from fifa_data_pipeline_spark.operators.pandas_ops import grouped_zscore
+
+    c = read_table(spark, sf_dir, "customer")
+    return grouped_zscore(c, "c_nationkey", "c_custkey", "c_acctbal")
+
+
+def q_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k scored with per-Arrow-batch BLAS
+    matrix multiply (mapInPandas) — same result as q_knn_exact at
+    6-dp rounding, same oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.knn_bruteforce_pandas(emb, _qset(emb), "vec_id", "embedding", k=10)
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH candidates
     (rows-only; exact-cosine correctness pinned by q_knn_exact)."""
@@ -223,6 +271,9 @@ QUERIES = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash_pairs": q_simhash_pairs,
     "q_near_dedup": q_near_dedup,
+    "q_dedup_cc": q_dedup_cc,
+    "q_zscore": q_zscore,
+    "q_knn_pandas": q_knn_pandas,
     "q_embed_near_dup": q_embed_near_dup,
     "q_knn_exact": q_knn_exact,
     "q_knn_lsh": q_knn_lsh,
@@ -305,6 +356,38 @@ ORACLES = {
         WHERE n_tokens >= 20 AND quality_score >= 0.3 AND lang_guess = 'en'
         GROUP BY source
     """,
+    "q_dedup_cc": f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+        ), g AS (
+          SELECT doc_id, list_distinct(
+            [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             for i in range(1, len(toks) - 1)]) AS s
+          FROM t
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a, g b
+          WHERE a.doc_id < b.doc_id
+            AND ROUND(len(list_intersect(a.s, b.s)) /
+                      len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+        ), edges AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs
+        ), reach(n, m) AS (
+          SELECT doc_id, doc_id FROM t
+          UNION
+          SELECT r.n, e.d FROM reach r JOIN edges e ON e.s = r.m
+        )
+        SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n
+    """,
+    "q_zscore": """
+        SELECT c_nationkey, c_custkey,
+               ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+                     / STDDEV_SAMP(c_acctbal) OVER w, 6) AS z
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey)
+    """,
     "q_ngram_jaccard": f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
@@ -383,3 +466,7 @@ ORACLES = {
         FROM documents
     """,
 }
+
+# The Arrow/BLAS scorer rounds to the same 6 dp as the HOF scorer, so
+# it shares q_knn_exact's oracle verbatim.
+ORACLES["q_knn_pandas"] = ORACLES["q_knn_exact"]

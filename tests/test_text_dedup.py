@@ -89,3 +89,27 @@ def test_lang_id_threshold(spark):
     df = _docs(spark, [(1, "the cat sat on a mat"), (2, "xyz abc def")])
     out = {r.doc_id: r.lang_guess for r in X.lang_id(df).collect()}
     assert out == {1: "en", 2: "unk"}
+
+
+def test_connected_components_chain_and_singleton(spark):
+    # chain 1-2-3 plus isolated pair 10-11: transitive closure labels
+    # the whole chain with its min, untouched nodes absent
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (10, 11)], ["id_a", "id_b"])
+    from fifa_data_pipeline_spark.operators.dedup import connected_components
+
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dedup_components_keeps_one_per_chain(spark):
+    from fifa_data_pipeline_spark.operators.dedup import near_dedup_components
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 10, 11, 99)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    kept = sorted(r.doc_id for r in near_dedup_components(df, pairs).collect())
+    # chain 1-2-3 -> only 1 survives (greedy pair-drop would also kill
+    # nothing extra here, but on a-b-c with only (a,b),(b,c) pairs the
+    # greedy form keeps c's twin a AND c; CC keeps exactly one)
+    assert kept == [1, 10, 99]

@@ -116,3 +116,37 @@ def test_json_prop(spark):
     df = spark.createDataFrame([(1, '{"k": 42}'), (2, '{"x": 1}')], ["event_id", "props"])
     out = {r.event_id: r.k for r in E.json_prop(df).collect()}
     assert out == {1: 42, 2: None}
+
+
+def test_knn_pandas_matches_hof_scorer(spark):
+    """The BLAS/Arrow scorer and the JVM higher-order-function scorer
+    must agree exactly after 6-dp rounding (same ids, ranks, sims)."""
+    from fifa_data_pipeline_spark.operators.vector import (
+        knn_bruteforce,
+        knn_bruteforce_pandas,
+    )
+    from fifa_data_pipeline_spark.sources.io import read_table
+    from tests.conftest import SF_DIR
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    hof = {(r.qid, r.vec_id, r.rank, r.sim)
+           for r in knn_bruteforce(emb, q, k=5).collect()}
+    pnd = {(r.qid, r.vec_id, r.rank, r.sim)
+           for r in knn_bruteforce_pandas(emb, q, k=5).collect()}
+    assert hof == pnd
+
+
+def test_grouped_zscore_nan_and_singleton_groups(spark):
+    from fifa_data_pipeline_spark.operators.pandas_ops import grouped_zscore
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (2, 3, 5.0), (3, 4, 7.0), (3, 5, 7.0)],
+        ["g", "id", "v"],
+    )
+    got = {r.id: r.z for r in grouped_zscore(df, "g", "id", "v").collect()}
+    import math
+    assert got[1] == -0.707107 and got[2] == 0.707107
+    assert got[3] is None or (isinstance(got[3], float) and math.isnan(got[3]))
+    # zero-variance group -> no finite z
+    assert all(g is None or math.isnan(g) for g in (got[4], got[5]))
