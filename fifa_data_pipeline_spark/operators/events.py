@@ -87,3 +87,46 @@ def json_prop(
     return df.withColumn(
         alias, F.get_json_object(F.col(json_col), path).cast("int")
     )
+
+
+def resample_fill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    freq: str = "1 hour",
+) -> DataFrame:
+    """Time-series resample with gap filling: bucket counts per
+    (period, key) over a DENSE period spine — empty periods appear
+    with count 0 (the shape chart/feature pipelines need; a plain
+    groupBy silently drops empty buckets).
+
+    The spine is built engine-side with ``sequence()`` + explode from
+    the global min/max bucket (an all-to-one agg of two timestamps —
+    negligible), cross-joined with the distinct key set and
+    left-joined against the real counts. At 100 TB the spine is tiny
+    (periods × keys) while the counts aggregate does the heavy
+    lifting map-side, so the only wide shuffle is the groupBy."""
+    trunc_unit = freq.split()[-1]
+    h = F.date_trunc(trunc_unit, F.col(ts_col))
+    counts = df.select(h.alias("__h"), F.col(key_col)).groupBy(
+        "__h", key_col
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    bounds = df.agg(
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("__mn"),
+        F.date_trunc(trunc_unit, F.max(ts_col)).alias("__mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr(f"sequence(__mn, __mx, interval {freq})")
+        ).alias("__h")
+    )
+    keys = df.select(key_col).distinct()
+    full = spine.crossJoin(keys)
+    return (
+        full.join(counts, ["__h", key_col], "left")
+        .select(
+            F.unix_seconds(F.col("__h")).alias("period_s"),
+            F.col(key_col),
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

@@ -232,6 +232,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.sessionize(ev)
 
 
+def q_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with zero-filled gaps over a dense period
+    spine (sequence + explode) — empty hours appear with count 0."""
+    ev = read_table(spark, sf_dir, "events")
+    return E.resample_fill(ev, "ts", "event_type", "1 hour")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -281,6 +288,7 @@ QUERIES = {
     "q_json_extract": q_json_extract,
     "q_window_tumbling": q_window_tumbling,
     "q_sessionize": q_sessionize,
+    "q_resample_fill": q_resample_fill,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
@@ -434,6 +442,27 @@ ORACLES = {
                ROUND(SUM(value), 6) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "q_resample_fill": """
+        WITH b AS (
+          SELECT date_trunc('hour', MIN(ts)) AS mn,
+                 date_trunc('hour', MAX(ts)) AS mx
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ), k AS (
+          SELECT DISTINCT event_type FROM events
+        ), c AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(FLOOR(extract(epoch FROM s.h)) AS BIGINT) AS period_s,
+               k.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM spine s
+        CROSS JOIN k
+        LEFT JOIN c ON c.h = s.h AND c.event_type = k.event_type
     """,
     "q_sessionize": """
         WITH e AS (

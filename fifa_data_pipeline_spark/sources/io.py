@@ -163,3 +163,21 @@ def write_clustered(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON sink (interchange format; parquet remains
+    the performance path — JSON costs ~5-10x on scan+parse and loses
+    column pruning/predicate pushdown, which is why it is an EXPORT
+    format here, never the analytic store)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Line-delimited JSON scan. Pass ``schema`` (DDL string or
+    StructType) to skip the inference pass — at scale, always pin:
+    inference reads the data twice and infers the union of keys."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -194,3 +194,17 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_static_enrich(
+    stream: DataFrame, static_dim: DataFrame, on: str
+) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a static
+    (batch) dimension. The static side is planned as a broadcast per
+    micro-batch — no streaming state at all (unlike stream-stream
+    joins), which makes this the cheapest enrichment shape and the
+    default way to attach dimension attributes to an event stream.
+    The static plan is re-evaluated each micro-batch, so a dimension
+    REWRITTEN between batches is picked up (eventual-consistency
+    enrichment; pin a snapshot path if that is not wanted)."""
+    return stream.join(F.broadcast(static_dim), on, "left")

@@ -60,3 +60,18 @@ def test_write_table_roundtrip(spark, sf_dir, tmp_path):
     path = str(tmp_path / "nation_out")
     io.write_table(nation, path)
     assert spark.read.parquet(path).count() == 25
+
+
+def test_json_roundtrip_with_pinned_schema(spark, tmp_path):
+    from fifa_data_pipeline_spark.sources import io
+
+    df = io.read_table(spark, "/root/testdata/sf0.001", "nation")
+    path = str(tmp_path / "nation_json")
+    io.write_json(df, path)
+    back = io.read_json(
+        spark, path, "n_nationkey INT, n_name STRING, n_regionkey INT"
+    )
+    assert back.count() == df.count()
+    assert {tuple(r) for r in back.select(*df.columns).collect()} == {
+        tuple(r) for r in df.collect()
+    }

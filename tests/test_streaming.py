@@ -147,3 +147,33 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
         final[(r.user_id, r.session_idx)] = r.n_events
     # events at 0,5,10min are one session (3 events); +2h starts session 2
     assert final == {(1, 1): 3, (1, 2): 1}
+
+
+def test_stream_static_enrich_matches_batch(spark, events_dir):
+    """Stream-static broadcast join produces exactly the batch join's
+    rows, with no streaming state."""
+    from fifa_data_pipeline_spark.streaming.stream_events import (
+        read_event_stream,
+        run_to_memory,
+        stream_static_enrich,
+    )
+
+    batch_events = read_table(spark, SF, "events")
+    dim = (
+        batch_events.select("user_id").distinct()
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    schema = spark.read.parquet(events_dir).schema
+    stream = read_event_stream(spark, events_dir, schema)
+    enriched = stream_static_enrich(stream, dim, "user_id").select(
+        "event_id", "user_id", "tier"
+    )
+    run_to_memory(enriched, "enrich_sink", output_mode="append")
+    got = {tuple(r) for r in spark.table("enrich_sink").collect()}
+    want = {
+        tuple(r)
+        for r in batch_events.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "tier")
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -150,3 +150,22 @@ def test_grouped_zscore_nan_and_singleton_groups(spark):
     assert got[3] is None or (isinstance(got[3], float) and math.isnan(got[3]))
     # zero-variance group -> no finite z
     assert all(g is None or math.isnan(g) for g in (got[4], got[5]))
+
+
+def test_resample_fill_zero_fills_gaps(spark):
+    from fifa_data_pipeline_spark.operators.events import resample_fill
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 10), "a"),
+        (dt.datetime(2024, 1, 1, 0, 50), "a"),
+        # hour 1 empty for both keys; hour 2 only has b
+        (dt.datetime(2024, 1, 1, 2, 5), "b"),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    out = resample_fill(df, "ts", "event_type", "1 hour")
+    got = {(r.period_s, r.event_type): r.n_events for r in out.collect()}
+    h0 = int(dt.datetime(2024, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp())
+    assert got[(h0, "a")] == 2
+    assert got[(h0 + 3600, "a")] == 0 and got[(h0 + 3600, "b")] == 0
+    assert got[(h0 + 7200, "b")] == 1 and got[(h0 + 7200, "a")] == 0
+    assert len(got) == 6  # 3 hours x 2 keys, dense
