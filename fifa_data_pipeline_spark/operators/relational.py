@@ -105,18 +105,38 @@ def equi_join(
 def latest_per_group_join(
     df: DataFrame, group_key: str, order_col: str
 ) -> DataFrame:
-    """"Latest row per group" via max-agg + self-join back — the
-    reference's idiom (A1+J1/J2, ``fifa_spark.py:34-66``): keep every
-    row whose ``order_col`` equals the group max. Ties keep ALL rows
-    of the max, which is the semantic the reference's data needs
-    (multiple teams share one latest update).
+    """"Latest row per group": keep every row whose ``order_col``
+    equals the group max — including ALL tied max rows, the semantic
+    the reference's data needs (multiple teams share one latest
+    update; reference A1+J1/J2, ``fifa_spark.py:34-66``).
 
-    Scale: the agg output has one row per group — usually far smaller
-    than the fact side but NOT broadcastable in general (cardinality =
-    #groups); both sides shuffle on ``group_key`` and the join
-    co-partitions with the aggregate that produced the max, so no
-    extra exchange is needed for the agg side.
+    Implemented as ``rank() OVER (PARTITION BY key ORDER BY ord
+    DESC) = 1`` — value-identical to the reference's max-agg +
+    self-join-back idiom (``rank``, unlike ``row_number``, keeps
+    ties), but ONE shuffle instead of three: the agg+join form keys
+    the join on (key, max) pairs, so Catalyst hash-partitions the
+    fact AND the agg output on the composite key — neither the agg's
+    key-only exchange nor anything else is reusable. The window form
+    shuffles the fact once on the key and sorts within partitions.
+    The literal reference idiom is preserved as
+    :func:`latest_per_group_agg_join` for parity documentation.
     """
+    w = Window.partitionBy(group_key).orderBy(F.desc(order_col))
+    return (
+        df.withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def latest_per_group_agg_join(
+    df: DataFrame, group_key: str, order_col: str
+) -> DataFrame:
+    """The reference's literal "latest" idiom: max-agg then self-join
+    back on (key, max) (A1+J1/J2, ``fifa_spark.py:34-66``). Same
+    result set as :func:`latest_per_group_join`; kept for the
+    operator inventory and as the shape the oracle SQL mirrors.
+    Prefer the window form in new plans — see the scale note there."""
     latest = (
         df.groupBy(group_key)
         .agg(F.max(order_col).alias("__latest"))

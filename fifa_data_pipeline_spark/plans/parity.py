@@ -119,10 +119,24 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A1+J1: latest-per-group via agg + join back -------------------------
 
 def q_join_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Max-agg + self-join-back latest-per-group (A1+J1/J2) — keeps
-    all tied rows."""
+    """Latest-per-group keeping all tied rows (A1+J1/J2) — rank-based
+    single-shuffle form (see relational.latest_per_group_join)."""
     orders = read_table(spark, sf_dir, "orders")
     latest = R.latest_per_group_join(orders, "o_custkey", "o_orderdate")
+    return latest.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+        "o_orderpriority",
+    )
+
+
+def q_latest_aggjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LITERAL latest idiom — max-agg + self-join back
+    (``fifa_spark.py:34-66``). Same result set as q_join_latest; both
+    share one oracle, which is itself written in the agg+join shape."""
+    orders = read_table(spark, sf_dir, "orders")
+    latest = R.latest_per_group_agg_join(orders, "o_custkey", "o_orderdate")
     return latest.select(
         "o_orderkey",
         "o_custkey",
@@ -217,6 +231,7 @@ QUERIES = {
     "q_agg_maxstr": q_agg_maxstr,
     "q_distinct": q_distinct,
     "q_join_latest": q_join_latest,
+    "q_latest_aggjoin": q_latest_aggjoin,
     "q_latest_window": q_latest_window,
     "q_agg_multi": q_agg_multi,
     "q_join_fact_dim": q_join_fact_dim,
@@ -295,3 +310,7 @@ ORACLES = {
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
     ),
 }
+
+# Same result set, same oracle: the rank form and the literal
+# agg+join form are value-identical (rank keeps max ties).
+ORACLES["q_latest_aggjoin"] = ORACLES["q_join_latest"]
