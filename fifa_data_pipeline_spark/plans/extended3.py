@@ -1,0 +1,244 @@
+"""Third extended-surface batch: statistical aggregates, min_by/
+max_by, FILTER-clause conditional aggregation, regex/string scalar
+extraction, distribution window functions (ntile / percent_rank /
+cume_dist), hopping (sliding) time windows, and order-basket
+co-occurrence pairs. Every query here is DuckDB-oracle-checked.
+
+These extend SURVEY.md §2.5's "explicit absences": the reference has
+no statistical aggregates, no conditional aggregation, no regex, no
+distribution windows, and its only temporal grouping is implicit in
+the partition column. All are training-data-pipeline staples (corpus
+score distributions, conditional quality counts, id extraction,
+overlapping time buckets, co-occurrence mining).
+
+Scale notes inline per query; shared posture: every shape below is a
+single hash-aggregate or single self-co-partitioned join — shuffle
+payload proportional to #groups (or #pairs), never a driver-side
+loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.sources.io import read_table
+
+
+# --- statistical aggregates ------------------------------------------------
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates per return flag: sample stddev /
+    variance, Pearson correlation and sample covariance between
+    quantity and price. Single partial+final HashAggregate — the
+    co-moment accumulators merge associatively, so the map-side
+    partials carry O(#groups) state regardless of row count."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+    )
+
+
+# --- min_by / max_by -------------------------------------------------------
+
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation (``max_by``/``min_by``; DuckDB
+    ``arg_max``/``arg_min``): per priority, the price and customer of
+    the highest / lowest order key. Keyed on the UNIQUE ``o_orderkey``
+    so tie-breaking is deterministic on both engines (both leave ties
+    unspecified). One hash aggregate; the accumulator is a single
+    (key, value) pair per group."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("max_by(o_totalprice, o_orderkey)"), 6).alias("price_last"),
+        F.round(F.expr("min_by(o_totalprice, o_orderkey)"), 6).alias("price_first"),
+        F.expr("max_by(o_custkey, o_orderkey)").alias("cust_last"),
+    )
+
+
+# --- conditional aggregation (FILTER clause / count_if / bool aggs) --------
+
+def q_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation without pre-filtering the input:
+    ``count_if``, ``SUM ... FILTER (WHERE ...)``, ``bool_or`` /
+    ``bool_and``. One pass, one hash aggregate — the idiomatic
+    alternative to N filtered sub-scans (at 100 TB, one scan instead
+    of four)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("count_if(o_totalprice > 200000)").alias("n_big"),
+        F.round(
+            F.expr("sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT')"),
+            6,
+        ).alias("sum_urgent"),
+        F.expr("bool_or(o_totalprice > 400000)").alias("any_huge"),
+        F.expr("bool_and(o_totalprice > 0)").alias("all_positive"),
+    )
+
+
+# --- regex / string scalar extraction --------------------------------------
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar id/slug extraction over part: regex capture-group
+    extraction to int, global regex replace, split-and-index. All
+    JVM-side codegen expressions (no UDF) — the whole projection stays
+    inside one WholeStageCodegen span over the scan."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("slug"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+
+
+# --- distribution window functions -----------------------------------------
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per priority: quartile bucket (ntile),
+    percent_rank and cume_dist over a DETERMINISTIC total order
+    (price, then unique key — both engines break ties identically).
+    One shuffle on the partition key; within-partition sort only."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --- hopping (sliding) time window ------------------------------------------
+
+def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 2-hour windows sliding every hour (each event lands
+    in exactly two windows). ``F.window(ts, dur, slide)`` expands each
+    row to its dur/slide windows BEFORE the aggregate, so the shuffle
+    carries (window, type) partial aggregates — payload ∝ #windows,
+    not #events × overlap. Window starts are epoch-aligned; emitted as
+    epoch seconds so the oracle compares integers, not timestamps."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("ws"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- order-basket co-occurrence pairs ---------------------------------------
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts appearing in the
+    same order, counted across orders, kept where support >= 2. The
+    self-join hash-partitions lineitem on ``l_orderkey`` ONCE (both
+    sides are the same scan, so the exchange is planned for each side
+    at the same key); pair fan-out is bounded by per-order line count
+    squared (~6 pairs/order here), and the following aggregate is
+    partial+final. The same shape powers token/document co-occurrence
+    at corpus scale."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+QUERIES = {
+    "q_stats_agg": q_stats_agg,
+    "q_minmax_by": q_minmax_by,
+    "q_agg_filter": q_agg_filter,
+    "q_regex_extract": q_regex_extract,
+    "q_ntile": q_ntile,
+    "q_window_hopping": q_window_hopping,
+    "q_basket_pairs": q_basket_pairs,
+}
+
+ORACLES = {
+    "q_stats_agg": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(var_samp(l_quantity), 6) AS var_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_minmax_by": """
+        SELECT o_orderpriority,
+               ROUND(arg_max(o_totalprice, o_orderkey), 6) AS price_last,
+               ROUND(arg_min(o_totalprice, o_orderkey), 6) AS price_first,
+               arg_max(o_custkey, o_orderkey) AS cust_last
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "q_agg_filter": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+               ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 6) AS sum_urgent,
+               bool_or(o_totalprice > 400000) AS any_huge,
+               bool_and(o_totalprice > 0) AS all_positive
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "q_regex_extract": """
+        SELECT p_partkey,
+               CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+               regexp_replace(p_name, ' ', '_', 'g') AS slug,
+               string_split(p_name, ' ')[1] AS first_word,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part
+    """,
+    "q_ntile": """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    "q_window_hopping": """
+        WITH base AS (
+          SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+                 event_type, value
+          FROM events
+        )
+        SELECT b - o AS ws, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM base, (SELECT UNNEST([0, 3600]) AS o) offs
+        GROUP BY ws, event_type
+    """,
+    "q_basket_pairs": """
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY p1, p2
+        HAVING COUNT(*) >= 2
+    """,
+}

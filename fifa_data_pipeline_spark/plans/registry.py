@@ -34,6 +34,7 @@ def _load() -> None:
     from fifa_data_pipeline_spark.plans import (
         extended,
         extended2,
+        extended3,
         northstar,
         parity,
         streaming_queries,
@@ -43,6 +44,7 @@ def _load() -> None:
     _merge(northstar)
     _merge(extended)
     _merge(extended2)
+    _merge(extended3)
     _merge(streaming_queries)
 
 

@@ -1,0 +1,55 @@
+"""Semantic invariants for the third extended batch (value parity vs
+DuckDB is covered by test_oracle_parity for every query here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.plans import extended3 as X3
+from fifa_data_pipeline_spark.sources.io import read_table
+
+
+def test_hopping_window_covers_each_event_twice(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    hopped = X3.q_window_hopping(spark, sf_dir)
+    total = hopped.agg(F.sum("n_events")).collect()[0][0]
+    # 2h window / 1h slide => every event is in exactly 2 windows.
+    assert total == 2 * n_events
+
+
+def test_basket_pairs_canonical_and_supported(spark, sf_dir):
+    rows = X3.q_basket_pairs(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.p1 < r.p2 for r in rows)
+    assert all(r.n_orders >= 2 for r in rows)
+
+
+def test_ntile_buckets_balanced(spark, sf_dir):
+    df = X3.q_ntile(spark, sf_dir)
+    sizes = (
+        df.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("quartile")
+        .count()
+        .collect()
+    )
+    counts = {r.quartile: r["count"] for r in sizes}
+    assert set(counts) == {1, 2, 3, 4}
+    # ntile spreads the remainder over the leading buckets: sizes
+    # differ by at most one and are non-increasing.
+    vals = [counts[q] for q in (1, 2, 3, 4)]
+    assert max(vals) - min(vals) <= 1
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_minmax_by_deterministic_on_unique_key(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    top = (
+        orders.orderBy(F.desc("o_orderkey"))
+        .select("o_orderpriority", "o_totalprice")
+        .limit(1)
+        .collect()
+    )
+    df = X3.q_minmax_by(spark, sf_dir)
+    row = df.filter(F.col("o_orderpriority") == top[0].o_orderpriority).collect()[0]
+    assert row.price_last == round(top[0].o_totalprice, 6)
