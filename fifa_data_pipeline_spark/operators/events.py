@@ -19,16 +19,26 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     keys: list[str] | None = None,
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Tumbling-window aggregate via ``F.window`` — count and value
-    sum per (window, keys). The same expression works unchanged under
-    Structured Streaming with a watermark (see streaming module).
+    sum per (window, keys). Pass ``slide`` < ``window`` for hopping
+    (overlapping) windows: each row is expanded to its window/slide
+    memberships BEFORE the aggregate. The same expression works
+    unchanged under Structured Streaming with a watermark (see
+    streaming module).
 
     Scale: one shuffle on (window, keys); partial aggregation runs
-    map-side so the exchange carries one row per window per task.
+    map-side so the exchange carries one row per window per task —
+    for hopping windows the payload scales with #windows × overlap,
+    still independent of row count.
     """
     keys = keys or ["event_type"]
-    win = F.window(F.col(ts_col), window)
+    win = (
+        F.window(F.col(ts_col), window)
+        if slide is None
+        else F.window(F.col(ts_col), window, slide)
+    )
     return (
         df.groupBy(win.alias("w"), *keys)
         .agg(

@@ -122,23 +122,13 @@ def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     row to its dur/slide windows BEFORE the aggregate, so the shuffle
     carries (window, type) partial aggregates — payload ∝ #windows,
     not #events × overlap. Window starts are epoch-aligned; emitted as
-    epoch seconds so the oracle compares integers, not timestamps."""
+    epoch seconds so the oracle compares integers, not timestamps.
+    The identical expression runs incrementally under Structured
+    Streaming — see ``streaming.stream_hopping_counts``."""
+    from fifa_data_pipeline_spark.operators.events import tumbling_window_agg
+
     ev = read_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").cast("long").alias("ws"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-    )
+    return tumbling_window_agg(ev, "ts", ["event_type"], "2 hours", "1 hour")
 
 
 # --- order-basket co-occurrence pairs ---------------------------------------

@@ -165,6 +165,29 @@ def write_clustered(
     )
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar format Spark supports natively.
+    Same pushdown/pruning properties as parquet (stripe-level min/max
+    indexes); offered for interop with ORC-based warehouses. Parquet
+    stays the default store."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan. Vectorized reader + predicate pushdown are on by
+    default (``spark.sql.orc.enableVectorizedReader``,
+    ``spark.sql.orc.filterPushdown``)."""
+    return spark.read.orc(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV export with header (S2 analogue: the reference lands CSVs
+    in object storage, ``etl_kaggle_to_big_query.py:55-62``). Export
+    format only — no types, no stats, no pruning; never the analytic
+    store."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Line-delimited JSON sink (interchange format; parquet remains
     the performance path — JSON costs ~5-10x on scan+parse and loses

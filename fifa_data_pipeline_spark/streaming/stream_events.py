@@ -51,6 +51,21 @@ def stream_tumbling_counts(
     )
 
 
+def stream_hopping_counts(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Hopping-window streaming aggregate: the batch hopping
+    expression incrementalized. State holds one row per OPEN window
+    per key — overlap multiplies open windows by window/slide, so the
+    watermark matters proportionally more than for tumbling windows."""
+    return tumbling_window_agg(
+        events.withWatermark("ts", watermark), "ts", ["event_type"], window, slide
+    )
+
+
 SESSION_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

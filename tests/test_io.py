@@ -75,3 +75,24 @@ def test_json_roundtrip_with_pinned_schema(spark, tmp_path):
     assert {tuple(r) for r in back.select(*df.columns).collect()} == {
         tuple(r) for r in df.collect()
     }
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    orders = io.read_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    io.write_orc(orders, path)
+    back = io.read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    # predicate reaches the ORC scan (pushed filters in the plan)
+    plan = back.filter("o_totalprice > 300000")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+
+
+def test_csv_export_roundtrip(spark, sf_dir, tmp_path):
+    nation = io.read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    io.write_csv(nation, path)
+    back = io.read_csv_inferred(spark, path)
+    assert back.count() == 25
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}

@@ -177,3 +177,25 @@ def test_stream_static_enrich_matches_batch(spark, events_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_hopping_matches_batch(spark, events_dir):
+    batch = read_table(spark, SF, "events")
+    expected = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(
+            batch, "ts", ["event_type"], "2 hours", "1 hour"
+        ).collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    S.run_to_memory(S.stream_hopping_counts(stream), "t_hopping", "append")
+    got = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_hopping").collect()
+    }
+    # append emits only watermark-closed windows; every closed window
+    # must agree with the batch hopping aggregate
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
