@@ -41,6 +41,9 @@ HEADLINE = [
     "q_simhash_pairs",
     "q_window_tumbling",
     "q_sessionize",
+    "q_stats_agg",
+    "q_window_hopping",
+    "q_basket_pairs",
 ]
 
 

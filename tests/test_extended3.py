@@ -53,3 +53,30 @@ def test_minmax_by_deterministic_on_unique_key(spark, sf_dir):
     df = X3.q_minmax_by(spark, sf_dir)
     row = df.filter(F.col("o_orderpriority") == top[0].o_orderpriority).collect()[0]
     assert row.price_last == round(top[0].o_totalprice, 6)
+
+
+def test_basket_pair_expansion_handles_duplicate_parts(spark):
+    # order 1 basket [5, 5, 7]: the self-join semantics (p1 < p2 strict)
+    # give (5,7) twice and never (5,5); order 2 makes the pair pass the
+    # support>=2 filter.
+    li = spark.createDataFrame(
+        [(1, 5), (1, 5), (1, 7), (2, 5), (2, 7)],
+        "l_orderkey long, l_partkey long",
+    )
+    from pyspark.sql import functions as F
+
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(filter(slice(ps, i + 2, size(ps) - i - 1),"
+                "                  y -> y > x),"
+                "           y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    counts = {(r.p1, r.p2): r.n for r in pairs.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {(5, 7): 3}

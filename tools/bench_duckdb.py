@@ -1,0 +1,66 @@
+"""DuckDB side of the BASELINE.md comparison.
+
+Runs each oracle SQL from ``__spark_entry__.oracle_sql()`` on DuckDB
+over the same parquet tables the Spark bench reads, warm (min of 3
+runs after one warmup), and prints one JSON line. Usage::
+
+    python tools/bench_duckdb.py [sf_dir] [query ...]
+
+Defaults to /root/testdata/sf0.1 and the bench HEADLINE queries that
+have oracles.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import duckdb
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = sys.argv[2:]
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+    from fifa_data_pipeline_spark.sources.io import TABLES
+
+    oracles = entrymod.oracle_sql()
+    names = only or [q for q in HEADLINE if q in oracles]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    timings: dict[str, float] = {}
+    for name in names:
+        sql = oracles[name]
+        con.execute(sql).fetchall()  # warmup (buffer cache + plan)
+        best = min(
+            _timed(con, sql) for _ in range(3)
+        )
+        timings[name] = round(best, 4)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+            }
+        )
+    )
+    return 0
+
+
+def _timed(con: duckdb.DuckDBPyConnection, sql: str) -> float:
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
