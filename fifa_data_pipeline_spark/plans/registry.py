@@ -35,6 +35,7 @@ def _load() -> None:
         extended,
         extended2,
         extended3,
+        extended4,
         northstar,
         parity,
         streaming_queries,
@@ -45,6 +46,7 @@ def _load() -> None:
     _merge(extended)
     _merge(extended2)
     _merge(extended3)
+    _merge(extended4)
     _merge(streaming_queries)
 
 
