@@ -350,6 +350,45 @@ def salted_group_agg(
     return phase1.groupBy(*keys).agg(*aggs)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-salted equi-join: the (large, skewed) ``left`` side gets a
+    deterministic per-row salt appended to the join key; the smaller
+    ``right`` side is replicated once per salt value (explode of a
+    ``salt_buckets``-element array), so a hot key's rows spread over
+    ``salt_buckets`` reducers instead of landing on one straggler
+    task. Result is row-identical to ``left.join(right, on, how)``.
+
+    Supported for inner/left joins (replication would multiply
+    unmatched right rows under right/full outer). The salt is
+    ``xxhash64`` of the whole left row (deterministic, no rand()), so
+    reruns and retries produce identical partitioning — required for
+    the driver's hash checks and for exactly-once sinks.
+
+    AQE's skew-join split handles most skew adaptively (and is ON in
+    this engine's session config); the explicit salt is for the
+    pathological tail — e.g. a null-heavy or default-valued key where
+    one key holds >1/salt_buckets of all rows — and for cases AQE
+    cannot split (e.g. a skewed *build* side, or pre-AQE bucketed
+    joins)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    lsalted = left.withColumn("__salt", salt)
+    rsalted = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<int>")),
+    )
+    return lsalted.join(rsalted, [*on, "__salt"], how).drop("__salt")
+
+
 # ---------------------------------------------------------------------------
 # Pivot / unpivot / grouping sets / merge (§2.5 extended surface)
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ def _load() -> None:
         extended2,
         extended3,
         extended4,
+        extended5,
         northstar,
         parity,
         streaming_queries,
@@ -47,6 +48,7 @@ def _load() -> None:
     _merge(extended2)
     _merge(extended3)
     _merge(extended4)
+    _merge(extended5)
     _merge(streaming_queries)
 
 
