@@ -111,6 +111,47 @@ def knn_bruteforce(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Cosine range search (threshold retrieval): every (qid, vec_id,
+    sim) with sim ≥ ``threshold`` — the fixed-radius complement of
+    top-k ``knn_bruteforce`` (retrieval pipelines use both: k-NN for
+    candidate generation, range search for dedup/recall sweeps).
+
+    Same scale shape as ``knn_bruteforce``: queries broadcast with
+    hoisted norms, corpus scanned once with no shuffle at all — the
+    threshold filter replaces the window rank, so the output needs no
+    exchange either (strictly cheaper than top-k)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    return (
+        spread(corpus.select(id_col, vec_col))
+        .withColumn("__cn", norm(F.col(vec_col)))
+        .join(q, F.col(id_col) != F.col("qid"))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("qid", id_col, "sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hyperplane LSH
 # ---------------------------------------------------------------------------

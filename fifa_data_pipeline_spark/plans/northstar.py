@@ -203,6 +203,13 @@ def q_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.knn_bruteforce(emb, _qset(emb), "vec_id", "embedding", k=10)
 
 
+def q_knn_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (threshold retrieval, sim >= 0.2) — the
+    fixed-radius complement of q_knn_exact, zero-shuffle plan."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.range_search(emb, _qset(emb), "vec_id", "embedding", threshold=0.2)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     return V.knn_lsh(emb, _qset(emb), "vec_id", "embedding", k=10)
@@ -283,6 +290,7 @@ QUERIES = {
     "q_knn_pandas": q_knn_pandas,
     "q_embed_near_dup": q_embed_near_dup,
     "q_knn_exact": q_knn_exact,
+    "q_knn_range": q_knn_range,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
     "q_json_extract": q_json_extract,
@@ -430,6 +438,17 @@ ORACLES = {
           FROM s
         )
         SELECT qid, vec_id, sim, rank FROM r WHERE rank <= 10
+    """,
+    "q_knn_range": """
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5
+        )
+        SELECT q.qid, e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.qid
+          AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) >= 0.2
     """,
     "q_json_extract": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "

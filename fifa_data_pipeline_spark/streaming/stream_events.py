@@ -141,6 +141,41 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_session_window(
+    events: DataFrame, watermark: str = "1 hour", gap_seconds: int = 1800
+) -> DataFrame:
+    """Native session windows on a stream: the same
+    ``F.session_window`` expression as the batch
+    ``plans.extended4.q_session_window``, incrementalized — Spark
+    merges a user's overlapping [ts, ts+gap) intervals in the
+    streaming session-window state store and closes a session once
+    the watermark passes its end (append mode emits exactly-final
+    sessions, no upsert sink needed — the advantage over the
+    ``applyInPandasWithState`` form above, which must emit updates).
+
+    State: one open session per (user) at a time in steady state,
+    evicted at watermark — bounded by active users, not history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").cast("bigint").alias("session_start"),
+            (F.unix_timestamp("w.end").cast("bigint") - gap_seconds).alias(
+                "session_last"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -199,3 +199,24 @@ def test_stream_hopping_matches_batch(spark, events_dir):
     assert len(got) > 0
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_stream_session_window_matches_batch(spark, events_dir):
+    from fifa_data_pipeline_spark.plans.extended4 import q_session_window
+
+    expected = {
+        (r.user_id, r.session_start): (r.session_last, r.n_events, r.sum_value)
+        for r in q_session_window(spark, SF).collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    S.run_to_memory(S.stream_session_window(stream), "t_sesswin", "append")
+    got = {
+        (r.user_id, r.session_start): (r.session_last, r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM t_sesswin").collect()
+    }
+    # append emits only watermark-closed sessions; each must equal the
+    # batch session_window result exactly
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
