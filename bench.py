@@ -44,6 +44,11 @@ HEADLINE = [
     "q_stats_agg",
     "q_window_hopping",
     "q_basket_pairs",
+    "q_cohort_retention",
+    "q_scd2",
+    "q_session_window",
+    "q_pmi_bigrams",
+    "q_sample_stratified",
 ]
 
 
