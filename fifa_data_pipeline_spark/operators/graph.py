@@ -1,0 +1,82 @@
+"""Iterative graph operators over edge DataFrames.
+
+Companion to the connected-components closure in ``dedup.py`` (the
+other iterative-join algorithm in this engine): PageRank by power
+iteration, the canonical "iterative algorithm on Spark" shape —
+per round one co-partitioned join + one hash aggregate, lineage
+truncated per round with ``localCheckpoint``.
+
+Scale posture: everything shuffles on the node key only; the
+teleport and dangling-mass terms are scalar aggregates carried as
+broadcast one-row DataFrames (no ``collect`` in the loop). At
+web scale the same loop runs with the edge table bucketed by src so
+the per-iteration join is shuffle-free on the edges side (the ranks
+side is always the small one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list (Page et al. 1999): returns
+    (node, rank) after ``n_iter`` power iterations, ranks summing to
+    1 (dangling-node mass is redistributed uniformly each round, the
+    standard correction — without it rank mass leaks and the vector
+    no longer sums to 1).
+
+    Each iteration: contributions = ranks/out-degree joined through
+    the edge list (one shuffle on src, one hash aggregate on dst),
+    plus two one-row broadcast aggregates (dangling mass, and nothing
+    else — N is computed once up front). ``localCheckpoint`` per
+    round keeps the plan from growing with iteration count, exactly
+    as in ``dedup.connected_components``."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        # Mass sitting on nodes with no out-edges, redistributed
+        # uniformly (one-row broadcast, no driver round-trip).
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce("__in", F.lit(0.0)) + F.col("__dm") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -37,6 +37,7 @@ def _load() -> None:
         extended3,
         extended4,
         extended5,
+        extended6,
         northstar,
         parity,
         streaming_queries,
@@ -49,6 +50,7 @@ def _load() -> None:
     _merge(extended3)
     _merge(extended4)
     _merge(extended5)
+    _merge(extended6)
     _merge(streaming_queries)
 
 

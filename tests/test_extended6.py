@@ -1,0 +1,97 @@
+"""UDTF contract and PageRank correctness (oracle parity for the
+sentence queries is covered by test_oracle_parity)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators.graph import pagerank
+from fifa_data_pipeline_spark.operators.tablefuncs import (
+    split_sentences,
+    split_sentences_native,
+)
+from fifa_data_pipeline_spark.plans import extended6 as X6
+
+
+def _doc_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "One sentence. Two!  Three? And a fourth"),
+            (2, "no punctuation at all"),
+            (3, "trailing. "),
+            (4, None),
+            (5, "..  !? "),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_udtf_splits_punctuated_text(spark):
+    rows = sorted(
+        map(tuple, split_sentences(spark, _doc_df(spark)).collect())
+    )
+    # The punctuation run is part of the delimiter (consumed), like
+    # any split-based segmenter; trailing delimiters leave no empty row.
+    assert rows == [
+        (1, 1, "One sentence"),
+        (1, 2, "Two"),
+        (1, 3, "Three"),
+        (1, 4, "And a fourth"),
+        (2, 1, "no punctuation at all"),
+        (3, 1, "trailing"),
+        # doc 4 (NULL) and doc 5 (only separators) yield no rows
+    ]
+
+
+def test_udtf_matches_native_twin(spark):
+    df = _doc_df(spark)
+    got_udtf = sorted(map(tuple, split_sentences(spark, df).collect()))
+    got_native = sorted(map(tuple, split_sentences_native(df).collect()))
+    assert got_udtf == got_native
+
+
+def _numpy_pagerank(edges, d=0.85, n_iter=10):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for a, _ in edges:
+        out[ix[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for a, b in edges:
+            contrib[ix[b]] += r[ix[a]] / out[ix[a]]
+        dangling = r[out == 0].sum()
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {v: r[ix[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("e", "d"), ("c", "d"),
+        # 'f' is dangling (no out-edges)
+        ("a", "f"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=10).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for v, w in want.items():
+        assert abs(got[v] - w) < 1e-9, (v, got[v], w)
+
+
+def test_pagerank_mass_conserved_on_purchase_graph(spark, sf_dir):
+    ranks = X6.q_pagerank(spark, sf_dir)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-3  # 6-dp rounding noise only
+    assert ranks.filter(F.col("rank") <= 0).count() == 0
+    # Suppliers sit downstream of every customer->part edge; their
+    # mean rank must exceed the uniform floor contributed by teleport.
+    n = ranks.count()
+    supp_mean = (
+        ranks.filter(F.col("node").startswith("s:")).agg(F.avg("rank")).collect()[0][0]
+    )
+    assert supp_mean > (1.0 - 0.85) / n
