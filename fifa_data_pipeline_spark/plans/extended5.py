@@ -209,6 +209,62 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_group.unionAll(overall)
 
 
+# --- data-quality audit (constraint checking) -------------------------------
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the deequ/expectations shape):
+    uniqueness, non-null, value-range, and referential-integrity
+    checks, emitted as one (check_name, n_violations, passed) row per
+    constraint — the report a pipeline gates deploys on.
+
+    Cost model: ONE multi-aggregate pass per audited table (all of a
+    table's row-level checks fold into a single scan's aggregates;
+    the uniqueness check rides the same pass as COUNT − COUNT
+    DISTINCT), plus one co-partitioned LEFT ANTI join per FK
+    constraint. At 100 TB that is 2 scans + 2 key-shuffles, not one
+    scan per check."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    customer = read_table(spark, sf_dir, "customer")
+
+    o_checks = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "orders_pk_unique"
+        ),
+        F.count_if(F.col("o_custkey").isNull()).alias("orders_custkey_notnull"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("orders_price_positive"),
+    )
+    l_checks = li.agg(
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("lineitem_discount_range"),
+        F.count_if(F.col("l_quantity") <= 0).alias("lineitem_qty_positive"),
+    )
+    fk_orders = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("orders_customer_fk"))
+    )
+    fk_lines = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_orders_fk"))
+    )
+
+    def rows(df: DataFrame) -> DataFrame:
+        names = df.columns
+        stack = ", ".join(f"'{c}', {c}" for c in names)
+        return df.select(
+            F.expr(f"stack({len(names)}, {stack}) AS (check_name, n_violations)")
+        )
+
+    report = (
+        rows(o_checks)
+        .unionAll(rows(l_checks))
+        .unionAll(rows(fk_orders))
+        .unionAll(rows(fk_lines))
+    )
+    return report.withColumn("passed", F.col("n_violations") == 0)
+
+
 # --- skew-salted join (result-identical to plain join) ----------------------
 
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,6 +293,7 @@ QUERIES = {
     "q_pmi_bigrams": q_pmi_bigrams,
     "q_hll_rollup": q_hll_rollup,
     "q_join_salted": q_join_salted,
+    "q_dq_checks": q_dq_checks,
 }
 
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -305,6 +362,34 @@ ORACLES = {
         JOIN ucnt u1 ON u1.w = b.w1
         JOIN ucnt u2 ON u2.w = b.w2
         CROSS JOIN nb CROSS JOIN nu
+    """,
+    "q_dq_checks": """
+        WITH r AS (
+          SELECT 'orders_pk_unique' AS check_name,
+                 CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+          FROM orders
+          UNION ALL
+          SELECT 'orders_custkey_notnull',
+                 CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) FROM orders
+          UNION ALL
+          SELECT 'orders_price_positive',
+                 CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) FROM orders
+          UNION ALL
+          SELECT 'lineitem_discount_range',
+                 CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) FROM lineitem
+          UNION ALL
+          SELECT 'lineitem_qty_positive',
+                 CAST(COUNT(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) FROM lineitem
+          UNION ALL
+          SELECT 'orders_customer_fk',
+                 CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          UNION ALL
+          SELECT 'lineitem_orders_fk',
+                 CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        )
+        SELECT check_name, n_violations, n_violations = 0 AS passed FROM r
     """,
     "q_join_salted": """
         SELECT o_orderpriority,

@@ -85,3 +85,12 @@ def test_salted_join_identical_to_plain_join(spark, sf_dir):
     assert lplain == lsalted
     with pytest.raises(ValueError):
         salted_join(li, orders, ["l_orderkey"], how="full")
+
+
+def test_dq_checks_clean_testdata_passes(spark, sf_dir):
+    rows = {r.check_name: r for r in X5.q_dq_checks(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    # Driver testdata satisfies every constraint; a violation here
+    # means the audit (or the data contract) broke.
+    for name, r in rows.items():
+        assert r.passed and r.n_violations == 0, name
