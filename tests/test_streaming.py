@@ -220,3 +220,53 @@ def test_stream_session_window_matches_batch(spark, events_dir):
     assert len(got) > 0
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_stream_restart_recovers_from_checkpoint(spark, tmp_path):
+    """Exactly-once across restarts: run a watermarked windowed agg
+    over batch 1, stop, land batch 2, restart with the SAME
+    checkpoint — the second run must continue from persisted state:
+    no window emitted twice, and every emitted window must equal the
+    batch aggregate over the full data."""
+    import shutil
+
+    batch = read_table(spark, SF, "events").withColumn(
+        "ep", F.unix_timestamp("ts")
+    )
+    cut = batch.agg(F.expr("percentile_approx(ep, 0.5)")).collect()[0][0]
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    batch.filter(F.col("ep") <= cut).drop("ep").write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = S.read_event_stream(spark, src, schema)
+        q = (
+            S.stream_tumbling_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    first = run_once()
+    # Land the second half into the SAME source dir, restart.
+    batch.filter(F.col("ep") > cut).drop("ep").write.mode("append").parquet(src)
+    combined = run_once()
+
+    assert len(first) > 0 and len(combined) > len(first)
+    keys = [(r.ws, r.event_type) for r in combined]
+    assert len(keys) == len(set(keys)), "window re-emitted across restart"
+    expected = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(read_table(spark, SF, "events")).collect()
+    }
+    for r in combined:
+        assert expected[(r.ws, r.event_type)] == (r.n_events, r.sum_value)
+    shutil.rmtree(src, ignore_errors=True)
