@@ -47,6 +47,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # Empty edge set → empty (node, rank) result, correct schema
+        # (a partition-pruned scan routinely yields zero rows).
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):

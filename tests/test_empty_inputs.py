@@ -67,3 +67,30 @@ def test_asof_empty_right_keeps_left(spark):
     right = _empty(spark, "user_id long, ts timestamp, quote_id long")
     out = R.as_of_join(left, right, "user_id", "ts", "ts", ["quote_id"]).collect()
     assert len(out) == 1 and out[0].prior_quote_id is None
+
+
+def test_new_batch_ops_on_empty(spark):
+    from fifa_data_pipeline_spark.operators.graph import pagerank
+    from fifa_data_pipeline_spark.operators.relational import salted_join
+    from fifa_data_pipeline_spark.operators.tablefuncs import (
+        split_sentences,
+        split_sentences_native,
+    )
+
+    edges = _empty(spark, "src string, dst string")
+    assert pagerank(edges).count() == 0
+    assert pagerank(edges).columns == ["node", "rank"]
+
+    left = _empty(spark, "k long, v double")
+    right = _empty(spark, "k long, name string")
+    assert salted_join(left, right, ["k"]).count() == 0
+
+    docs = _empty(spark, "doc_id long, text string")
+    assert split_sentences(spark, docs).count() == 0
+    assert split_sentences_native(docs).count() == 0
+
+    ev = _empty(spark, "user_id long, ts timestamp, value double")
+    sess = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert sess.count() == 0
