@@ -230,6 +230,42 @@ def stream_dedup(
     )
 
 
+def stream_upsert_partitioned(
+    stream_agg: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    partition_col: str = "ws",
+) -> None:
+    """``foreachBatch`` upsert sink: each micro-batch's (update-mode)
+    aggregate rows overwrite ONLY the target partitions they touch
+    (dynamic partition overwrite) — the standard idempotent-upsert
+    pattern on plain parquet, no ACID table format needed. A replayed
+    batch rewrites the same partitions with the same content, so
+    restarts converge instead of duplicating (pair with the
+    checkpoint for exactly-once end-to-end).
+
+    Scale: each batch writes O(touched partitions), not the whole
+    target; partition on the window/date column so steady-state
+    batches touch only the open windows."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(target_path)
+        )
+
+    q = (
+        stream_agg.writeStream.foreachBatch(apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "update"
 ) -> None:

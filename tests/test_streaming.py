@@ -270,3 +270,26 @@ def test_stream_restart_recovers_from_checkpoint(spark, tmp_path):
     for r in combined:
         assert expected[(r.ws, r.event_type)] == (r.n_events, r.sum_value)
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_foreachbatch_partition_upsert_converges_to_batch(spark, events_dir, tmp_path):
+    """Dynamic-partition-overwrite upsert via foreachBatch: after
+    draining the stream (two runs over growing source data), the
+    parquet target must equal the batch aggregate — updated windows
+    overwrite in place, nothing duplicates."""
+    target = str(tmp_path / "upsert_target")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    schema = spark.read.parquet(events_dir).schema
+    for _ in range(2):  # second drain replays nothing, rewrites nothing
+        stream = S.read_event_stream(spark, events_dir, schema)
+        agg = tumbling_window_agg(stream.withWatermark("ts", "1 hour"))
+        S.stream_upsert_partitioned(agg, target, ckpt)
+    got = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(read_table(spark, SF, "events")).collect()
+    }
+    assert got == want
