@@ -69,10 +69,79 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def q_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame (value-range) window surface, complementing the
+    ROWS-frame coverage in q_window_funcs: per customer, the rolling
+    30-day spend (RANGE BETWEEN 30 PRECEDING on integer days — all
+    same-day ties fall in the frame together, which is exactly what
+    ROWS frames get wrong for time windows), plus
+    first/last/nth_value over the full partition with a
+    deterministic tiebroken order.
+
+    One shuffle on the customer key; both window specs share the
+    partition key so Catalyst plans a single Exchange."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("int")
+    w_range = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.withColumn("day", day).select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.round(F.sum("o_totalprice").over(w_range), 4).alias("spend_30d"),
+        F.round(F.first("o_totalprice").over(w_full), 6).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 6).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_full), 6).alias(
+            "second_price"
+        ),
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over each user's event sequence:
+    (event_type → next event_type) pairs via LEAD on a deterministic
+    (epoch, event_id) order, counted corpus-wide with transition
+    probability per source state. The path-analysis staple
+    (what follows a signup?).
+
+    One shuffle on user_id for the LEAD, one hash aggregate on the
+    (from, to) pair — payload one row per state pair."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("__ep"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__ep", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_src), 6).alias("p"),
+    )
+
+
 QUERIES = {
     "q_udtf_sentences": q_udtf_sentences,
     "q_sentences_native": q_sentences_native,
     "q_pagerank": q_pagerank,
+    "q_rolling_range": q_rolling_range,
+    "q_event_transitions": q_event_transitions,
 }
 
 _SENT_ORACLE = f"""
@@ -92,4 +161,40 @@ _SENT_ORACLE = f"""
 ORACLES = {
     "q_udtf_sentences": _SENT_ORACLE,
     "q_sentences_native": _SENT_ORACLE,
+    "q_rolling_range": """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_totalprice,
+                 CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS INTEGER) AS day
+          FROM orders
+        )
+        SELECT o_orderkey, o_custkey, day,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS spend_30d,
+               ROUND(FIRST_VALUE(o_totalprice) OVER wf, 6) AS first_price,
+               ROUND(LAST_VALUE(o_totalprice) OVER wf, 6) AS last_price,
+               ROUND(NTH_VALUE(o_totalprice, 2) OVER wf, 6) AS second_price
+        FROM o
+        WINDOW wf AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q_event_transitions": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events
+        ), seq AS (
+          SELECT event_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ep, event_id) AS next_type
+          FROM e
+        ), pairs AS (
+          SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM seq WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type
+        )
+        SELECT event_type, next_type, n,
+               ROUND(n / SUM(n) OVER (PARTITION BY event_type), 6) AS p
+        FROM pairs
+    """,
 }

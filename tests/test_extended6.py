@@ -95,3 +95,32 @@ def test_pagerank_mass_conserved_on_purchase_graph(spark, sf_dir):
         ranks.filter(F.col("node").startswith("s:")).agg(F.avg("rank")).collect()[0][0]
     )
     assert supp_mean > (1.0 - 0.85) / n
+
+
+def test_event_transition_probabilities_normalize(spark, sf_dir):
+    rows = X6.q_event_transitions(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.event_type, 0.0)
+        by_src[r.event_type] += r.p
+        assert r.n > 0
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, src
+
+
+def test_rolling_range_frame_includes_current_row(spark, sf_dir):
+    df = X6.q_rolling_range(spark, sf_dir)
+    # The 30-day frame always contains the current order, so the
+    # rolling spend is bounded below by any single order's price —
+    # check via the first_price column on single-order customers and
+    # the generic non-null/positive invariants.
+    assert df.filter(F.col("spend_30d") <= 0).count() == 0
+    one = (
+        df.groupBy("o_custkey").count().filter(F.col("count") == 1)
+        .limit(1).collect()
+    )
+    if one:
+        k = one[0].o_custkey
+        r = df.filter(F.col("o_custkey") == k).collect()[0]
+        assert r.spend_30d == round(r.first_price, 4)
+        assert r.second_price is None
