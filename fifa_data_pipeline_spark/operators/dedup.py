@@ -352,6 +352,54 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) name matching
+# ---------------------------------------------------------------------------
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_col: Column,
+    max_dist: int = 2,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Entity-resolution candidate pairs over DISTINCT names:
+    blocking + Levenshtein verify. Returns (name_a, name_b, dist)
+    with name_a < name_b and dist ≤ ``max_dist``.
+
+    The classic record-linkage recipe (Fellegi–Sunter blocking):
+    an all-pairs edit-distance scan is O(n²) — grouping by a cheap
+    blocking key (here any caller-supplied expression: a token, a
+    phonetic code, a length bucket) restricts comparisons to
+    plausible pairs. Like :func:`minhash_candidate_pairs`, pairs are
+    generated INSIDE each block group (collect_set → in-row
+    combination explode with the distance filter in the lambda):
+    one shuffle keyed by block, no self-join, same degenerate-block
+    guard. Distinct-names-first matters at scale: dedup the names
+    (one agg) before the quadratic step so block cost is
+    O(distinct²), not O(rows²)."""
+    names = df.select(
+        F.col(name_col).alias("__name"), block_col.alias("__blk")
+    ).distinct()
+    grouped = names.groupBy("__blk").agg(
+        F.sort_array(F.collect_set("__name")).alias("__ns")
+    )
+    sized = grouped.filter(
+        (F.size("__ns") >= 2) & (F.size("__ns") <= max_block_size)
+    )
+    combos = F.expr(
+        "flatten(transform(__ns, (x, i) -> "
+        "filter(transform(slice(__ns, i + 2, size(__ns)), "
+        "y -> struct(x AS name_a, y AS name_b, "
+        f"levenshtein(x, y) AS dist)), p -> p.dist <= {int(max_dist)})))"
+    )
+    return (
+        sized.select(F.explode(combos).alias("__p"))
+        .select("__p.name_a", "__p.name_b", "__p.dist")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Connected components (dedup-group closure)
 # ---------------------------------------------------------------------------
 

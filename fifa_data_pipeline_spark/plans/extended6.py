@@ -136,12 +136,26 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy part-name matching: distinct names blocked on the noun
+    (last token), verified by Levenshtein ≤ 2 — 'red widget' pairs
+    with 'hot widget', not with 'small widget'. See
+    ``dedup.fuzzy_name_pairs`` for the blocking recipe."""
+    from fifa_data_pipeline_spark.operators.dedup import fuzzy_name_pairs
+
+    part = read_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(
+        part, "p_name", F.element_at(F.split("p_name", " "), -1), max_dist=2
+    )
+
+
 QUERIES = {
     "q_udtf_sentences": q_udtf_sentences,
     "q_sentences_native": q_sentences_native,
     "q_pagerank": q_pagerank,
     "q_rolling_range": q_rolling_range,
     "q_event_transitions": q_event_transitions,
+    "q_fuzzy_names": q_fuzzy_names,
 }
 
 _SENT_ORACLE = f"""
@@ -177,6 +191,18 @@ ORACLES = {
         FROM o
         WINDOW wf AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q_fuzzy_names": """
+        WITH n AS (
+          SELECT DISTINCT p_name,
+                 string_split(p_name, ' ')[-1] AS blk
+          FROM part
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM n a JOIN n b
+          ON a.blk = b.blk AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
     """,
     "q_event_transitions": """
         WITH e AS (

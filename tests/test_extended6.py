@@ -124,3 +124,26 @@ def test_rolling_range_frame_includes_current_row(spark, sf_dir):
         r = df.filter(F.col("o_custkey") == k).collect()[0]
         assert r.spend_30d == round(r.first_price, 4)
         assert r.second_price is None
+
+
+def test_fuzzy_name_pairs_blocking_and_threshold(spark):
+    from fifa_data_pipeline_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "rad widget"),     # dist 1 to red widget
+            (3, "small widget"),   # same block, dist > 2 from both
+            (4, "red gadget"),     # different block — never compared
+        ],
+        "id long, name string",
+    )
+    pairs = sorted(
+        map(
+            tuple,
+            fuzzy_name_pairs(
+                df, "name", F.element_at(F.split("name", " "), -1)
+            ).collect(),
+        )
+    )
+    assert pairs == [("rad widget", "red widget", 1)]
