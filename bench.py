@@ -49,6 +49,9 @@ HEADLINE = [
     "q_session_window",
     "q_pmi_bigrams",
     "q_sample_stratified",
+    "q_rolling_range",
+    "q_event_transitions",
+    "q_dq_checks",
 ]
 
 
