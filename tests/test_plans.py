@@ -55,3 +55,35 @@ def test_whole_stage_codegen_in_agg(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     # codegen'd operators render with "*(n)" stage markers
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_scd2_two_windows_share_one_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scd2")
+    # lag-filter window + lead/row_number window, SAME (user_id)
+    # partitioning and sort: exactly one hash exchange in the plan.
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sample_stratified")
+    # Partial (pre-shuffle) + Final group-limit: shuffle carries only
+    # local top-n candidates per stratum.
+    assert plan.count("WindowGroupLimit") >= 2
+    # The md5 sort key is a projected column, not an inline SortOrder
+    # expression (the 6x regression this pins): no md5 call inside
+    # the Sort operator's ordering spec.
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Sort ") or line.strip().startswith("Sort "):
+            assert "md5(" not in line
+
+
+def test_salted_join_no_broadcast_of_probe(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_salted")
+    # The salted join must be a real partitioned join on (key, salt):
+    # the salt column appears in a hashpartitioning clause.
+    assert "__salt" in plan
+
+
+def test_session_window_single_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_session_window")
+    assert plan.count("Exchange hashpartitioning") == 1
