@@ -49,10 +49,23 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per (order priority, customer, nation, segment): spend, best
     line, truncated averages over each customer's LATEST order date.
     """
-    orders = read_table(spark, sf_dir, "orders")
-    lineitem = read_table(spark, sf_dir, "lineitem")
-    customer = read_table(spark, sf_dir, "customer")
+    return flagship_from(
+        read_table(spark, sf_dir, "orders"),
+        read_table(spark, sf_dir, "lineitem"),
+        read_table(spark, sf_dir, "customer"),
+        read_table(spark, sf_dir, "nation"),
+    )
 
+
+def flagship_from(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """The flagship over caller-supplied tables — the form the
+    end-to-end ETL flow (``plans/etl_flow.py``) runs against its own
+    materialized warehouse instead of the raw testdata scans."""
     # A1 + J1: keep all orders on each customer's latest order date
     # (ties keep all rows, matching the reference's agg+join idiom).
     latest_orders = latest_per_group_join(orders, "o_custkey", "o_orderdate")
@@ -80,7 +93,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim); customer dim left to AQE.
     orders_cust = equi_join(
         orders_cust,
-        read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"),
+        nation.select("n_nationkey", "n_name"),
         [("c_nationkey", "n_nationkey")],
         broadcast_right=True,
     )
