@@ -460,6 +460,44 @@ def merge_upsert(
     )
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key across two table
+    versions as ``added`` / ``removed`` / ``changed`` (any non-key
+    column differs, null-safe) — the diff report a pipeline publishes
+    between runs (and the precondition check before a blind MERGE).
+    Unchanged keys are dropped (at 100 TB they are ~all rows; the
+    report must be the small set).
+
+    One full-outer join on the key; the change test is a null-safe
+    struct comparison, so NULL→value and value→NULL edits count as
+    changes. Both sides shuffle once on the key — bucket both
+    snapshots on the key to make repeated diffs shuffle-free."""
+    cols = old.columns
+    assert new.columns == cols, "diff requires identical schemas"
+    value_cols = [c for c in cols if c != key]
+    o = old.select([F.col(c).alias(f"__o_{c}") for c in cols])
+    n = new.select([F.col(c).alias(f"__n_{c}") for c in cols])
+    j = o.join(n, F.col(f"__o_{key}").eqNullSafe(F.col(f"__n_{key}")), "full_outer")
+    same_vals = F.struct(*[F.col(f"__o_{c}") for c in value_cols]).eqNullSafe(
+        F.struct(*[F.col(f"__n_{c}") for c in value_cols])
+    )
+    change = (
+        F.when(F.col(f"__o_{key}").isNull(), F.lit("added"))
+        .when(F.col(f"__n_{key}").isNull(), F.lit("removed"))
+        .when(~same_vals, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce(F.col(f"__o_{key}"), F.col(f"__n_{key}")).alias(key),
+            "change_type",
+        )
+    )
+
+
 def systematic_sample(
     df: DataFrame, key_cols: Sequence[str], modulus: int, keep: int
 ) -> DataFrame:

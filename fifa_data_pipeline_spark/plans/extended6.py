@@ -149,6 +149,25 @@ def q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation between two deterministic versions of
+    orders (keys dropped on each side, some prices bumped): the
+    added/removed/changed report from ``relational.snapshot_diff``.
+    The price bump is an exact +1000.0 (no rounding) so the change
+    classification is bit-identical across engines."""
+    from fifa_data_pipeline_spark.operators.relational import snapshot_diff
+
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1000.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 QUERIES = {
     "q_udtf_sentences": q_udtf_sentences,
     "q_sentences_native": q_sentences_native,
@@ -156,6 +175,7 @@ QUERIES = {
     "q_rolling_range": q_rolling_range,
     "q_event_transitions": q_event_transitions,
     "q_fuzzy_names": q_fuzzy_names,
+    "q_snapshot_diff": q_snapshot_diff,
 }
 
 _SENT_ORACLE = f"""
@@ -191,6 +211,29 @@ ORACLES = {
         FROM o
         WINDOW wf AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q_snapshot_diff": """
+        WITH old AS (
+          SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+        ), new AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 11 = 0
+                      THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM orders WHERE o_orderkey % 5 <> 0
+        ), d AS (
+          SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        OR o.o_custkey IS DISTINCT FROM n.o_custkey
+                        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                        OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                        OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                        THEN 'changed' END AS change_type
+          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+        )
+        SELECT o_orderkey, change_type FROM d WHERE change_type IS NOT NULL
     """,
     "q_fuzzy_names": """
         WITH n AS (

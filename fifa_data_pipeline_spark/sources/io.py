@@ -165,6 +165,34 @@ def write_clustered(
     )
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files. Streaming sinks and
+    per-batch upserts accumulate tiny files; scans then pay per-file
+    open/footer costs and lose row-group-sized reads — at 100 TB,
+    scheduled compaction is what keeps scan throughput flat.
+
+    Returns the new file count. Uses ``coalesce`` (no shuffle — it
+    only merges read splits) and writes to a temp sibling then swaps,
+    so a crash mid-compaction never leaves a half-written table."""
+    import math
+    import pathlib
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        f.stat().st_size for f in pathlib.Path(path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — the other columnar format Spark supports natively.
     Same pushdown/pruning properties as parquet (stripe-level min/max

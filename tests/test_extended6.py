@@ -147,3 +147,37 @@ def test_fuzzy_name_pairs_blocking_and_threshold(spark):
         )
     )
     assert pairs == [("rad widget", "red widget", 1)]
+
+
+def test_snapshot_diff_classification(spark):
+    from fifa_data_pipeline_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k long, name string, v double",
+    )
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    # 1 unchanged (absent), 2 changed, 3 NULL->value counts as changed,
+    # 4 removed, 5 added.
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from fifa_data_pipeline_spark.sources.io import compact_parquet, read_table
+
+    path = str(tmp_path / "fragmented")
+    src = read_table(spark, "/root/testdata/sf0.001", "orders")
+    src.repartition(64).write.parquet(path)  # simulate streaming small files
+    import pathlib
+
+    before = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert before >= 32
+    want = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n_files = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024)
+    after = len(list(pathlib.Path(path).rglob("*.parquet")))
+    assert after == n_files < before
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
