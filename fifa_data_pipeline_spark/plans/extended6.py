@@ -168,6 +168,44 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "o_orderkey")
 
 
+def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-LTV decile report: total spend per customer → decile
+    by spend (ntile over the AGGREGATED table) → per-decile customer
+    count, spend sum, and share of total. The agg → rank → re-agg
+    sandwich every revenue report uses.
+
+    The global ntile runs on the aggregate output (one row per
+    customer), not the fact table — locally a single-partition sort
+    of #customers rows. At extreme scale swap the exact ntile for
+    approx_percentile cut points (same report, no global sort);
+    exact-on-aggregate is the right default since the aggregate is
+    1000× smaller than the fact."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("spend")
+    )
+    w = Window.orderBy(F.desc("spend"), "o_custkey")
+    deciled = spend.withColumn("decile", F.ntile(10).over(w))
+    w_all = Window.partitionBy()
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("spend"), 4).alias("total_spend"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "total_spend",
+            F.round(
+                F.col("total_spend") / F.sum("total_spend").over(w_all), 6
+            ).alias("share"),
+        )
+    )
+
+
 QUERIES = {
     "q_udtf_sentences": q_udtf_sentences,
     "q_sentences_native": q_sentences_native,
@@ -176,6 +214,7 @@ QUERIES = {
     "q_event_transitions": q_event_transitions,
     "q_fuzzy_names": q_fuzzy_names,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_ltv_deciles": q_ltv_deciles,
 }
 
 _SENT_ORACLE = f"""
@@ -211,6 +250,23 @@ ORACLES = {
         FROM o
         WINDOW wf AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q_ltv_deciles": """
+        WITH spend AS (
+          SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS spend
+          FROM orders GROUP BY o_custkey
+        ), d AS (
+          SELECT o_custkey, spend,
+                 ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+          FROM spend
+        ), agg AS (
+          SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 ROUND(SUM(spend), 4) AS total_spend
+          FROM d GROUP BY decile
+        )
+        SELECT decile, n_customers, total_spend,
+               ROUND(total_spend / SUM(total_spend) OVER (), 6) AS share
+        FROM agg
     """,
     "q_snapshot_diff": """
         WITH old AS (

@@ -12,6 +12,7 @@ from fifa_data_pipeline_spark.operators.tablefuncs import (
     split_sentences_native,
 )
 from fifa_data_pipeline_spark.plans import extended6 as X6
+from fifa_data_pipeline_spark.sources.io import read_table
 
 
 def _doc_df(spark):
@@ -181,3 +182,18 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     after = len(list(pathlib.Path(path).rglob("*.parquet")))
     assert after == n_files < before
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == want
+
+
+def test_ltv_deciles_partition_and_monotonic(spark, sf_dir):
+    rows = sorted(
+        X6.q_ltv_deciles(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_cust = (
+        read_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    # Decile 1 holds the biggest spenders: totals non-increasing.
+    spends = [r.total_spend / r.n_customers for r in rows]
+    assert all(a >= b for a, b in zip(spends, spends[1:]))
