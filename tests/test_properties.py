@@ -75,3 +75,58 @@ def test_token_count_matches_python_split(spark, texts):
     got = {r.doc_id: r.n_tokens for r in token_count(df).collect()}
     expected = {i: len(t.split()) for i, t in enumerate(texts)}
     assert got == expected
+
+
+# --- salted join == plain join on generated (skewed) data -------------------
+
+skewed_pairs = st.lists(
+    st.tuples(
+        # heavy-tailed key distribution: key 1 dominates
+        st.sampled_from([1, 1, 1, 1, 2, 3, 4, 5]),
+        st.integers(min_value=0, max_value=100),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(left=skewed_pairs, right=st.lists(st.integers(1, 6), min_size=0, max_size=6, unique=True))
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, left, right):
+    from fifa_data_pipeline_spark.operators.relational import salted_join
+
+    ldf = spark.createDataFrame(left, "k long, v long") if left else spark.createDataFrame([], "k long, v long")
+    rrows = [(k, f"n{k}") for k in right]
+    rdf = spark.createDataFrame(rrows, "k long, name string") if rrows else spark.createDataFrame([], "k long, name string")
+    plain = sorted(map(tuple, ldf.join(rdf, "k").collect()))
+    salted = sorted(map(tuple, salted_join(ldf, rdf, ["k"], salt_buckets=4).collect()))
+    assert plain == salted
+
+
+# --- snapshot diff matches a python model -----------------------------------
+
+snap_strategy = st.lists(
+    st.tuples(st.integers(1, 8), st.integers(0, 3)), min_size=0, max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(old=snap_strategy, new=snap_strategy)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_python_model(spark, old, new):
+    from fifa_data_pipeline_spark.operators.relational import snapshot_diff
+
+    schema = "k long, v long"
+    odf = spark.createDataFrame(old, schema) if old else spark.createDataFrame([], schema)
+    ndf = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+    om, nm = dict(old), dict(new)
+    want = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            want[k] = "added"
+        elif k not in nm:
+            want[k] = "removed"
+        elif om[k] != nm[k]:
+            want[k] = "changed"
+    got = {r.k: r.change_type for r in snapshot_diff(odf, ndf, "k").collect()}
+    assert got == want
