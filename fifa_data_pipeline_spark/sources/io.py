@@ -165,6 +165,34 @@ def write_clustered(
     )
 
 
+def morton_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns
+    into one sort key: bit i of each input lands at bits 2i / 2i+1.
+    Sorting by the interleaved key keeps rows that are close in BOTH
+    dimensions close in the file — so parquet row-group min/max stats
+    prune selective predicates on EITHER column, where a
+    lexicographic ``sortWithinPartitions(a, b)`` only prunes on the
+    leading column. This is the OSS stand-in for multi-column
+    BigQuery clustering / Delta ZORDER (reference ``CLUSTER BY``,
+    ``etl_kaggle_to_big_query.py:90,139``) for two-column predicates.
+
+    Inputs must fit in ``bits`` bits (cap or bucket first — e.g.
+    ``F.pmod(F.hash(c), 1 << bits)``); built as one codegen'd
+    expression, no UDF."""
+    from pyspark.sql import Column
+
+    a = col_a if isinstance(col_a, Column) else F.col(col_a)
+    b = col_b if isinstance(col_b, Column) else F.col(col_b)
+    acc = F.lit(0).cast("long")
+    al, bl = a.cast("long"), b.cast("long")
+    for i in range(bits):
+        acc = acc + F.shiftleft(F.shiftright(al, i).bitwiseAND(F.lit(1)), 2 * i)
+        acc = acc + F.shiftleft(
+            F.shiftright(bl, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return acc
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:

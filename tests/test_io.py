@@ -96,3 +96,37 @@ def test_csv_export_roundtrip(spark, sf_dir, tmp_path):
     back = io.read_csv_inferred(spark, path)
     assert back.count() == 25
     assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+
+def test_morton_key_matches_python_model(spark):
+    from fifa_data_pipeline_spark.sources.io import morton_key
+
+    def model(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    import random
+
+    random.seed(7)
+    rows = [(0, 0), (1, 0), (0, 1), (3, 3), (65535, 65535)] + [
+        (random.randrange(65536), random.randrange(65536)) for _ in range(20)
+    ]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select("a", "b", morton_key("a", "b").alias("m")).collect()
+    for r in got:
+        assert r.m == model(r.a, r.b), (r.a, r.b)
+    # Z-order locality: sorting by the key co-locates both dimensions —
+    # the first few rows of a morton-sorted grid stay in the low corner.
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "a long, b long"
+    )
+    first = (
+        grid.select("a", "b", morton_key("a", "b").alias("m"))
+        .orderBy("m")
+        .limit(16)
+        .collect()
+    )
+    assert all(r.a < 4 and r.b < 4 for r in first)
