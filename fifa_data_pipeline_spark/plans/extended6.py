@@ -206,6 +206,21 @@ def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-pinned JSON parsing (``from_json`` into a typed struct)
+    aggregated per event type — the scale-correct alternative to
+    per-path ``get_json_object`` (q_json_extract): one parse per row
+    regardless of how many fields downstream reads, and malformed
+    documents become NULL structs instead of runtime errors."""
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("props_s", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("props_s.k").alias("n_with_k"),
+        F.round(F.avg("props_s.k"), 6).alias("avg_k"),
+        F.max("props_s.k").alias("max_k"),
+    )
+
+
 QUERIES = {
     "q_udtf_sentences": q_udtf_sentences,
     "q_sentences_native": q_sentences_native,
@@ -215,6 +230,7 @@ QUERIES = {
     "q_fuzzy_names": q_fuzzy_names,
     "q_snapshot_diff": q_snapshot_diff,
     "q_ltv_deciles": q_ltv_deciles,
+    "q_json_struct": q_json_struct,
 }
 
 _SENT_ORACLE = f"""
@@ -250,6 +266,13 @@ ORACLES = {
         FROM o
         WINDOW wf AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q_json_struct": """
+        SELECT event_type,
+               CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS n_with_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        FROM events GROUP BY event_type
     """,
     "q_ltv_deciles": """
         WITH spend AS (
