@@ -47,9 +47,22 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window streaming aggregate (merge-on-overlap
+    state, append mode emits watermark-closed sessions); the batch
+    twin q_session_window is oracle-checked."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_sesswin_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_session_window(stream), name, "append")
+    return spark.table(name)
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sessionize": q_stream_sessionize,
+    "q_stream_session_window": q_stream_session_window,
 }
 
 ORACLES: dict[str, str] = {}
