@@ -221,6 +221,51 @@ def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type surface at the query level: per order, build the
+    sorted line-struct ARRAY (collect_list + sort_array on the unique
+    line number), then compute the basket value by FOLDING the array
+    (``aggregate`` higher-order function) and pick the first line's
+    part via ``element_at`` — the oracle computes the same numbers
+    with plain scalar SQL (SUM / arg_min), proving the array
+    construction + fold semantics, not just the arithmetic.
+
+    The money math runs in exact integer CENTS (quantities are
+    integral; round(price*100) is the same double→integer everywhere):
+    a double fold-left visits addends in array order while a scalar
+    SUM doesn't, so float folds can land on the far side of a ROUND
+    boundary. Integer folds are order-independent. And the "first"
+    line is defined by the composite (l_linenumber, l_partkey) —
+    l_linenumber is NOT unique within an order in this data, so any
+    single-column arg_min tie-breaks arbitrarily per engine.
+
+    One shuffle (the groupBy); the fold happens post-aggregate inside
+    the same task. Arrays-of-structs per group must fit in task
+    memory — same bound as any collect_list; cap pathological groups
+    upstream (cf. q_basket_pairs note)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    lines = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_partkey", "qty", "cents"))
+        ).alias("__lines")
+    )
+    return lines.select(
+        "l_orderkey",
+        F.size("__lines").alias("n_lines"),
+        F.expr(
+            "aggregate(__lines, CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x.qty * x.cents)"
+        ).alias("basket_cents"),
+        F.expr("element_at(__lines, 1).l_partkey").alias("first_part"),
+    )
+
+
 QUERIES = {
     "q_udtf_sentences": q_udtf_sentences,
     "q_sentences_native": q_sentences_native,
@@ -231,6 +276,7 @@ QUERIES = {
     "q_snapshot_diff": q_snapshot_diff,
     "q_ltv_deciles": q_ltv_deciles,
     "q_json_struct": q_json_struct,
+    "q_array_fold": q_array_fold,
 }
 
 _SENT_ORACLE = f"""
@@ -266,6 +312,17 @@ ORACLES = {
         FROM o
         WINDOW wf AS (PARTITION BY o_custkey ORDER BY day, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "q_array_fold": """
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS INTEGER) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS basket_cents,
+               arg_min(l_partkey,
+                       CAST(l_linenumber AS BIGINT) * 10000000 + l_partkey)
+                 AS first_part
+        FROM lineitem GROUP BY l_orderkey
     """,
     "q_json_struct": """
         SELECT event_type,
