@@ -59,10 +59,22 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hopping-window (2h/1h) streaming aggregate; the
+    batch twin q_window_hopping is oracle-checked."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_hopping_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_hopping_counts(stream), name, "append")
+    return spark.table(name)
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_session_window": q_stream_session_window,
+    "q_stream_hopping": q_stream_hopping,
 }
 
 ORACLES: dict[str, str] = {}
