@@ -115,28 +115,64 @@ def resample_fill(
     negligible), cross-joined with the distinct key set and
     left-joined against the real counts. At 100 TB the spine is tiny
     (periods × keys) while the counts aggregate does the heavy
-    lifting map-side, so the only wide shuffle is the groupBy."""
-    trunc_unit = freq.split()[-1]
-    h = F.date_trunc(trunc_unit, F.col(ts_col))
-    counts = df.select(h.alias("__h"), F.col(key_col)).groupBy(
-        "__h", key_col
-    ).agg(F.count(F.lit(1)).alias("__n"))
-    bounds = df.agg(
-        F.date_trunc(trunc_unit, F.min(ts_col)).alias("__mn"),
-        F.date_trunc(trunc_unit, F.max(ts_col)).alias("__mx"),
+    lifting map-side, so the only wide shuffle is the groupBy.
+
+    ``freq`` is ``'<count> <unit>'`` with unit in seconds/minutes/
+    hours/days (singular or plural). Bucketing is arithmetic —
+    ``floor(epoch / step) * step`` — so any count works and bucket
+    edges always align with the spine stride (``date_trunc`` would
+    only be correct for count=1 and silently NULLs on plural units;
+    unsupported input raises instead of returning empty)."""
+    step = _freq_seconds(freq)
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("bigint")
+    bucket = (epoch - epoch % F.lit(step)).alias("__b")
+    counts = df.select(bucket, F.col(key_col)).groupBy("__b", key_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    bounds = df.select(bucket.alias("__b")).agg(
+        F.min("__b").alias("__mn"), F.max("__b").alias("__mx")
     )
     spine = bounds.select(
-        F.explode(
-            F.expr(f"sequence(__mn, __mx, interval {freq})")
-        ).alias("__h")
+        F.explode(F.expr(f"sequence(__mn, __mx, {step})")).alias("__b")
     )
     keys = df.select(key_col).distinct()
     full = spine.crossJoin(keys)
     return (
-        full.join(counts, ["__h", key_col], "left")
+        full.join(counts, ["__b", key_col], "left")
         .select(
-            F.unix_seconds(F.col("__h")).alias("period_s"),
+            F.col("__b").alias("period_s"),
             F.col(key_col),
             F.coalesce("__n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+#: Supported resample units → seconds.
+_UNIT_SECONDS = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3600,
+    "hours": 3600,
+    "day": 86400,
+    "days": 86400,
+}
+
+
+def _freq_seconds(freq: str) -> int:
+    """Parse ``'<count> <unit>'`` to a step in seconds; raise on
+    anything else (ADVICE r1: bad units used to flow into date_trunc
+    and come back as silent NULLs/empty results)."""
+    parts = freq.strip().split()
+    if (
+        len(parts) != 2
+        or not parts[0].isdigit()
+        or int(parts[0]) < 1
+        or parts[1].lower() not in _UNIT_SECONDS
+    ):
+        raise ValueError(
+            f"unsupported freq {freq!r}: expected '<count> <unit>' with "
+            f"unit in {sorted(set(_UNIT_SECONDS))}"
+        )
+    return int(parts[0]) * _UNIT_SECONDS[parts[1].lower()]

@@ -36,8 +36,21 @@ def grouped_zscore(
     ``applyInPandas`` — the canonical grouped-map shape. Sample std
     (ddof=1) matches SQL ``STDDEV_SAMP``; single-row groups and
     zero-variance groups yield NULL exactly as the window form does.
+
+    The output schema reuses the INPUT field types for the group/id
+    columns (ADVICE r1: hardcoded int/long threw Arrow cast errors —
+    or silently narrowed — under string/decimal keys).
     """
-    out_schema = f"{group_col} int, {id_col} long, {alias} double"
+    from pyspark.sql import types as T
+
+    in_type = {f.name: f.dataType for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, in_type[group_col]),
+            T.StructField(id_col, in_type[id_col]),
+            T.StructField(alias, T.DoubleType()),
+        ]
+    )
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col].to_numpy(dtype=np.float64)

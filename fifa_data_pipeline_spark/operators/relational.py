@@ -120,10 +120,17 @@ def latest_per_group_join(
     shuffles the fact once on the key and sorts within partitions.
     The literal reference idiom is preserved as
     :func:`latest_per_group_agg_join` for parity documentation.
+
+    NULL ``order_col`` rows are filtered BEFORE the window (ADVICE
+    r1): max-agg + equality-join can never match a NULL, so it drops
+    all-NULL groups — while a bare ``rank() DESC`` (nulls last) would
+    rank them 1 and keep them. The filter makes the two forms
+    value-identical for every input, not just NULL-free ones.
     """
     w = Window.partitionBy(group_key).orderBy(F.desc(order_col))
     return (
-        df.withColumn("__rk", F.rank().over(w))
+        df.filter(F.col(order_col).isNotNull())
+        .withColumn("__rk", F.rank().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )

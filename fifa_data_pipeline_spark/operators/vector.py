@@ -163,7 +163,7 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def srp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+def srp_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: bit i = sign(v · plane_i).
 
     Built as ONE SQL expression string (``F.expr``): a Column-tree
@@ -171,8 +171,19 @@ def srp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     measured ~1.4 s of pure Python plan-construction time per call at
     8 planes × 64 dims — while a string is a single call parsed
     JVM-side in milliseconds. Semantics and values are identical
-    (double literals via ``D`` suffix, same accumulation order)."""
-    col = vec_col if isinstance(vec_col, str) else f"({vec_col._jc.toString()})"
+    (double literals via ``D`` suffix, same accumulation order).
+
+    ``vec_col`` must be a COLUMN NAME string (ADVICE r1: the old
+    Column branch round-tripped through the private ``_jc`` handle,
+    which Spark Connect lacks and whose toString is not guaranteed
+    re-parseable SQL). Pre-project expressions to a named column
+    before calling."""
+    if not isinstance(vec_col, str):
+        raise TypeError(
+            "srp_bucket requires a column-name string; pre-project "
+            "Column expressions to a named column first"
+        )
+    col = vec_col
     vd = f"transform({col}, x -> CAST(x AS DOUBLE))"
     terms = []
     for i, plane in enumerate(planes):
@@ -413,19 +424,31 @@ def knn_bruteforce_pandas(
     product. Python cost is O(1) per batch, not O(rows); at 64 dims
     this is the faster path once batches exceed a few thousand rows,
     and the gap widens with dimensionality. Results match the HOF
-    form at 6-dp rounding (float64 throughout)."""
-    import pandas as pd
+    form at 6-dp rounding (float64 throughout).
 
+    The id columns keep the INPUT's type in the output schema and are
+    never coerced through a numpy dtype (ADVICE r1: pinning
+    ``long``/int64 broke or silently narrowed non-int64 ids)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema[id_col].dataType
     qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qids = [r[0] for r in qrows]
     qm = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
-    out_schema = f"qid long, {id_col} long, sim double"
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", id_type),
+            T.StructField(id_col, id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
 
     def score(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
             m = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
             sims = np.round(m @ qm.T, 6)  # (batch, q)

@@ -263,9 +263,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction over binary payloads
-    (rows-only: the kernel is a Python/Arrow fake-decode)."""
+    (rows-only: the kernel is a Python/Arrow fake-decode). The feature
+    vector is serialized to JSON for the result surface — the driver's
+    canonical sort/hash requires scalar (hashable) columns."""
     docs = read_table(spark, sf_dir, "documents")
-    return M.decode_features(M.attach_payload(docs))
+    feats = M.decode_features(M.attach_payload(docs))
+    return feats.select(
+        "doc_id", "payload_len", "byte_checksum", F.to_json("feat").alias("feat_json")
+    )
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,7 +48,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is parquet TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` it lands as int64 nanos
     and is rebuilt here as a µs TimestampType (truncating ns→µs, the
-    same thing DuckDB does reading that file)."""
+    same thing DuckDB does reading that file). The conf is set here
+    (runtime-settable) so the scan works even in a caller-provided
+    vanilla session — without it Spark rejects the file outright
+    (PARQUET_TYPE_ILLEGAL)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Pin timestamp semantics for caller-provided sessions too:
+        # the engine's contract (and the DuckDB oracle's naive-ts
+        # reading) is UTC. Runtime-settable, idempotent.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -234,7 +234,7 @@ def stream_upsert_partitioned(
     stream_agg: DataFrame,
     target_path: str,
     checkpoint_path: str,
-    partition_col: str = "ws",
+    partition_cols: list[str] | None = None,
 ) -> None:
     """``foreachBatch`` upsert sink: each micro-batch's (update-mode)
     aggregate rows overwrite ONLY the target partitions they touch
@@ -244,15 +244,25 @@ def stream_upsert_partitioned(
     restarts converge instead of duplicating (pair with the
     checkpoint for exactly-once end-to-end).
 
+    ``partition_cols`` MUST cover every grouping key of the upstream
+    aggregate (default: the tumbling-count keys ``(ws, event_type)``).
+    ADVICE r1: partitioning by ``ws`` alone loses data — an update-mode
+    batch that touches only SOME event_types of a window emits only
+    those rows, and dynamic overwrite then replaces the whole ``ws``
+    partition, deleting the other event_types' previously-written
+    rows. With the full key in the partitioning, a partition is a
+    single aggregate row's home and every overwrite is a true upsert.
+
     Scale: each batch writes O(touched partitions), not the whole
-    target; partition on the window/date column so steady-state
-    batches touch only the open windows."""
+    target; lead with the window/date column so steady-state batches
+    touch only the open windows."""
+    partition_cols = partition_cols or ["ws", "event_type"]
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(partition_col)
+            .partitionBy(*partition_cols)
             .parquet(target_path)
         )
 

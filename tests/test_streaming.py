@@ -293,3 +293,56 @@ def test_foreachbatch_partition_upsert_converges_to_batch(spark, events_dir, tmp
         for r in tumbling_window_agg(read_table(spark, SF, "events")).collect()
     }
     assert got == want
+
+
+def test_foreachbatch_upsert_partial_window_update_keeps_siblings(
+    spark, tmp_path
+):
+    """ADVICE r1 regression: a later micro-batch that updates only
+    SOME event_types of a window must not delete the window's other
+    event_type rows already in the target. Lands events in two
+    installments split mid-window so the second drain touches the cut
+    window with a strict subset of its event_types; the target must
+    still converge to the full batch aggregate (requires partitioning
+    by ALL grouping keys, not just ws)."""
+    src = str(tmp_path / "inc_src")
+    target = str(tmp_path / "inc_target")
+    ckpt = str(tmp_path / "inc_ckpt")
+    batch = read_table(spark, SF, "events").withColumn(
+        "ep", F.unix_timestamp("ts").cast("bigint")
+    )
+    # Cut strictly inside some window: windows are 1h; pick min epoch
+    # + 90 min so the second installment lands mid-window-2.
+    mn = batch.agg(F.min("ep")).collect()[0][0]
+    cut = mn + 5400
+    first_half = batch.filter(F.col("ep") <= cut).drop("ep")
+    # Second installment: ONLY rows of one event_type past the cut —
+    # guarantees the updated windows carry a subset of their types.
+    one_type = batch.select("event_type").orderBy("event_type").limit(1).collect()[0][0]
+    second_half = batch.filter(
+        (F.col("ep") > cut) & (F.col("event_type") == one_type)
+    ).drop("ep")
+    assert second_half.count() > 0
+
+    first_half.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = S.read_event_stream(spark, src, schema)
+        agg = tumbling_window_agg(stream.withWatermark("ts", "1 hour"))
+        S.stream_upsert_partitioned(agg, target, ckpt)
+
+    drain()
+    second_half.write.mode("append").parquet(src)
+    drain()
+
+    landed = first_half.unionByName(second_half)
+    want = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in tumbling_window_agg(landed).collect()
+    }
+    got = {
+        (r.ws, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == want
