@@ -264,16 +264,34 @@ def _bit_value(j: int) -> int:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) via explode → 64 conditional-SUM aggregates —
     the scalable form (same reasoning as ``minhash_signatures``):
-    per exploded token one xxhash64 + 64 bit tests, all inside
-    whole-stage codegen; the shuffle carries 64 longs per doc."""
+    per exploded token one hash + 64 bit tests, all inside
+    whole-stage codegen; the shuffle carries 64 longs per doc.
+
+    ``token_hash``: ``'xxhash64'`` (fastest, engine-private) or
+    ``'md5'`` — a 60-bit value from the md5 hex prefix. md5 is
+    engine-portable (DuckDB computes the identical digest), which
+    makes the whole signature — and every downstream pair — exactly
+    reproducible by the SQL oracle; the 4 zero bits only thin the
+    sketch by 1/16th of its positions."""
+    if token_hash == "xxhash64":
+        h = "xxhash64(__t)"
+    elif token_hash == "md5":
+        # 15 hex chars = 60 bits: fits a signed BIGINT exactly, and
+        # conv()'s unsigned reading can't overflow into the sign bit.
+        h = "CAST(conv(substring(md5(__t), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        raise ValueError(f"unsupported token_hash {token_hash!r}")
     ex = (
         spread(df)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
-        .select(F.col(id_col), F.xxhash64("__t").alias("__h"))
+        .select(F.col(id_col), F.expr(h).alias("__h"))
     )
     # expr strings: the Column-tree form of these 64 aggregates plus
     # the 64-term bit fold cost ~2 s of pure Python plan-construction
@@ -300,6 +318,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket_size: int = 1000,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -314,7 +333,7 @@ def simhash_pairs(
     route those to exact dedup)."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, token_hash)
     bands = sigs.select(
         id_col,
         "simhash",

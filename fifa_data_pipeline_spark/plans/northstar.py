@@ -108,9 +108,15 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming ≤ 3 (rows-only)."""
+    """SimHash near-dup pairs, hamming ≤ 3. Oracle-checked: the
+    registered variant uses the engine-portable md5 token hash, so
+    DuckDB reproduces every signature bit-for-bit, and the pigeonhole
+    banding has recall 1 BY CONSTRUCTION for hamming ≤ 3 (≤3 flipped
+    bits cannot touch all 4 bands) — so the banded pair set equals
+    the all-pairs hamming filter at any scale. The xxhash64 variant
+    stays the throughput path (see operators.dedup)."""
     docs = read_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=3, token_hash="md5")
 
 
 def q_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -451,7 +457,6 @@ ORACLES = {
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
     """,
-    # q_simhash_pairs: rows-only (xxhash64 bit votes not SQL-reproducible).
     # q_knn_ivf: rows-only (KMeans centroids not SQL-reproducible).
     "q_knn_exact": """
         WITH q AS (
@@ -666,6 +671,40 @@ ORACLES["q_multimodal_features"] = f"""
                    || CAST(ord(substr(text, length(text), 1)) AS VARCHAR)
                    || '.0]' AS feat_json
         FROM documents
+"""
+
+# SimHash twin: md5-hex fold → 60-bit token hash, 60 conditional-SUM
+# bit votes, sign fold, all-pairs hamming ≤ 3 (pigeonhole banding has
+# recall 1 for hamming ≤ 3, so the banded Spark pair set is exactly
+# the all-pairs filter).
+_MD5_60 = (
+    "list_reduce(list_transform(range(1, 16), "
+    "j -> CAST(strpos('0123456789abcdef', substr(md5(tok), j, 1)) - 1 "
+    "AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+_SIM_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+    for j in range(60)
+)
+_SIM_FOLD = " + ".join(
+    f"CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(60)
+)
+
+ORACLES["q_simhash_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), h AS (
+          SELECT doc_id, {_MD5_60} AS h FROM t
+        ), votes AS (
+          SELECT doc_id, {_SIM_VOTES} FROM h GROUP BY doc_id
+        ), sigs AS (
+          SELECT doc_id, ({_SIM_FOLD}) AS sim FROM votes
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        FROM sigs a, sigs b
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.sim, b.sim)) <= 3
 """
 
 ORACLES["q_frame_sample"] = f"""

@@ -42,6 +42,40 @@ TABLES = [
 ]
 
 
+def _engine_confs(spark: SparkSession) -> None:
+    """Right-size runtime-settable knobs for CALLER-PROVIDED sessions
+    (the correctness driver builds a vanilla session; sessions from
+    ``session.get_spark`` already carry these). Only values still at
+    their stock defaults are touched, so an explicit caller config is
+    never overridden:
+
+    - ``shuffle.partitions`` 200 → core count: on local[N] a stock
+      200-partition exchange is pure scheduling overhead (AQE
+      coalesces batch plans, but STREAMING state ops can't — r1's
+      vanilla-session streaming queries ran 200 state tasks).
+    - ``maxPartitionBytes`` 128m → small splits so the single-file
+      local testdata scans parallelize (see session.py discussion;
+      at production file counts this knob is left to the cluster).
+    """
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no SparkContext; leave as-is
+        return
+    import os
+
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    if (
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        .rstrip("b")
+        == "134217728"
+    ):
+        spark.conf.set(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (S7 analogue: typed table scan).
 
@@ -52,6 +86,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (runtime-settable) so the scan works even in a caller-provided
     vanilla session — without it Spark rejects the file outright
     (PARQUET_TYPE_ILLEGAL)."""
+    _engine_confs(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Pin timestamp semantics for caller-provided sessions too:
