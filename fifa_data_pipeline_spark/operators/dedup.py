@@ -191,7 +191,17 @@ def jaccard_verify_pairs(
 ) -> DataFrame:
     """Exact word-k-gram Jaccard over candidate pairs; keeps pairs at
     or above ``threshold``. This is the verification stage after LSH:
-    cost is O(#candidates), not O(n²)."""
+    cost is O(#candidates), not O(n²).
+
+    Plan shape: the candidate pairs shuffle-join the per-doc shingle
+    sets; AQE demotes the (small) pair side to a runtime broadcast.
+    Measured A/B note: forcing explicit ``F.broadcast`` on the pair
+    subtree is ~2× SLOWER here — each broadcast materializes the
+    candidate pipeline as a serialized standalone job, while the
+    shuffle form overlaps both sides and lets AQE pick the strategy.
+    At a scale where computing all corpus shingle arrays twice
+    dominates (very wide docs), pre-prune with a semi-join of the
+    candidate id set against a CHECKPOINTED pair set instead."""
     sets = spread(df).select(
         F.col(id_col), shingles(text_col, k).alias("__set")
     )
