@@ -49,6 +49,29 @@ def test_latest_per_group_join_keeps_ties(spark):
     assert out.columns == df.columns
 
 
+def test_latest_per_group_join_drops_all_null_groups(spark):
+    """ADVICE r1 regression: a group whose order column is entirely
+    NULL must vanish (agg+join semantics) — rank() alone would keep
+    it. Mixed groups ignore their NULL rows."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        latest_per_group_join,
+        latest_per_group_agg_join,
+    )
+    import datetime as dt
+
+    rows = [
+        (1, dt.date(2024, 1, 1), "keep-old"),
+        (1, dt.date(2024, 2, 1), "keep-new"),
+        (1, None, "null-row"),
+        (2, None, "all-null-a"),
+        (2, None, "all-null-b"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "d", "tag"])
+    win = {(r.k, r.tag) for r in latest_per_group_join(df, "k", "d").collect()}
+    agg = {(r.k, r.tag) for r in latest_per_group_agg_join(df, "k", "d").collect()}
+    assert win == agg == {(1, "keep-new")}
+
+
 def test_latest_per_group_window_single_row(spark):
     df = spark.createDataFrame(
         [(1, 10, 100), (1, 10, 200), (1, 9, 300), (2, 5, 400)],

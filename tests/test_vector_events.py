@@ -169,3 +169,58 @@ def test_resample_fill_zero_fills_gaps(spark):
     assert got[(h0 + 3600, "a")] == 0 and got[(h0 + 3600, "b")] == 0
     assert got[(h0 + 7200, "b")] == 1 and got[(h0 + 7200, "a")] == 0
     assert len(got) == 6  # 3 hours x 2 keys, dense
+
+
+def test_resample_fill_multi_count_freq(spark):
+    """ADVICE r1 regression: non-'1 <unit>' freqs must bucket
+    arithmetically (the old date_trunc form returned EMPTY for
+    '15 minutes' because 'minutes' is not a trunc unit)."""
+    from fifa_data_pipeline_spark.operators.events import resample_fill
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 7), "a"),   # bucket :00
+        (dt.datetime(2024, 1, 1, 0, 22), "a"),  # bucket :15
+        (dt.datetime(2024, 1, 1, 0, 59), "a"),  # bucket :45; :30 empty
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type"])
+    out = resample_fill(df, "ts", "event_type", "15 minutes")
+    got = {r.period_s: r.n_events for r in out.collect()}
+    b0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    assert got == {b0: 1, b0 + 900: 1, b0 + 1800: 0, b0 + 2700: 1}
+
+
+def test_resample_fill_rejects_bad_freq(spark):
+    from fifa_data_pipeline_spark.operators.events import resample_fill
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "a")], ["ts", "event_type"]
+    )
+    import pytest
+
+    for bad in ("fortnight", "2 fortnights", "0 hours", "1.5 hours", ""):
+        with pytest.raises(ValueError):
+            resample_fill(df, "ts", "event_type", bad)
+
+
+def test_grouped_zscore_string_group_key(spark):
+    """ADVICE r1 regression: output schema must follow the input
+    types — a string group key used to hit the hardcoded 'int'."""
+    from fifa_data_pipeline_spark.operators.pandas_ops import grouped_zscore
+
+    df = spark.createDataFrame(
+        [("x", 1, 10.0), ("x", 2, 20.0), ("y", 3, 5.0)], ["g", "id", "v"]
+    )
+    got = {r.id: r.z for r in grouped_zscore(df, "g", "id", "v").collect()}
+    assert got[1] == -0.707107 and got[2] == 0.707107
+
+
+def test_srp_bucket_rejects_column_argument(spark):
+    from fifa_data_pipeline_spark.operators.vector import (
+        random_hyperplanes,
+        srp_bucket,
+    )
+    import pytest
+
+    planes = random_hyperplanes(2, 4)
+    with pytest.raises(TypeError):
+        srp_bucket(F.col("embedding"), planes)
