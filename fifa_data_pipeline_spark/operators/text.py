@@ -161,6 +161,118 @@ def shingles(text_col: str, k: int = 3) -> Column:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window chunking step of a training/RAG pipeline.
+    Returns one row per (doc, chunk): (id, chunk_idx, chunk_text,
+    n_tokens). The final window is the remainder (≥1 token); stride =
+    ``chunk_tokens - overlap``.
+
+    Pure explode-over-expression: window starts come from
+    ``sequence()``, each chunk is ``slice`` + ``concat_ws`` — no
+    Python, no shuffle; scales linearly with input splits. Chunk
+    fan-out is ~n_tokens/stride per doc, so output row count is
+    corpus-token-bound, not doc-bound."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    df = df.withColumn("__toks", tokens(text_col))
+    n = F.size("__toks")
+    # one start per stride covering every token at least once
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__start") + 1, chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("__start"), F.lit(chunk_tokens)
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def repetition_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Intra-document repetition signals (Gopher/RefinedWeb-style
+    quality filters): the fraction of duplicate word k-grams and of
+    duplicate tokens within each document. High ratios flag boiler-
+    plate/spam for removal before training. Per-row expressions only
+    — no shuffle; 6-dp rounding keeps the SQL oracle hash-stable."""
+    toks = tokens(text_col)
+    df = df.withColumn("__toks", toks)
+    n = F.size("__toks")
+    n_grams = n - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
+    )
+    dup_gram = F.when(
+        n_grams >= 1,
+        F.round(
+            (n_grams - F.size(F.array_distinct(grams))) / n_grams, 6
+        ),
+    ).otherwise(F.lit(0.0))
+    dup_tok = F.round(
+        (n - F.size(F.array_distinct("__toks"))) / n, 6
+    )
+    return df.select(
+        F.col(id_col),
+        dup_gram.alias("dup_gram_ratio"),
+        dup_tok.alias("dup_token_ratio"),
+    )
+
+
+#: PII patterns shared by the Spark expression and the DuckDB oracle
+#: (kept to syntax both regex engines — Java util.regex and RE2 —
+#: read identically).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() .-]{7,}[0-9]"
+
+
+def pii_scrub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Redact email addresses and phone-number-shaped spans, counting
+    redactions per document — the compliance scrub every corpus
+    pipeline runs before training. Emails are replaced first (their
+    digits would otherwise be re-matched by the phone pattern).
+    Pure per-row regexp expressions; at 100 TB this is a map-only
+    stage that rides whatever partitioning the scan provides."""
+    n_email = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(PII_EMAIL), F.lit(0))
+    )
+    no_email = F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>")
+    n_phone = F.size(F.regexp_extract_all(no_email, F.lit(PII_PHONE), F.lit(0)))
+    clean = F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (n_email + n_phone).cast("bigint").alias("n_redactions"),
+    )
+
+
 def rolling_hash(
     df: DataFrame, text_col: str = "text", alias: str = "rfp",
     base: int = 31, mod: int = 1_000_000_007, init: int = 7,

@@ -38,6 +38,7 @@ def _load() -> None:
         extended4,
         extended5,
         extended6,
+        extended7,
         northstar,
         parity,
         streaming_queries,
@@ -51,6 +52,7 @@ def _load() -> None:
     _merge(extended4)
     _merge(extended5)
     _merge(extended6)
+    _merge(extended7)
     _merge(streaming_queries)
 
 
