@@ -70,11 +70,51 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases ⋈ the views
+    that preceded them within 1 hour, both sides streaming. The batch
+    equivalence is pinned by
+    test_streaming.py::test_stream_interval_join_matches_batch."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    purchases = S.read_event_stream(spark, src, schema).where(
+        "event_type = 'purchase'"
+    )
+    views = S.read_event_stream(spark, src, schema).where(
+        "event_type = 'view'"
+    )
+    name = f"q_stream_ivj_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.stream_interval_join(purchases, views), name, "append"
+    )
+    return spark.table(name)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark); events are landed twice so the
+    second copy is dropped — output equals the single-copy batch."""
+    src = _land_events(spark, sf_dir)
+    ev = spark.read.parquet(src)
+    ev.write.mode("append").parquet(src)  # duplicate every event
+    schema = ev.schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.stream_dedup(stream).select("event_id", "user_id", "event_type"),
+        name,
+        "append",
+    )
+    return spark.table(name)
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_session_window": q_stream_session_window,
     "q_stream_hopping": q_stream_hopping,
+    "q_stream_interval_join": q_stream_interval_join,
+    "q_stream_dedup": q_stream_dedup,
 }
 
 ORACLES: dict[str, str] = {}
