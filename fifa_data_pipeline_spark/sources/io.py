@@ -23,6 +23,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -76,6 +78,16 @@ def _engine_confs(spark: SparkSession) -> None:
         )
 
 
+#: Per-session cache of analyzed table scans (a DataFrame is an
+#: immutable logical plan — reusing it is the same catalog pattern as
+#: registering a temp view once). The testdata dirs are read-only
+#: (TESTDATA.md), so a cached plan can never go stale; weak keys let
+#: stopped sessions release their plans.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (S7 analogue: typed table scan).
 
@@ -85,8 +97,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     same thing DuckDB does reading that file). The conf is set here
     (runtime-settable) so the scan works even in a caller-provided
     vanilla session — without it Spark rejects the file outright
-    (PARQUET_TYPE_ILLEGAL)."""
-    _engine_confs(spark)
+    (PARQUET_TYPE_ILLEGAL).
+
+    The analyzed scan is cached per (session, dir, table): footer/
+    schema resolution costs ~0.15 s of py4j+JVM round-trips per call,
+    which at 30 bench queries × 2-4 tables each is seconds of pure
+    fixed cost. The testdata is immutable, so the cached plan is
+    always valid; execution still scans the files each run."""
+    per = _SCAN_CACHE.get(spark)
+    if per is None:
+        per = {}
+        _SCAN_CACHE[spark] = per
+    df = per.get((sf_dir, name))
+    if df is not None:
+        return df
+    if "confs" not in per:
+        _engine_confs(spark)
+        per["confs"] = True
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Pin timestamp semantics for caller-provided sessions too:
@@ -96,6 +123,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    per[(sf_dir, name)] = df
     return df
 
 
