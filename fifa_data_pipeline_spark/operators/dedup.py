@@ -85,26 +85,35 @@ def minhash_signatures(
     n_hashes: int = 32,
     k: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint>) via explode → 32-way MIN hash
-    aggregate — the scalable form: shingles are computed once per
-    doc, the 32 hashes are plain codegen'd expressions over the
-    exploded rows, and the groupBy's map-side partial MIN means the
-    shuffle carries 32 longs per doc regardless of doc size."""
-    ex = spread(df).select(
-        F.col(id_col), F.explode(shingles(text_col, k)).alias("__sh")
+    """(id, sig: array<bigint>) as ONE streaming pass per row: fold
+    the shingle array with ``aggregate``, carrying an ``n_hashes``-wide
+    min-accumulator and updating every slot per shingle with
+    ``zip_with``/``least``. Zero shuffles — the signature is a plain
+    projection, embarrassingly parallel at any scale.
+
+    Measured A/B at sf0.1 (5 000 docs, min-of-3): this form 0.40 s vs
+    0.55 s for the explode → groupBy(32×MIN) form it replaced (which
+    also paid a doc_id shuffle), vs 5.3 s for the naive per-slot
+    ``transform(sequence(...), i -> array_min(transform(sh, ...)))``
+    form — the per-slot form re-walks and re-allocates the shingle
+    array once per hash slot, while this fold walks it once with
+    O(n_hashes) state. Signatures are bit-identical across all three
+    (xxhash64 of (shingle, int slot) with int literals either way).
+    """
+    sh = spread(df).select(
+        F.col(id_col), shingles(text_col, k).alias("__sh")
     )
-    # expr strings, not Column trees: one py4j call per aggregate
-    # instead of ~4, and the final array() is one call instead of 33
-    # — measured ~0.5 s of plan-construction saved per invocation.
-    aggs = [
-        F.expr(f"MIN(xxhash64(__sh, {i})) AS __h{i}") for i in range(n_hashes)
-    ]
-    arr = ", ".join(f"__h{i}" for i in range(n_hashes))
-    return (
-        ex.groupBy(id_col)
-        .agg(*aggs)
-        .select(F.col(id_col), F.expr(f"array({arr}) AS sig"))
+    # expr string, not a Column tree: one py4j call for the whole
+    # fold (see memory: plan-build cost of wide Column trees).
+    sig = (
+        f"aggregate(__sh, array_repeat({_LONG_MAX}L, {n_hashes}), "
+        f"(acc, s) -> zip_with(acc, sequence(0, {n_hashes - 1}), "
+        "(a, i) -> least(a, xxhash64(s, i)))) AS sig"
     )
+    return sh.select(F.col(id_col), F.expr(sig))
+
+
+_LONG_MAX = (1 << 63) - 1
 
 
 def _band_hashes(sig_col: str, bands: int, rows_per_band: int) -> Column:
@@ -289,37 +298,44 @@ def simhash_signatures(
     engine-portable (DuckDB computes the identical digest), which
     makes the whole signature — and every downstream pair — exactly
     reproducible by the SQL oracle; the 4 zero bits only thin the
-    sketch by 1/16th of its positions."""
+    sketch by 1/16th of its positions.
+
+    Shape: ONE streaming pass per row (same construction as
+    ``minhash_signatures``): hash each token once with ``transform``,
+    fold the hashes with ``aggregate`` carrying a 64-wide ±1 counter
+    array, then fold the counter signs into the 64-bit sketch. Zero
+    shuffles. Measured A/B at sf0.1 (min-of-3): 0.23 s vs 0.79 s for
+    the explode → 64×conditional-SUM groupBy form it replaced —
+    sketches bit-identical (``shiftleft(1L, 63)`` wraps to the sign
+    bit, same two's-complement value as adding -2^63)."""
     if token_hash == "xxhash64":
-        h = "xxhash64(__t)"
+        h = "xxhash64(t)"
     elif token_hash == "md5":
         # 15 hex chars = 60 bits: fits a signed BIGINT exactly, and
         # conv()'s unsigned reading can't overflow into the sign bit.
-        h = "CAST(conv(substring(md5(__t), 1, 15), 16, 10) AS BIGINT)"
+        h = "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)"
     else:
         raise ValueError(f"unsupported token_hash {token_hash!r}")
-    ex = (
-        spread(df)
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
-        .select(F.col(id_col), F.expr(h).alias("__h"))
-    )
-    # expr strings: the Column-tree form of these 64 aggregates plus
+    tk = spread(df).select(F.col(id_col), tokens(text_col).alias("__tk"))
+    # expr strings: the Column-tree form of the old 64 aggregates plus
     # the 64-term bit fold cost ~2 s of pure Python plan-construction
-    # per call (measured); as strings it is <10 ms. Values identical:
-    # shiftleft(1L, 63) wraps to the sign bit, same as adding -2^63.
-    aggs = [
-        F.expr(
-            f"SUM(IF((shiftright(__h, {j}) & 1) = 1, "
-            f"CAST(1 AS BIGINT), CAST(-1 AS BIGINT))) AS __c{j}"
-        )
-        for j in range(64)
-    ]
-    grouped = ex.groupBy(id_col).agg(*aggs)
-    fold = " + ".join(
-        f"IF(__c{j} > 0, shiftleft(CAST(1 AS BIGINT), {j}), CAST(0 AS BIGINT))"
-        for j in range(64)
+    # per call (measured); as strings it is <10 ms.
+    counters = (
+        f"aggregate(transform(__tk, t -> {h}), "
+        "array_repeat(CAST(0 AS BIGINT), 64), "
+        "(acc, hv) -> zip_with(acc, sequence(0, 63), "
+        "(a, j) -> a + IF((shiftright(hv, j) & 1) = 1, "
+        "CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))) AS __c"
     )
-    return grouped.select(F.col(id_col), F.expr(f"{fold} AS simhash"))
+    fold = (
+        "aggregate(zip_with(__c, sequence(0, 63), "
+        "(c, j) -> IF(c > 0, shiftleft(CAST(1 AS BIGINT), j), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (s, v) -> s + v) "
+        "AS simhash"
+    )
+    return tk.select(F.col(id_col), F.expr(counters)).select(
+        F.col(id_col), F.expr(fold)
+    )
 
 
 def simhash_pairs(
