@@ -74,17 +74,20 @@ def main() -> None:
 
     run("q_flagship")  # warmup: JVM + codegen + parquet footer cache
 
-    # Steady-state per query: min of 2 runs. The first run of each
+    # Steady-state per query: min of 3 runs. The first run of each
     # query shape pays one-time plan analysis + whole-stage-codegen
     # compilation (~0.3-0.8s) that is irrelevant at production scale;
-    # cold totals are reported alongside for transparency.
+    # cold totals are reported alongside for transparency. Min-of-3
+    # (not mean): this box's timings vary up to 3x run-to-run under
+    # external load, and the minimum is the reproducible steady-state
+    # number (BASELINE.md measures DuckDB the same way, warm min-of-3).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
         if name in queries:
-            first, second = run(name), run(name)
-            cold[name] = round(first, 4)
-            timings[name] = round(min(first, second), 4)
+            runs = [run(name) for _ in range(3)]
+            cold[name] = round(runs[0], 4)
+            timings[name] = round(min(runs), 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

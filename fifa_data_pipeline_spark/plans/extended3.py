@@ -148,10 +148,24 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts. Pair fan-out is basket-size², so at corpus scale cap or
     split pathological baskets (a 10k-item basket = 50M pairs);
     typical baskets here are ~4 items → ~6 pairs. The same shape
-    powers token/document co-occurrence mining."""
+    powers token/document co-occurrence mining.
+
+    The explicit ``repartition(cores, group_key)`` pins the ONE
+    basket exchange at full width: it is the exact hash partitioning
+    the groupBy needs (so no extra shuffle — Catalyst reuses it), but
+    as a user-specified count AQE will not coalesce it down. Without
+    it, AQE's byte-based sizing sees ~5 MB of shuffled keys and
+    coalesces the reduce side to ~4 tasks — under-provisioning the
+    CPU-dense pair expansion that runs in that same stage (pair
+    fan-out is quadratic in basket size, invisible to byte stats).
+    Measured at sf0.1 (min-of-4, quiet box): 0.63-0.73 s vs
+    1.02-1.17 s unpinned."""
+    spark_cores = spark.sparkContext.defaultParallelism
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    baskets = (
+        li.repartition(spark_cores, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
     )
     pairs = baskets.select(
         F.explode(
