@@ -49,15 +49,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Split-size lever (the "size maxPartitionBytes" knob): the
-        # local testdata tables are single sub-128MB parquet files,
-        # which the stock 128m default reads as ONE split — serializing
-        # the map side of every first exchange. 8m keeps small files
-        # parallel across cores (measured: -27% on MinHash at sf0.1,
-        # no regression on sub-second queries). On a real cluster with
-        # many-file inputs, set SPARK_GRAFT_MAX_PARTITION_BYTES=128m —
-        # at 100 TB the default split count is already ≫ cores and
-        # smaller splits only add scheduling overhead.
+        # Split-size lever (the "size maxPartitionBytes" knob): 8m
+        # keeps genuinely multi-row-group small files parallel across
+        # cores. NOTE the local testdata files are each ONE row group,
+        # which byte splits cannot parallelize (a row group is read
+        # whole by the split holding its midpoint) — a controlled A/B
+        # at sf0.1 shows 8m vs 128m makes no measurable difference on
+        # this data (SCALE.md); scan parallelism there comes from
+        # layout + spread(). On a real cluster with many-file inputs,
+        # set SPARK_GRAFT_MAX_PARTITION_BYTES=128m — at 100 TB the
+        # default split count is already ≫ cores and smaller splits
+        # only add scheduling overhead.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
