@@ -121,8 +121,19 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reading) is UTC. Runtime-settable, idempotent.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # TIMESTAMP(NANOS) file read as int64 under nanosAsLong.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) file (the
+            # driver's round-3 testdata): Spark 4 infers TIMESTAMP_NTZ,
+            # which epoch functions (unix_micros/unix_timestamp)
+            # reject. With the session tz pinned to UTC the cast keeps
+            # the wall-clock values bit-identical to the oracle's
+            # naive reading while restoring TimestampType downstream.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per[(sf_dir, name)] = df
     return df
 

@@ -35,8 +35,14 @@ def read_event_stream(
     pinned (streaming sources don't infer). If ``ts`` arrives as
     int64 nanos (see sources.io.read_table), rebuild the timestamp."""
     df = spark.readStream.schema(schema).parquet(src_dir)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, T.TimestampNTZType):
+        # µs-NTZ parquet (round-3 testdata); normalize to TimestampType
+        # in the UTC session so epoch funcs and watermarks behave as
+        # with the rebuilt-nanos path (see sources.io.read_table).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
