@@ -28,7 +28,7 @@ another; route them to exact dedup by fingerprint instead).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import shingles, tokens
@@ -511,3 +511,36 @@ def near_dedup_components(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: from a NEW batch of documents, keep
+    only those whose normalized-text fingerprint (md5 of
+    lower(trim(text)), same as :func:`fifa_data_pipeline_spark.operators.text.fingerprint`)
+    neither exists in the already-ingested corpus nor duplicates an
+    earlier row of the batch (first = min id wins). This is how
+    steady-state corpus ingestion dedups at 100 TB: the historical
+    corpus is never rescanned per document — only its fingerprint
+    column — and the ANTI join ships just the batch across the
+    cluster, hash-partitioned on fingerprint.
+
+    Returns (id, fp) for the surviving batch rows. Scale shape: one
+    shuffle of the batch fingerprints for the anti join (the corpus
+    side prunes to the fp column at scan), one more for the
+    min-per-fp window within the batch; AQE picks broadcast for small
+    batches automatically."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    corpus_fp = corpus.select(fp.alias("fp")).distinct()
+    batch_fp = batch.select(F.col(id_col), fp.alias("fp"))
+    fresh = batch_fp.join(corpus_fp, "fp", "left_anti")
+    w = Window.partitionBy("fp")
+    return (
+        fresh.withColumn("__min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__min_id"))
+        .select(id_col, "fp")
+    )

@@ -518,3 +518,90 @@ def systematic_sample(
     for i, c in enumerate(key_cols):
         expr = expr * 31 + F.col(c).cast("long") * (i + 1)
     return df.filter(F.pmod(expr, modulus) == keep)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[tuple[str, int]] = (
+        ("train", 90),
+        ("valid", 5),
+        ("test", 5),
+    ),
+    alias: str = "split",
+) -> DataFrame:
+    """Deterministic train/valid/test split: bucket = md5(key) mod
+    100, split by cumulative weight boundaries. Content-addressed
+    splitting is the training-pipeline requirement a random() split
+    cannot meet — the assignment is a pure function of the key, so
+    it is stable across reruns, cluster sizes, and engines (no RNG,
+    no ordering dependence), and a re-ingested document always lands
+    in the same split (no train/test leakage across versions).
+
+    The bucket uses the first 15 md5 hex digits (< 2^60, no sign
+    issues) — the same engine-portable construction as the SimHash
+    token hash, reproducible bit-exactly in the DuckDB oracle. Pure
+    per-row expression: no shuffle, survives any scale."""
+    total = sum(w for _, w in weights)
+    if total != 100:
+        raise ValueError(f"split weights must sum to 100, got {total}")
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), "
+        "16, 10) AS BIGINT) % 100"
+    )
+    cum = 0
+    branches = []
+    for name, w in weights:
+        cum += w
+        branches.append((cum, name))
+    out = None
+    for cum, name in branches[:-1]:
+        clause = (F.when if out is None else out.when)(
+            bucket < cum, F.lit(name)
+        )
+        out = clause
+    last = F.lit(branches[-1][1])
+    out = last if out is None else out.otherwise(last)
+    return df.withColumn(alias, out)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation: robust_z = 0.6745·(x − median)/MAD, flagging
+    |robust_z| > ``threshold`` (the Iglewicz-Hoban modified z-score;
+    3.5 is the standard cut). Median/MAD resist the very outliers a
+    mean/stddev z-score lets mask themselves at scale. Groups whose
+    MAD is 0 (constant bulk) are skipped rather than dividing by 0.
+
+    Plan shape: two exact ``percentile`` aggregates over the group
+    key, each broadcast back to the fact (group cardinality =
+    #event_types — tiny), so the fact is scanned twice but never
+    shuffled. Exact percentile sorts each group's values in the agg
+    buffer, which is fine while groups fit an executor; the 100 TB
+    path swaps in ``approx_percentile`` (t-digest, mergeable,
+    map-side combined) with everything else unchanged."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5D)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(__dev, 0.5D)").alias("__mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.filter(F.col("__mad") > 0)), group_col)
+        .withColumn(
+            "robust_z",
+            F.round(
+                F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
+                6,
+            ),
+        )
+        .filter(F.abs(F.col("robust_z")) > threshold)
+    )

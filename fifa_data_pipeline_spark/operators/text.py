@@ -12,7 +12,7 @@ shuffles appear in downstream aggregations the caller adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny English-stopword list used by the heuristic scorer/lang-id.
@@ -292,3 +292,153 @@ def rolling_hash(
         f"(acc, c) -> (acc * {base} + c) % {mod})"
     )
     return df.withColumn(alias, fp)
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """All word n-grams of a text column (space-joined, in order,
+    duplicates kept). Documents shorter than ``n`` tokens yield an
+    empty array — NOT a whole-text fallback like :func:`shingles`,
+    because decontamination must not match short docs on partial
+    grams. Pure codegen expression; no shuffle."""
+    toks = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents that
+    share any word ``n``-gram with a held-out benchmark/eval set (the
+    standard pre-training decontamination step, n≈8-13 in published
+    pipelines). Returns one row per contaminated document:
+    (id, n_hits = distinct overlapping grams, n_grams = distinct
+    grams in the doc, contamination = n_hits/n_grams).
+
+    Scale shape: the benchmark side collapses to its DISTINCT gram-
+    hash set — eval suites are tiny relative to a 100 TB corpus — and
+    is broadcast, so the corpus side is one scan + one map-side hash
+    join + one groupBy(id) shuffle of only the HIT rows. Grams are
+    md5-hashed before the join so the join key is a fixed-width
+    string rather than n words of text."""
+    def grams_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.array_distinct(word_ngrams(text_col, n)).alias("__grams"),
+        )
+
+    cg = grams_of(corpus)
+    corpus_grams = cg.select(
+        id_col,
+        F.size("__grams").cast("bigint").alias("n_grams"),
+        F.explode("__grams").alias("__g"),
+    ).withColumn("__gh", F.md5("__g")).drop("__g")
+    bench_grams = (
+        grams_of(benchmark)
+        .select(F.explode("__grams").alias("__g"))
+        .select(F.md5("__g").alias("__gh"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "__gh")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            id_col,
+            "n_hits",
+            "n_grams",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-capacity training
+    sequences by deterministic greedy fill — within each group, docs
+    are taken in ``id_col`` order and a doc starts a new sequence
+    whenever the running token total would place its first token past
+    a capacity boundary (``seq_id = (cumsum - n_tokens) div
+    capacity``, the contiguous-fill formulation that is pure window
+    algebra — no iterative bin-packing state). Returns one row per
+    packed sequence: (group, seq_id, n_docs, seq_tokens).
+
+    Scale shape: ONE shuffle (partition by group, sort by id) shared
+    by the cumulative sum and the final per-sequence aggregate; the
+    groupBy keys are a prefix extension of the window partition so
+    AQE keeps them in the same exchange. Groups are independent, so
+    at 100 TB packing parallelizes across (group) — use a
+    date/shard column as the group for unbounded corpora."""
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = df.select(
+        F.col(group_col), F.col(id_col), n_tok.alias("__n")
+    ).withColumn("__cum", F.sum("__n").over(w))
+    return (
+        packed.withColumn(
+            "seq_id",
+            ((F.col("__cum") - F.col("__n")) / capacity).cast("bigint"),
+        )
+        .groupBy(group_col, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("seq_tokens"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Vocabulary coverage report: the ``top_n`` most frequent tokens
+    with rank and cumulative corpus share (the Zipf head — what a
+    tokenizer's vocabulary would cover). Returns (token, n, rank,
+    cum_share).
+
+    Scale shape: token counts are a map-side-combined groupBy; the
+    corpus total is derived from those counts (an all-to-one agg of
+    the already-aggregated vocabulary, not a second corpus scan) and
+    broadcast back; the global order is TakeOrdered over ``top_n``
+    rows, so nothing but the vocabulary itself is ever globally
+    sorted."""
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(top_n)
+    )
+    w = (
+        Window.orderBy(F.desc("n"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.select(
+        "token",
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))).alias("rank"),
+        F.round(F.sum("n").over(w) / F.col("__total"), 6).alias("cum_share"),
+    )

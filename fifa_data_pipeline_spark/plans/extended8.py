@@ -1,0 +1,213 @@
+"""Training-data curation queries (round 3): benchmark
+decontamination, sequence packing, deterministic train/test split,
+incremental corpus dedup, robust outlier detection, and vocabulary
+coverage — the remaining standard stages between "clean corpus" and
+"training batches" (the reference has none of these, SURVEY.md §2.5;
+this is north-star surface graded as first-class).
+
+Every query has an exact DuckDB oracle: hash-based constructions use
+the engine-portable md5 idiom (conv/hex-fold reproduces the same
+integers bit-exactly in both engines, as established for the SimHash
+token hash in plans/northstar.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators import dedup as D
+from fifa_data_pipeline_spark.operators import relational as R
+from fifa_data_pipeline_spark.operators import text as X
+from fifa_data_pipeline_spark.sources.io import read_table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+#: DuckDB twin of Spark's CAST(conv(substring(md5(x),1,15),16,10) AS
+#: BIGINT): fold the first 15 hex digits of md5 as base-16.
+_MD5_BUCKET = (
+    "list_reduce(list_transform(range(1, 16), "
+    "j -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b) % 100"
+)
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed 90/5/5 split of documents with
+    per-(split, source) counts — stable across reruns/engines because
+    the bucket is md5(doc_id) mod 100, not RNG."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        R.hash_split(docs, "doc_id")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-gram decontamination of the corpus against a synthetic
+    benchmark set (docs with doc_id % 97 = 0 stand in for the eval
+    suite): corpus docs sharing any n-gram with the benchmark are
+    flagged with overlap counts. n=4 here because the synthetic docs
+    are ~30-token word soup (published pipelines use 8-13 over real
+    prose; the operator takes n as a parameter)."""
+    docs = read_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return X.decontaminate(corpus, benchmark, "doc_id", "text", n=4)
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 2048-token training sequences per source
+    (deterministic contiguous fill in doc_id order); one row per
+    sequence with doc count and token total."""
+    docs = read_table(spark, sf_dir, "documents")
+    return X.pack_sequences(docs, "doc_id", "text", "source", capacity=2048)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: docs with doc_id % 10 = 7 arrive
+    as the new batch; survivors are those whose fingerprint is absent
+    from the standing corpus (the other 90%) and first within the
+    batch."""
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return D.incremental_dedup(corpus, batch, "doc_id", "text")
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outliers: |modified z| > 3.5 via
+    median/MAD (Iglewicz-Hoban)."""
+    events = read_table(spark, sf_dir, "events")
+    return R.mad_outliers(events, "event_type", "value", threshold=3.5).select(
+        "event_id", "event_type", "value", "robust_z"
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 vocabulary with rank and cumulative corpus share (the
+    Zipf head a tokenizer vocabulary would cover)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return X.vocab_coverage(docs, "text", top_n=100)
+
+
+QUERIES = {
+    "q_train_test_split": q_train_test_split,
+    "q_decontaminate": q_decontaminate,
+    "q_seq_pack": q_seq_pack,
+    "q_dedup_incremental": q_dedup_incremental,
+    "q_mad_outliers": q_mad_outliers,
+    "q_vocab_coverage": q_vocab_coverage,
+}
+
+_GRAMS4 = (
+    "CASE WHEN len(toks) >= 4 THEN "
+    "[array_to_string(toks[i : i + 3], ' ') "
+    "for i in range(1, len(toks) - 2)] "
+    "ELSE [] END"
+)
+
+ORACLES = {
+    "q_train_test_split": f"""
+        WITH b AS (
+          SELECT source, n_chars, {_MD5_BUCKET} AS bucket FROM documents
+        )
+        SELECT CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'valid'
+                    ELSE 'test' END AS split,
+               source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM b GROUP BY 1, 2
+    """,
+    "q_decontaminate": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), g AS (
+          SELECT doc_id, list_distinct({_GRAMS4}) AS grams FROM t
+        ), bench AS (
+          SELECT DISTINCT md5(g) AS gh
+          FROM g, unnest(grams) AS u(g)
+          WHERE doc_id % 97 = 0
+        ), corpus AS (
+          SELECT doc_id, len(grams) AS n_grams, md5(g) AS gh
+          FROM g, unnest(grams) AS u(g)
+          WHERE doc_id % 97 <> 0
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_hits,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               ROUND(COUNT(*) / n_grams, 6) AS contamination
+        FROM corpus JOIN bench USING (gh)
+        GROUP BY doc_id, n_grams
+    """,
+    "q_seq_pack": f"""
+        WITH t AS (
+          SELECT source, doc_id, len({_TOKS}) AS n FROM documents
+        ), c AS (
+          SELECT source, doc_id, n,
+                 SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM t
+        )
+        SELECT source,
+               CAST((cum - n) // 2048 AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS seq_tokens
+        FROM c GROUP BY source, seq_id
+    """,
+    "q_dedup_incremental": """
+        WITH fp AS (
+          SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+        ), corpus AS (
+          SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 7
+        ), batch AS (
+          SELECT * FROM fp WHERE doc_id % 10 = 7
+        )
+        SELECT doc_id, fp FROM batch
+        WHERE fp NOT IN (SELECT fp FROM corpus)
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    """,
+    "q_mad_outliers": """
+        WITH med AS (
+          SELECT event_type, median(value) AS med
+          FROM events GROUP BY event_type
+        ), dev AS (
+          SELECT e.event_id, e.event_type, e.value,
+                 ABS(e.value - m.med) AS dev, m.med
+          FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+          SELECT event_type, median(dev) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT d.event_id, d.event_type, d.value,
+               ROUND(0.6745 * (d.value - d.med) / m.mad, 6) AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE m.mad > 0
+          AND ABS(ROUND(0.6745 * (d.value - d.med) / m.mad, 6)) > 3.5
+    """,
+    "q_vocab_coverage": f"""
+        WITH tok AS (
+          SELECT unnest({_TOKS}) AS token FROM documents
+        ), counts AS (
+          SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        ), ranked AS (
+          SELECT token, n,
+                 CAST(ROW_NUMBER() OVER
+                      (ORDER BY n DESC, token) AS INTEGER) AS rank,
+                 SUM(n) OVER (ORDER BY n DESC, token
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 SUM(n) OVER () AS total
+          FROM counts
+        )
+        SELECT token, n, rank, ROUND(cum / total, 6) AS cum_share
+        FROM ranked WHERE rank <= 100
+    """,
+}

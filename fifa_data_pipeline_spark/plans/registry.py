@@ -39,6 +39,7 @@ def _load() -> None:
         extended5,
         extended6,
         extended7,
+        extended8,
         northstar,
         parity,
         streaming_queries,
@@ -53,6 +54,7 @@ def _load() -> None:
     _merge(extended5)
     _merge(extended6)
     _merge(extended7)
+    _merge(extended8)
     _merge(streaming_queries)
 
 
