@@ -52,6 +52,14 @@ HEADLINE = [
     "q_rolling_range",
     "q_event_transitions",
     "q_dq_checks",
+    # round-3 training-data curation operators
+    "q_train_test_split",
+    "q_decontaminate",
+    "q_seq_pack",
+    "q_dedup_incremental",
+    "q_mad_outliers",
+    "q_vocab_coverage",
+    "q_corpus_pipeline",
 ]
 
 

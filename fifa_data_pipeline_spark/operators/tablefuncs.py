@@ -19,6 +19,8 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators.util import exploded
 from pyspark.sql.functions import udtf
 
 #: Default segment boundary: sentence punctuation run + whitespace.
@@ -83,7 +85,9 @@ def split_sentences_native(
         F.transform(F.split(F.col(text_col), pattern), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    return df.select(id_col, F.posexplode(arr).alias("__i", "sentence")).select(
+    return exploded(
+        df, arr, "sentence", keep=[id_col], pos_alias="__i"
+    ).select(
         id_col,
         (F.col("__i") + 1).cast("int").alias("sent_idx"),
         "sentence",

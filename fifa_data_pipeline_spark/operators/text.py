@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import exploded
+
 #: Tiny English-stopword list used by the heuristic scorer/lang-id.
 STOPWORDS = ("the", "a")
 
@@ -112,7 +114,7 @@ def top_tokens(
     """Corpus-wide token frequencies, top n (count desc, token asc).
     Explode → hash aggregate (map-side partial counts) → top-k merge;
     the shuffle carries one row per distinct token per task."""
-    ex = df.select(F.explode(tokens(text_col)).alias("token"))
+    ex = exploded(df, tokens(text_col), "token")
     counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(n)
 
@@ -127,7 +129,7 @@ def tfidf(
     hash aggregates with map-side partials; the df-per-term side is
     one row per distinct token, broadcastable at any corpus size for
     a bounded vocabulary."""
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    ex = exploded(df, tokens(text_col), "token", keep=[id_col])
     tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = ex.groupBy("token").agg(
         F.countDistinct(id_col).alias("__df")
@@ -189,10 +191,9 @@ def chunk_documents(
         F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
     )
     return (
-        df.select(
-            F.col(id_col),
-            F.col("__toks"),
-            F.posexplode(starts).alias("chunk_idx", "__start"),
+        exploded(
+            df, starts, "__start",
+            keep=[id_col, "__toks"], pos_alias="chunk_idx",
         )
         .select(
             id_col,
@@ -294,13 +295,16 @@ def rolling_hash(
     return df.withColumn(alias, fp)
 
 
-def word_ngrams(text_col: str, n: int) -> Column:
-    """All word n-grams of a text column (space-joined, in order,
-    duplicates kept). Documents shorter than ``n`` tokens yield an
+def ngrams_of_tokens(toks: Column, n: int) -> Column:
+    """All word n-grams of a TOKEN ARRAY column (space-joined, in
+    order, duplicates kept); shorter than ``n`` tokens yields an
     empty array — NOT a whole-text fallback like :func:`shingles`,
     because decontamination must not match short docs on partial
-    grams. Pure codegen expression; no shuffle."""
-    toks = tokens(text_col)
+    grams.
+
+    Pass a NAMED column: higher-order lambdas are not subject to
+    common-subexpression elimination, so an inline ``split`` here is
+    re-evaluated once per gram (measured 6× slower at sf0.1)."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -308,6 +312,14 @@ def word_ngrams(text_col: str, n: int) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(text_col: str, n: int) -> Column:
+    """:func:`ngrams_of_tokens` over whitespace tokens of a text
+    column. Convenience/inline form — for bulk pipelines pre-project
+    the token array to a named column and use
+    :func:`ngrams_of_tokens` directly (see its note)."""
+    return ngrams_of_tokens(tokens(text_col), n)
 
 
 def decontaminate(
@@ -329,22 +341,33 @@ def decontaminate(
     is broadcast, so the corpus side is one scan + one map-side hash
     join + one groupBy(id) shuffle of only the HIT rows. Grams are
     md5-hashed before the join so the join key is a fixed-width
-    string rather than n words of text."""
+    string rather than n words of text.
+
+    Plan hygiene (measured 12× at sf0.1): tokens are projected to a
+    named column BEFORE the gram transform (higher-order lambdas get
+    no CSE — an inline split re-evaluates per gram), and the explode
+    goes through :func:`operators.util.exploded` so the optimizer's
+    inferred generate-filter cannot clone the gram builder."""
     def grams_of(df: DataFrame) -> DataFrame:
-        return df.select(
+        toked = df.select(
+            F.col(id_col), tokens(text_col).alias("__toks")
+        )
+        return toked.select(
             F.col(id_col),
-            F.array_distinct(word_ngrams(text_col, n)).alias("__grams"),
+            F.array_distinct(
+                ngrams_of_tokens(F.col("__toks"), n)
+            ).alias("__grams"),
         )
 
     cg = grams_of(corpus)
-    corpus_grams = cg.select(
-        id_col,
-        F.size("__grams").cast("bigint").alias("n_grams"),
-        F.explode("__grams").alias("__g"),
-    ).withColumn("__gh", F.md5("__g")).drop("__g")
+    corpus_grams = exploded(
+        cg,
+        "__grams",
+        "__g",
+        keep=[id_col, F.size("__grams").cast("bigint").alias("n_grams")],
+    ).select(id_col, "n_grams", F.md5("__g").alias("__gh"))
     bench_grams = (
-        grams_of(benchmark)
-        .select(F.explode("__grams").alias("__g"))
+        exploded(grams_of(benchmark), "__grams", "__g")
         .select(F.md5("__g").alias("__gh"))
         .distinct()
     )
@@ -367,7 +390,7 @@ def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    group_col: str = "source",
+    group_col: str | list[str] = "source",
     capacity: int = 2048,
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-capacity training
@@ -385,21 +408,22 @@ def pack_sequences(
     AQE keeps them in the same exchange. Groups are independent, so
     at 100 TB packing parallelizes across (group) — use a
     date/shard column as the group for unbounded corpora."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
     n_tok = F.size(tokens(text_col)).cast("bigint")
     w = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(*groups)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = df.select(
-        F.col(group_col), F.col(id_col), n_tok.alias("__n")
+        *[F.col(g) for g in groups], F.col(id_col), n_tok.alias("__n")
     ).withColumn("__cum", F.sum("__n").over(w))
     return (
         packed.withColumn(
             "seq_id",
             ((F.col("__cum") - F.col("__n")) / capacity).cast("bigint"),
         )
-        .groupBy(group_col, "seq_id")
+        .groupBy(*groups, "seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__n").alias("seq_tokens"),
@@ -422,7 +446,7 @@ def vocab_coverage(
     rows, so nothing but the vocabulary itself is ever globally
     sorted."""
     counts = (
-        df.select(F.explode(tokens(text_col)).alias("token"))
+        exploded(df, tokens(text_col), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )

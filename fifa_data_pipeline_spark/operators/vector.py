@@ -29,6 +29,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import exploded
 from fifa_data_pipeline_spark.sources.io import spread
 
 
@@ -234,9 +235,7 @@ def knn_lsh(
         ],
     )
     q_probed = F.broadcast(
-        q.withColumn("__bkt", F.explode(probes)).select(
-            "qid", "__qvec", "__qn", "__bkt"
-        )
+        exploded(q, probes, "__bkt", keep=["qid", "__qvec", "__qn"])
     )
     scored = (
         c.join(q_probed, "__bkt")
@@ -376,13 +375,17 @@ def embedding_near_dup_pairs(
         *[F.col("__bkt").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)],
     )
     b = (
-        bucketed.withColumn("__probe", F.explode(probes))
-        .select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("__vb"),
-            F.col("__nrm").alias("__nb"),
-            F.col("__probe").alias("__bkt"),
+        exploded(
+            bucketed,
+            probes,
+            "__probe",
+            keep=[
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("__vb"),
+                F.col("__nrm").alias("__nb"),
+            ],
         )
+        .withColumnRenamed("__probe", "__bkt")
     )
     return (
         a.join(b, "__bkt")

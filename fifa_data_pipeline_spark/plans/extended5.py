@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.relational import salted_join
 from fifa_data_pipeline_spark.operators.text import tokens
+from fifa_data_pipeline_spark.operators.util import exploded
 from fifa_data_pipeline_spark.sources.io import read_table, spread
 
 
@@ -139,16 +140,16 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     via broadcast — the only wide shuffles are the two counts."""
     docs = read_table(spark, sf_dir, "documents")
     toked = docs.select(tokens("text").alias("__toks"))
-    bg = toked.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1), "
-                "i -> struct(element_at(__toks, i) AS w1, "
-                "element_at(__toks, i + 1) AS w2))"
-            )
-        ).alias("__p")
+    bg = exploded(
+        toked,
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            "i -> struct(element_at(__toks, i) AS w1, "
+            "element_at(__toks, i + 1) AS w2))"
+        ),
+        "__p",
     ).select("__p.w1", "__p.w2")
-    uni = toked.select(F.explode("__toks").alias("w"))
+    uni = exploded(toked, "__toks", "w")
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     nu = ucnt.agg(F.sum("c").alias("__nu"))
     bcnt_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))

@@ -211,3 +211,103 @@ ORACLES = {
         FROM ranked WHERE rank <= 100
     """,
 }
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus preparation, composed from the
+    round-3 operators in the order a production pipeline runs them:
+
+      exact dedup (fingerprint, min-id wins)
+      → quality filter (≥ 10 tokens)
+      → benchmark decontamination (drop docs sharing a 4-gram)
+      → deterministic 90/5/5 hash split
+      → 2048-token sequence packing per (split, source)
+      → per-(split, source) corpus stats
+
+    One DAG, lazily composed — Catalyst fuses the stages exactly as
+    the reference fuses its five chained temp-view statements
+    (SURVEY.md §3.3). Scale shape: the per-doc stages (fingerprint,
+    token count, grams, bucket) are zero-shuffle projections; the
+    wide steps are one min-per-fp window, one broadcast gram join,
+    and the single (split, source) pack window."""
+    docs = read_table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    deduped = (
+        corpus.withColumn("__fp", F.md5(F.lower(F.trim(F.col("text")))))
+        .withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+    )
+    quality = deduped.filter(F.size(X.tokens("text")) >= 10)
+    contaminated = X.decontaminate(quality, benchmark, "doc_id", "text", n=4)
+    clean = quality.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    split_docs = R.hash_split(clean, "doc_id")
+    seqs = X.pack_sequences(
+        split_docs, "doc_id", "text", ["split", "source"], capacity=2048
+    )
+    return seqs.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("total_tokens"),
+    )
+
+
+QUERIES["q_corpus_pipeline"] = q_corpus_pipeline
+
+ORACLES["q_corpus_pipeline"] = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source,
+             md5(lower(trim(text))) AS fp,
+             {_TOKS} AS toks
+      FROM documents WHERE doc_id % 97 <> 0
+    ), ded AS (
+      SELECT * FROM corpus
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    ), qual AS (
+      SELECT doc_id, source, toks,
+             list_distinct({_GRAMS4}) AS grams
+      FROM ded WHERE len(toks) >= 10
+    ), bt AS (
+      SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0
+    ), bench AS (
+      SELECT DISTINCT g
+      FROM (SELECT list_distinct({_GRAMS4}) AS grams FROM bt),
+           unnest(grams) AS u(g)
+    ), contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(grams) AS g FROM qual)
+      JOIN bench USING (g)
+    ), clean AS (
+      SELECT doc_id, source, len(toks) AS n,
+             {_MD5_BUCKET} AS bucket
+      FROM qual
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), sp AS (
+      SELECT doc_id, source, n,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'valid'
+                  ELSE 'test' END AS split,
+             SUM(n) OVER (PARTITION BY
+                            CASE WHEN bucket < 90 THEN 'train'
+                                 WHEN bucket < 95 THEN 'valid'
+                                 ELSE 'test' END, source
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM clean
+    ), seqs AS (
+      SELECT split, source,
+             (cum - n) // 2048 AS seq_id,
+             COUNT(*) AS n_docs, SUM(n) AS seq_tokens
+      FROM sp GROUP BY split, source, seq_id
+    )
+    SELECT split, source,
+           COUNT(*) AS n_seqs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens
+    FROM seqs GROUP BY split, source
+"""

@@ -67,16 +67,20 @@ _WINDOW = [
     "q_flagship", "q_project", "q_agg_multi", "q_join_fact_dim",
     "q_join_latest", "q_latest_window", "q_topk", "q_distinct",
     # join surface + set ops
-    "q_join_semi", "q_join_anti", "q_join_outer", "q_join_full",
+    "q_join_semi", "q_join_anti", "q_join_outer",
     "q_asof", "q_range_join", "q_union_all",
-    # OLAP aggregates
-    "q_rollup", "q_cube", "q_grouping_sets", "q_percentiles",
+    # OLAP aggregates (q_cube/q_grouping_sets are siblings of
+    # q_rollup — one Expand-based representative suffices here)
+    "q_rollup", "q_percentiles",
     "q_stats_agg", "q_minmax_by",
     # windows / time series
     "q_window_funcs", "q_window_tumbling", "q_window_hopping",
-    "q_sessionize", "q_session_window", "q_resample_fill",
+    "q_sessionize", "q_resample_fill",
     # warehouse patterns
     "q_scd2", "q_cohort_retention", "q_dq_checks",
+    # training-data curation (round 3)
+    "q_train_test_split", "q_decontaminate", "q_seq_pack",
+    "q_dedup_incremental",
     # text analysis + corpus preparation
     "q_token_count", "q_text_quality", "q_lang_id", "q_fingerprint",
     "q_tfidf", "q_doc_chunks", "q_repetition_score", "q_pii_scrub",
