@@ -565,6 +565,109 @@ def hash_split(
     return df.withColumn(alias, out)
 
 
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Per-group quantile clipping (winsorization): values below the
+    ``lo`` / above the ``hi`` exact interpolated percentile are pulled
+    to the fence. The standard robust preprocessing step before
+    feeding heavy-tailed metrics (wages, latencies, token counts) to
+    a model — unlike dropping outliers it preserves row count.
+
+    Returns the input rows plus ``clipped`` (the winsorized value)
+    and ``was_clipped``. Plan shape mirrors :func:`mad_outliers`: one
+    exact-percentile aggregate over the group key broadcast back to
+    the fact — the fact itself never shuffles. At 100 TB swap the
+    exact ``percentile`` for ``approx_percentile`` (mergeable
+    t-digest) with nothing else changing."""
+    fences = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo!r}D)").alias("__lo"),
+        F.expr(f"percentile({value_col}, {hi!r}D)").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(fences), group_col)
+        .withColumn(
+            "clipped",
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+                6,
+            ),
+        )
+        .withColumn(
+            "was_clipped",
+            (F.col(value_col) < F.col("__lo"))
+            | (F.col(value_col) > F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    temperature: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature-reweighted domain mixture sampling —
+    the data-mixing step of a pretraining pipeline (upsample small
+    domains, downsample dominant ones; τ=1 keeps natural proportions,
+    τ→0 approaches uniform across domains, the multinomial-α recipe
+    used by multilingual/LM corpus mixing).
+
+    Per domain d with n_d rows out of N: weight
+    w_d = n_d^τ / Σ n_e^τ, desired take c_d = (target_frac·N)·w_d,
+    acceptance rate r_d = min(1, c_d / n_d). A row is kept iff its
+    content-addressed bucket (md5 of the key, mod 10^6 — the
+    :func:`hash_split` construction) falls below
+    floor(round(r_d·10^6, 3)): reproducible across engines, reruns
+    and partitionings, no RNG. The round-before-floor absorbs
+    sub-ulp differences in pow() between engines.
+
+    Plan shape: one tiny groupBy(domain) count (map-side combined),
+    thresholds broadcast back; the fact is filtered with a pure
+    per-row predicate — no fact shuffle at any scale."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(
+        F.sum("__n").alias("__grand"),
+        F.sum(F.pow("__n", F.lit(temperature))).alias("__wsum"),
+    )
+    thresholds = counts.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        "__n",
+        F.floor(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(target_frac)
+                    * F.col("__grand")
+                    * F.pow("__n", F.lit(temperature))
+                    / F.col("__wsum")
+                    / F.col("__n"),
+                )
+                * 1000000,
+                3,
+            )
+        )
+        .cast("long")
+        .alias("__threshold"),
+    )
+    bucket = F.expr(
+        f"CAST(conv(substring(md5(CAST({key_col} AS STRING)), 1, 15), "
+        "16, 10) AS BIGINT) % 1000000"
+    )
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .filter(bucket < F.col("__threshold"))
+        .withColumnRenamed("__n", "domain_rows")
+        .withColumnRenamed("__threshold", "threshold")
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     group_col: str,

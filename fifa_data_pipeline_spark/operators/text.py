@@ -466,3 +466,36 @@ def vocab_coverage(
         F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))).alias("rank"),
         F.round(F.sum("n").over(w) / F.col("__total"), 6).alias("cum_share"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's
+    own unigram language model — the cheap stand-in for the
+    perplexity-based quality filter every pretraining pipeline runs
+    (CCNet/Gopher-style: drop documents whose tokens are improbable
+    under a reference LM). Higher = more surprising / lower quality
+    under the corpus distribution.
+
+    score(doc) = −(1/|doc|) · Σ_t ln( count(t) / total_tokens )
+
+    Plan shape: one exploded token aggregate builds the LM (one row
+    per distinct token — broadcastable for a bounded vocabulary),
+    then the exploded corpus joins the LM broadcast-side and reduces
+    per document. Two map-side-combined aggregates plus one
+    broadcast join; the corpus shuffles only on ``id_col``."""
+    ex = exploded(df, tokens(text_col), "token", keep=[id_col])
+    lm = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__tc"))
+    total = lm.agg(F.sum("__tc").alias("__total"))
+    return (
+        ex.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.avg(F.log(F.col("__tc") / F.col("__total"))), 6
+            ).alias("nll"),
+        )
+    )

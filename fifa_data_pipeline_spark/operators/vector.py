@@ -472,3 +472,88 @@ def knn_bruteforce_pandas(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "sim", "rank")
     )
+
+
+def l2_normalize(vec_col: Column | str) -> Column:
+    """Unit-normalize an embedding column (double precision). The
+    standard pre-step before cosine retrieval / clustering: once
+    normalized, cosine is a plain dot product and downstream ops can
+    skip per-pair norms entirely."""
+    v = _as_double(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+    n = F.sqrt(dot(v, v))
+    return F.transform(v, lambda x: x / n)
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding centroid, one output row per (label,
+    dimension) — the class-prototype computation behind nearest-
+    centroid classification, IVF coarse quantizers, and cluster
+    drift monitoring.
+
+    Implementation is pure relational: ``posexplode`` the vector and
+    hash-aggregate ``avg`` on (label, dim). One shuffle whose width
+    is #labels × dim — independent of corpus size — and the partial
+    aggregate combines map-side, so 100 TB of embeddings reduce to
+    kilobytes before the exchange."""
+    return (
+        df.select(
+            F.col(label_col),
+            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "__v"),
+        )
+        .groupBy(label_col, "dim")
+        .agg(
+            F.round(F.avg("__v"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i/scale) ∈ [−127, 127] — the storage/bandwidth
+    optimization every large-scale ANN index applies (4× smaller than
+    float32, SIMD-friendly dot products). Returns the quantized array
+    plus round-trip diagnostics (scale, reconstruction RMSE).
+
+    Pure per-row expression pipeline (transform/aggregate higher-order
+    functions, JVM-side, zero shuffle) — at 100 TB this is a map-only
+    stage bounded by scan + write bandwidth."""
+    v = _as_double(F.col(vec_col))
+    scale = (
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        )
+        / 127.0
+    )
+    q = F.transform(v, lambda x: F.round(x / F.col("__scale")).cast("int"))
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.col("__q"),
+                lambda x, qi: (x - qi * F.col("__scale"))
+                * (x - qi * F.col("__scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        / F.size(F.col(vec_col))
+    )
+    return (
+        df.withColumn("__scale", scale)
+        .withColumn("__q", q)
+        .select(
+            id_col,
+            F.round("__scale", 9).alias("scale"),
+            F.col("__q").alias("q_vec"),
+            F.round(err, 9).alias("rmse"),
+        )
+    )

@@ -1,0 +1,308 @@
+"""Feature-engineering & signal queries (round 3b): quantile
+clipping, domain mixture sampling, embedding centroids/quantization,
+linear gap interpolation, bounded-lookback EWMA, unigram-LM quality
+scoring, and passage-level dedup — the feature-preparation layer
+between a cleaned corpus and model inputs (north-star surface; the
+reference has none of these, SURVEY.md §2.5/§2.6).
+
+Every query has an exact DuckDB oracle. FP-sensitive outputs are
+rounded to 6 digits with accumulation order matched between engines;
+hash-based constructions reuse the engine-portable md5 fold
+established in plans/extended8.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators import events as E
+from fifa_data_pipeline_spark.operators import relational as R
+from fifa_data_pipeline_spark.operators import text as X
+from fifa_data_pipeline_spark.operators import vector as V
+from fifa_data_pipeline_spark.sources.io import read_table
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+#: DuckDB twin of Spark's CAST(conv(substring(md5(x),1,15),16,10) AS
+#: BIGINT) % 1000000 (see relational.hash_split / mixture_sample).
+_MD5_BUCKET_1M = (
+    "list_reduce(list_transform(range(1, 16), "
+    "j -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b) % 1000000"
+)
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p01/p99 winsorization of the value column —
+    every row kept, tails pulled to the exact interpolated fences."""
+    ev = read_table(spark, sf_dir, "events")
+    return R.winsorize(ev, "event_type", "value", lo=0.01, hi=0.99).select(
+        "event_id", "event_type", F.round("value", 6).alias("value_r"),
+        "clipped", "was_clipped",
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted (τ=0.5) deterministic domain mixture
+    over documents targeting half the corpus; per-source intake
+    report (rows in, threshold, rows sampled)."""
+    docs = read_table(spark, sf_dir, "documents")
+    picked = R.mixture_sample(
+        docs, "source", "doc_id", temperature=0.5, target_frac=0.5
+    )
+    return picked.groupBy("source", "domain_rows", "threshold").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dim)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.label_centroids(emb, "label", "embedding")
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding with
+    round-trip diagnostics (per-vector scale, quantized array,
+    reconstruction RMSE)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.quantize_int8(emb, "vec_id", "embedding")
+
+
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type resample of avg(value) with empty hours
+    linearly interpolated between observed neighbors."""
+    ev = read_table(spark, sf_dir, "events")
+    return E.interpolate_linear(ev, "ts", "event_type", "value", "1 hour")
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback (20-row) EWMA of value per event_type,
+    α=0.3 — one smoothed point per event."""
+    ev = read_table(spark, sf_dir, "events")
+    return E.ewma(ev, "event_type", "ts", "event_id", "value").select(
+        "event_id", "event_type", F.round("value", 6).alias("value_r"), "ewma"
+    )
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score per document: mean negative log
+    likelihood of its tokens under the corpus unigram model
+    (perplexity-filter stand-in)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return X.unigram_logprob(docs, "doc_id", "text")
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level exact dedup: 64-token/16-overlap chunks are
+    fingerprinted corpus-wide; a chunk survives iff it is the first
+    occurrence of its fingerprint (min (doc_id, chunk_idx) wins).
+    Per-document report of chunks kept vs total — the C4-style
+    repeated-passage removal signal at chunk granularity."""
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(docs, "doc_id", "text", 64, 16)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    flagged = (
+        chunks.withColumn("__fp", F.md5("chunk_text"))
+        .withColumn(
+            "__first",
+            F.min(F.struct("doc_id", "chunk_idx")).over(w),
+        )
+        .withColumn(
+            "kept",
+            (F.col("__first.doc_id") == F.col("doc_id"))
+            & (F.col("__first.chunk_idx") == F.col("chunk_idx")),
+        )
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )
+
+
+QUERIES = {
+    "q_winsorize": q_winsorize,
+    "q_mixture_sample": q_mixture_sample,
+    "q_label_centroids": q_label_centroids,
+    "q_embed_quantize": q_embed_quantize,
+    "q_interp_linear": q_interp_linear,
+    "q_ewma": q_ewma,
+    "q_lm_score": q_lm_score,
+    "q_chunk_dedup": q_chunk_dedup,
+}
+
+_CHUNK, _STRIDE = 64, 48
+
+ORACLES = {
+    "q_winsorize": """
+        WITH f AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.01) AS lo,
+                 quantile_cont(value, 0.99) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               ROUND(e.value, 6) AS value_r,
+               ROUND(LEAST(GREATEST(e.value, f.lo), f.hi), 6) AS clipped,
+               (e.value < f.lo OR e.value > f.hi) AS was_clipped
+        FROM events e JOIN f USING (event_type)
+    """,
+    "q_mixture_sample": f"""
+        WITH c AS (
+          SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ), t AS (
+          SELECT CAST(SUM(n) AS DOUBLE) AS grand,
+                 SUM(pow(n, 0.5)) AS wsum
+          FROM c
+        ), th AS (
+          SELECT source, n,
+                 CAST(FLOOR(ROUND(LEAST(1.0,
+                      0.5 * grand * pow(n, 0.5) / wsum / n) * 1000000, 3))
+                      AS BIGINT) AS threshold
+          FROM c, t
+        )
+        SELECT d.source,
+               th.n AS domain_rows,
+               th.threshold,
+               COUNT(*) AS n_sampled
+        FROM documents d JOIN th ON d.source = th.source
+        WHERE {_MD5_BUCKET_1M} < th.threshold
+        GROUP BY 1, 2, 3
+    """,
+    "q_label_centroids": """
+        SELECT label,
+               CAST(i - 1 AS INTEGER) AS dim,
+               ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid,
+               COUNT(*) AS n_vecs
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                      AS i) t
+        GROUP BY 1, 2
+    """,
+    "q_embed_quantize": """
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, emb,
+                 list_reduce(list_transform(emb, x -> abs(x)),
+                             (a, b) -> greatest(a, b)) / 127.0 AS scale
+          FROM v
+        ), q AS (
+          SELECT vec_id, emb, scale,
+                 list_transform(emb, x -> CAST(ROUND(x / scale) AS INTEGER))
+                   AS q_vec
+          FROM s
+        )
+        SELECT vec_id,
+               ROUND(scale, 9) AS scale,
+               q_vec,
+               ROUND(sqrt(list_reduce(
+                 list_transform(range(1, len(emb) + 1),
+                   i -> (emb[i] - q_vec[i] * scale)
+                      * (emb[i] - q_vec[i] * scale)),
+                 (a, b) -> a + b) / len(emb)), 9) AS rmse
+        FROM q
+    """,
+    "q_interp_linear": """
+        WITH b AS (
+          SELECT date_trunc('hour', MIN(ts)) AS mn,
+                 date_trunc('hour', MAX(ts)) AS mx
+          FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM b
+        ), k AS (
+          SELECT DISTINCT event_type FROM events
+        ), c AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 AVG(value) AS v
+          FROM events GROUP BY 1, 2
+        ), grid AS (
+          SELECT extract(epoch FROM s.h) AS ep, k.event_type, c.v
+          FROM spine s CROSS JOIN k
+          LEFT JOIN c ON c.h = s.h AND c.event_type = k.event_type
+        ), filled AS (
+          SELECT ep, event_type, v,
+                 last_value(v IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+                   OVER wb AS pb,
+                 first_value(v IGNORE NULLS) OVER wf AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN ep END IGNORE NULLS)
+                   OVER wf AS nb
+          FROM grid
+          WINDOW wb AS (PARTITION BY event_type ORDER BY ep
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY event_type ORDER BY ep
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT CAST(FLOOR(ep) AS BIGINT) AS period_s,
+               event_type,
+               v IS NOT NULL AS observed,
+               ROUND(CASE
+                 WHEN v IS NOT NULL THEN v
+                 WHEN pv IS NULL THEN nv
+                 WHEN nv IS NULL THEN pv
+                 ELSE pv + (nv - pv) * (ep - pb) / (nb - pb)
+               END, 6) AS value_filled
+        FROM filled
+    """,
+    "q_ewma": """
+        SELECT event_id, event_type,
+               ROUND(value, 6) AS value_r,
+               ROUND(list_reduce(l, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+                 AS ewma
+        FROM (
+          SELECT event_id, event_type, value,
+                 list(value) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN 19 PRECEDING
+                                   AND CURRENT ROW) AS l
+          FROM events
+        )
+    """,
+    "q_lm_score": f"""
+        WITH ex AS (
+          SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ), lm AS (
+          SELECT token, COUNT(*) AS tc FROM ex GROUP BY token
+        ), t AS (
+          SELECT CAST(SUM(tc) AS DOUBLE) AS total FROM lm
+        )
+        SELECT ex.doc_id,
+               COUNT(*) AS n_tokens,
+               ROUND(-AVG(ln(lm.tc / t.total)), 6) AS nll
+        FROM ex JOIN lm USING (token), t
+        GROUP BY ex.doc_id
+    """,
+    "q_chunk_dedup": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE}))
+                   AS start
+          FROM t
+        ), chunks AS (
+          SELECT doc_id,
+                 CAST(start // {_STRIDE} AS INTEGER) AS chunk_idx,
+                 md5(array_to_string(toks[start + 1 : start + {_CHUNK}], ' '))
+                   AS fp
+          FROM s
+        ), flagged AS (
+          SELECT doc_id,
+                 (doc_id, chunk_idx) = MIN((doc_id, chunk_idx))
+                   OVER (PARTITION BY fp) AS kept
+          FROM chunks
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+        FROM flagged GROUP BY doc_id
+    """,
+}

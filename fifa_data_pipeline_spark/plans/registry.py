@@ -40,6 +40,7 @@ def _load() -> None:
         extended6,
         extended7,
         extended8,
+        extended9,
         northstar,
         parity,
         streaming_queries,
@@ -55,6 +56,7 @@ def _load() -> None:
     _merge(extended6)
     _merge(extended7)
     _merge(extended8)
+    _merge(extended9)
     _merge(streaming_queries)
 
 

@@ -1,0 +1,165 @@
+"""Unit tests for the round-3b feature-engineering operators
+(winsorize, mixture sampling, centroids, int8 quantization, linear
+interpolation, EWMA, unigram LM score, chunk dedup)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators import events as E
+from fifa_data_pipeline_spark.operators import relational as R
+from fifa_data_pipeline_spark.operators import text as X
+from fifa_data_pipeline_spark.operators import vector as V
+
+
+def test_winsorize_clips_to_exact_fences(spark):
+    # values 1..100 in one group: p01 = 1.99, p99 = 99.01 (interpolated)
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], ["g", "v"]
+    )
+    out = {r.v: (r.clipped, r.was_clipped) for r in R.winsorize(df, "g", "v").collect()}
+    assert out[1.0] == (1.99, True)
+    assert out[100.0] == (99.01, True)
+    assert out[50.0] == (50.0, False)
+    assert sum(1 for c, w in out.values() if w) == 2
+
+
+def test_mixture_sample_upsamples_small_domains(spark):
+    rows = [("big", i) for i in range(900)] + [("small", 1000 + i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["domain", "id"])
+    picked = R.mixture_sample(df, "domain", "id", temperature=0.5, target_frac=0.5)
+    counts = {
+        r.domain: (r.cnt, r.threshold)
+        for r in picked.groupBy("domain", "threshold")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # τ=0.5 weights: big √900=30, small √100=10 → rates .4167 / 1.25→1
+    assert counts["small"][1] == 1000000  # capped at keep-everything
+    assert counts["small"][0] == 100
+    assert counts["big"][1] == 416666
+    # deterministic: rerun identical
+    again = {
+        r.domain: r.cnt
+        for r in R.mixture_sample(df, "domain", "id", 0.5, 0.5)
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert again == {d: c for d, (c, _) in counts.items()}
+
+
+def test_label_centroids_match_hand_mean(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (1, [10.0, 0.0])],
+        ["label", "embedding"],
+    )
+    out = {(r.label, r.dim): (r.centroid, r.n_vecs)
+           for r in V.label_centroids(df).collect()}
+    assert out[(0, 0)] == (2.0, 2)
+    assert out[(0, 1)] == (4.0, 2)
+    assert out[(1, 0)] == (10.0, 1)
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.003, 0.001, -0.002, 0.004])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in V.quantize_int8(df).collect()}
+    r1 = rows[1]
+    assert r1.q_vec[0] == 127 and max(abs(q) for q in r1.q_vec) == 127
+    # reconstruction error bounded by scale/2 per element
+    assert r1.rmse <= (1.0 / 127) / 2 + 1e-12
+    r2 = rows[2]
+    assert max(abs(q) for q in r2.q_vec) == 127
+    assert abs(r2.scale - 0.004 / 127) < 5e-10  # output rounded to 9dp
+
+
+def test_interpolate_linear_fills_gap(spark):
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    df = spark.createDataFrame(
+        [
+            (1, t0, "a", 10.0),
+            (2, t0 + dt.timedelta(hours=3), "a", 40.0),
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    out = {
+        r.period_s: (r.value_filled, r.observed)
+        for r in E.interpolate_linear(df).collect()
+    }
+    vals = [out[k] for k in sorted(out)]
+    assert vals == [(10.0, True), (20.0, False), (30.0, False), (40.0, True)]
+
+
+def test_interpolate_edges_take_nearest(spark):
+    t0 = dt.datetime(2026, 1, 1, 0, 0)
+    df = spark.createDataFrame(
+        [
+            (1, t0, "a", 5.0),
+            (2, t0 + dt.timedelta(hours=2), "b", 7.0),
+        ],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    out = {
+        (r.event_type, r.period_s): r.value_filled
+        for r in E.interpolate_linear(df).collect()
+    }
+    # 'a' observed at hour 0; hours 1-2 extend the last value forward
+    # 'b' observed at hour 2; hours 0-1 take the next value backward
+    a = [v for (t, _), v in sorted(out.items()) if t == "a"]
+    b = [v for (t, _), v in sorted(out.items()) if t == "b"]
+    assert a == [5.0, 5.0, 5.0]
+    assert b == [7.0, 7.0, 7.0]
+
+
+def test_ewma_matches_recurrence(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    vals = [10.0, 20.0, 5.0, 15.0]
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), "a", v) for i, v in enumerate(vals)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    out = [r.ewma for r in E.ewma(df).orderBy("event_id").collect()]
+    acc, expect = vals[0], [vals[0]]
+    for v in vals[1:]:
+        acc = 0.3 * v + 0.7 * acc
+        expect.append(round(acc, 6))
+    assert out == expect
+
+
+def test_ewma_lookback_truncates(spark):
+    t0 = dt.datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), "a", float(i)) for i in range(30)],
+        ["event_id", "ts", "event_type", "value"],
+    )
+    out = [r.ewma for r in E.ewma(df, lookback=20).orderBy("event_id").collect()]
+    # row 29's frame starts at value 10, not 0
+    acc = 10.0
+    for v in range(11, 30):
+        acc = 0.3 * v + 0.7 * acc
+    assert abs(out[29] - acc) < 1e-6
+
+
+def test_unigram_logprob_uniform_corpus(spark):
+    # two docs, all four tokens distinct → every p = 1/4
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in X.unigram_logprob(df).collect()}
+    expect = round(-math.log(0.25), 6)
+    assert out[1].nll == expect and out[1].n_tokens == 2
+    assert out[2].nll == expect
+
+
+def test_unigram_logprob_frequent_tokens_score_lower(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "rare1 rare2 rare3 rare4")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.nll for r in X.unigram_logprob(df).collect()}
+    assert out[1] < out[2]
