@@ -551,3 +551,82 @@ def incremental_dedup(
         .filter(F.col(id_col) == F.col("__min_id"))
         .select(id_col, "fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering exact similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join at ``threshold`` without the n²
+    cross product — prefix filtering (the AllPairs/PPJoin family:
+    Bayardo et al. WWW'07, Chaudhuri et al. ICDE'06), the scale-path
+    complement to MinHash LSH when the answer must be exact (no
+    recall loss) rather than approximate.
+
+    Guarantee: under any fixed global token order, two k-shingle
+    sets with Jaccard ≥ t must share ≥ ceil(t·|r|) tokens with each
+    set r, so each set's PREFIX — its first |r| − ceil(t·|r|) + 1
+    tokens in that order — must intersect the other's. Pairs sharing
+    a prefix token are the complete candidate set; exact verification
+    then makes precision 1. Ordering tokens rarest-first makes
+    prefixes maximally selective.
+
+    Plan shape: one document-frequency aggregate over exploded
+    shingles (vocabulary-sized), a join to annotate each shingle with
+    its df, a per-doc sort_array to rebuild the ordered set, then the
+    candidate self-equi-join keyed on prefix token — fine-grained and
+    well-distributed exactly like the LSH band join, with the size
+    filter (min ≥ t·max) pruning length-incompatible pairs before
+    verification. No stage is quadratic in corpus size; the blow-up
+    risk is a token whose df is huge, which rarest-first ordering
+    keeps OUT of prefixes by construction."""
+    sets = spread(df).select(F.col(id_col), shingles(text_col, k).alias("__set"))
+    ex = exploded(sets, F.col("__set"), "__t", keep=[id_col])
+    tok_df = ex.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    ordered = (
+        ex.join(tok_df, "__t")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("__df"), F.col("__t")))
+            ).alias("__ord")
+        )
+    )
+    n = F.size("__ord")
+    plen = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    prefixes = ordered.select(
+        F.col(id_col),
+        n.alias("__n"),
+        F.slice(F.transform("__ord", lambda s: s["__t"]), F.lit(1), plen).alias(
+            "__prefix"
+        ),
+    )
+    pex = exploded(prefixes, F.col("__prefix"), "__t", keep=[id_col, "__n"])
+    a = pex.select(
+        F.col(id_col).alias("id_a"), F.col("__n").alias("__na"), "__t"
+    )
+    b = pex.select(
+        F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"), "__t"
+    )
+    cands = (
+        a.join(b, "__t")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__na", "__nb")
+                >= F.ceil(F.lit(threshold) * F.greatest("__na", "__nb"))
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify_pairs(
+        df, cands, id_col, text_col, k=k, threshold=threshold
+    )

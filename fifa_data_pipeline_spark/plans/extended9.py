@@ -124,7 +124,19 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard ≥ 0.5 similarity join via prefix
+    filtering (AllPairs) — no LSH recall loss, no n² cross product.
+    The oracle is the brute-force all-pairs SQL over the same id
+    range: equality proves the prefix filter is lossless."""
+    from fifa_data_pipeline_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.jaccard_prefix_join(docs, "doc_id", "text", k=3, threshold=0.5)
+
+
 QUERIES = {
+    "q_jaccard_prefix": q_jaccard_prefix,
     "q_winsorize": q_winsorize,
     "q_mixture_sample": q_mixture_sample,
     "q_label_centroids": q_label_centroids,
@@ -138,6 +150,23 @@ QUERIES = {
 _CHUNK, _STRIDE = 64, 48
 
 ORACLES = {
+    "q_jaccard_prefix": f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 300
+        ), g AS (
+          SELECT doc_id, list_distinct(
+            [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             for i in range(1, len(toks) - 1)]) AS s
+          FROM t
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.s, b.s)) /
+                     len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM g a, g b
+        WHERE a.doc_id < b.doc_id
+          AND ROUND(len(list_intersect(a.s, b.s)) /
+                    len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
     "q_winsorize": """
         WITH f AS (
           SELECT event_type,

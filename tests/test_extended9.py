@@ -163,3 +163,42 @@ def test_unigram_logprob_frequent_tokens_score_lower(spark):
     )
     out = {r.doc_id: r.nll for r in X.unigram_logprob(df).collect()}
     assert out[1] < out[2]
+
+
+def test_jaccard_prefix_join_equals_bruteforce(spark):
+    import random
+
+    from fifa_data_pipeline_spark.operators import dedup as D
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(12))))
+    # planted near-duplicates
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " extra"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.jaccard_prefix_join(df, threshold=0.5).collect()
+    }
+
+    sets = df.select("doc_id", X.shingles("text", 3).alias("s"))
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb"))
+        / F.size(F.array_union("sa", "sb")),
+        6,
+    )
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want and len(want) >= 2
