@@ -343,3 +343,44 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """True if the external spark-avro module is on the classpath.
+    Avro has been an EXTERNAL data source module since Spark 2.4
+    (``org.apache.spark:spark-avro_2.13``); this container ships
+    without it, so the Avro helpers gate on availability instead of
+    failing with an opaque ClassNotFoundException mid-job."""
+    try:
+        # Ask Spark's own data-source registry (Class.forName is NOT
+        # a valid probe: the assembly can carry avro CLASSES without
+        # registering the data source; py4j attribute access never
+        # fails at all).
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink (row-oriented interchange format — Kafka/streaming
+    ecosystems). Requires the external spark-avro package; raises a
+    clear error when absent."""
+    if not _avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        )
+    df.write.mode(mode).format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (see :func:`write_avro` for the classpath gate)."""
+    if not _avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; submit with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark version>"
+        )
+    return spark.read.format("avro").load(path)
