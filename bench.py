@@ -70,6 +70,8 @@ HEADLINE = [
     "q_lm_score",
     "q_chunk_dedup",
     "q_jaccard_prefix",
+    "q_label_moments",
+    "q_seasonal_anomaly",
 ]
 
 

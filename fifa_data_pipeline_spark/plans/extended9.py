@@ -135,8 +135,25 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_join(docs, "doc_id", "text", k=3, threshold=0.5)
 
 
+def q_label_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding moments (count, centroid norm, covariance
+    trace) via the Arrow-native grouped-map path (``applyInArrow`` +
+    numpy two-pass moments)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.label_moments_arrow(emb, "label", "embedding")
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates > 3σ from their (event_type,
+    hour-of-day) baseline — seasonality-aware anomaly detection."""
+    ev = read_table(spark, sf_dir, "events")
+    return E.seasonal_anomalies(ev, "ts", "event_type", "value", 3.0)
+
+
 QUERIES = {
     "q_jaccard_prefix": q_jaccard_prefix,
+    "q_label_moments": q_label_moments,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,
     "q_mixture_sample": q_mixture_sample,
     "q_label_centroids": q_label_centroids,
@@ -166,6 +183,40 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    "q_label_moments": """
+        WITH d AS (
+          SELECT label, i AS dim,
+                 AVG(CAST(embedding[i] AS DOUBLE)) AS mu,
+                 var_pop(CAST(embedding[i] AS DOUBLE)) AS v,
+                 COUNT(*) AS n
+          FROM embeddings,
+               LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+                        AS i) t
+          GROUP BY label, i
+        )
+        SELECT label,
+               CAST(MAX(n) AS BIGINT) AS n_vecs,
+               ROUND(sqrt(SUM(mu * mu)), 6) AS mean_norm,
+               ROUND(SUM(v), 6) AS cov_trace
+        FROM d GROUP BY label
+    """,
+    "q_seasonal_anomaly": """
+        WITH b AS (
+          SELECT event_type, extract(hour FROM ts) AS hod,
+                 AVG(value) AS mu, stddev_pop(value) AS sd
+          FROM events GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(extract(hour FROM e.ts) AS INTEGER) AS hod,
+               ROUND(e.value, 6) AS value_r,
+               ROUND(b.mu, 6) AS baseline_mu,
+               ROUND((e.value - b.mu) / b.sd, 6) AS z
+        FROM events e
+        JOIN b ON b.event_type = e.event_type
+              AND b.hod = extract(hour FROM e.ts)
+        WHERE b.sd > 0
+          AND ABS(ROUND((e.value - b.mu) / b.sd, 6)) > 3.0
     """,
     "q_winsorize": """
         WITH f AS (

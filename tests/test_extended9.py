@@ -202,3 +202,62 @@ def test_jaccard_prefix_join_equals_bruteforce(spark):
         .collect()
     }
     assert got == want and len(want) >= 2
+
+
+def test_label_moments_arrow_matches_numpy(spark):
+    import numpy as np
+
+    vecs = [
+        (0, [1.0, 2.0]),
+        (0, [3.0, 6.0]),
+        (1, [0.0, 4.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["label", "embedding"])
+    out = {r.label: r for r in V.label_moments_arrow(df).collect()}
+    m0 = np.array([[1.0, 2.0], [3.0, 6.0]])
+    mu0 = m0.mean(axis=0)
+    assert out[0].n_vecs == 2
+    assert abs(out[0].mean_norm - float(np.sqrt((mu0 * mu0).sum()))) < 1e-6
+    assert abs(out[0].cov_trace - float(((m0 - mu0) ** 2).mean(axis=0).sum())) < 1e-6
+    assert out[1].cov_trace == 0.0
+
+
+def test_seasonal_anomalies_flags_hour_profile(spark):
+    t0 = dt.datetime(2026, 1, 1, 9, 0)
+    rows = []
+    # hour-9 baseline ~100 across many days, one 200 spike;
+    # hour-3 baseline ~10 with a 100 value that a GLOBAL z-score
+    # would miss but the hour-profile catches
+    for d in range(30):
+        rows.append((d, t0 + dt.timedelta(days=d), "a", 100.0 + (d % 3)))
+        rows.append((100 + d, t0 + dt.timedelta(days=d, hours=-6), "a", 10.0 + (d % 3)))
+    rows.append((500, t0 + dt.timedelta(days=30), "a", 200.0))
+    rows.append((501, t0 + dt.timedelta(days=30, hours=-6), "a", 100.0))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    out = {r.event_id: r for r in E.seasonal_anomalies(df).collect()}
+    assert 500 in out and out[500].hod == 9
+    assert 501 in out and out[501].hod == 3
+    assert all(e in (500, 501) for e in out)
+
+
+def test_round3b_ops_on_empty(spark):
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp, event_type string, value double"
+    )
+    assert R.winsorize(ev, "event_type", "value").count() == 0
+    assert E.ewma(ev).count() == 0
+    assert E.interpolate_linear(ev).count() == 0
+    assert E.seasonal_anomalies(ev).count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert R.mixture_sample(docs, "source", "doc_id").count() == 0
+    assert X.unigram_logprob(docs).count() == 0
+    from fifa_data_pipeline_spark.operators import dedup as D
+
+    assert D.jaccard_prefix_join(docs).count() == 0
+    emb = spark.createDataFrame(
+        [],
+        "vec_id long, embedding array<double>, label int",
+    )
+    assert V.label_centroids(emb).count() == 0
+    assert V.quantize_int8(emb).count() == 0
+    assert V.label_moments_arrow(emb).count() == 0
