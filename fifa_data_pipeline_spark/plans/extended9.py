@@ -150,8 +150,43 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.seasonal_anomalies(ev, "ts", "event_type", "value", 3.0)
 
 
+def q_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-chain reachability via a RECURSIVE CTE (Spark ≥ 4.0
+    ``WITH RECURSIVE``): over the ordered exact near-dup pair DAG
+    (id_a < id_b, the q_ngram_jaccard pair set), every (n, m)
+    reachable by a chain of pairwise near-dups with the minimum hop
+    count — the "how long are my duplicate chains" diagnostic that
+    motivates transitive closure over greedy pair-dropping.
+
+    The recursion uses UNION ALL (Spark does not yet allow UNION
+    inside recursion) and terminates because ids strictly increase
+    along each chain — the DAG framing every engine's recursion
+    supports. Final GROUP BY collapses duplicate paths to min hops.
+    Scale: each recursion level is one join against the (small,
+    verified) pair set; depth is bounded by the longest chain."""
+    from fifa_data_pipeline_spark.operators import dedup as D
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = D.jaccard_prefix_join(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    pairs.createOrReplaceTempView("__dup_pairs")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(n, m, hops) AS (
+          SELECT id_a, id_b, 1 FROM __dup_pairs
+          UNION ALL
+          SELECT r.n, p.id_b, r.hops + 1
+          FROM reach r JOIN __dup_pairs p ON p.id_a = r.m
+        )
+        SELECT n, m, MIN(hops) AS min_hops FROM reach GROUP BY n, m
+        """
+    )
+
+
 QUERIES = {
     "q_jaccard_prefix": q_jaccard_prefix,
+    "q_dup_chains": q_dup_chains,
     "q_label_moments": q_label_moments,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,
@@ -183,6 +218,29 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    "q_dup_chains": f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200
+        ), g AS (
+          SELECT doc_id, list_distinct(
+            [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             for i in range(1, len(toks) - 1)]) AS s
+          FROM t
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM g a, g b
+          WHERE a.doc_id < b.doc_id
+            AND ROUND(len(list_intersect(a.s, b.s)) /
+                      len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+        ), reach(n, m, hops) AS (
+          SELECT id_a, id_b, 1 FROM pairs
+          UNION ALL
+          SELECT r.n, p.id_b, r.hops + 1
+          FROM reach r JOIN pairs p ON p.id_a = r.m
+        )
+        SELECT n, m, CAST(MIN(hops) AS BIGINT) AS min_hops
+        FROM reach GROUP BY n, m
     """,
     "q_label_moments": """
         WITH d AS (

@@ -261,3 +261,24 @@ def test_round3b_ops_on_empty(spark):
     assert V.label_centroids(emb).count() == 0
     assert V.quantize_int8(emb).count() == 0
     assert V.label_moments_arrow(emb).count() == 0
+
+
+def test_recursive_chain_closure(spark):
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    ).createOrReplaceTempView("__dup_pairs")
+    out = {
+        (r.n, r.m): r.min_hops
+        for r in spark.sql(
+            """
+            WITH RECURSIVE reach(n, m, hops) AS (
+              SELECT id_a, id_b, 1 FROM __dup_pairs
+              UNION ALL
+              SELECT r.n, p.id_b, r.hops + 1
+              FROM reach r JOIN __dup_pairs p ON p.id_a = r.m
+            )
+            SELECT n, m, MIN(hops) AS min_hops FROM reach GROUP BY n, m
+            """
+        ).collect()
+    }
+    assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 2, (5, 6): 1}
