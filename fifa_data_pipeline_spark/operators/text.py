@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.sources.io import spread
 
 #: Tiny English-stopword list used by the heuristic scorer/lang-id.
 STOPWORDS = ("the", "a")
@@ -498,4 +499,82 @@ def unigram_logprob(
                 -F.avg(F.log(F.col("__tc") / F.col("__total"))), 6
             ).alias("nll"),
         )
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016):
+    learn ``num_merges`` byte-pair merges from the corpus, returning
+    the merge table (step, a, b, merged, pair_count) — the tokenizer-
+    training counterpart of the engine's other iterative algorithms
+    (PageRank, connected components).
+
+    Shape per iteration: adjacent-symbol pairs are exploded from the
+    (distinct word, count) table weighted by word frequency, one hash
+    aggregate picks the global argmax pair (a one-row driver
+    round-trip — the merge decision is inherently global and tiny),
+    and the merge is applied as a pure per-row ``aggregate`` fold
+    (left-to-right, non-overlapping, exactly the reference BPE
+    replacement). ``localCheckpoint`` per round truncates lineage as
+    in :func:`~fifa_data_pipeline_spark.operators.graph.pagerank`.
+
+    The heavy reduction — corpus → (word, count) — happens ONCE up
+    front and is corpus-size-bound; every iteration after that runs
+    on the distinct-word table (vocabulary-bound, millions of rows at
+    web scale, never the corpus). Ties break lexicographically so the
+    learned vocabulary is deterministic on any cluster shape."""
+    spark = df.sparkSession
+    words = (
+        exploded(spread(df), tokens(text_col), "__w")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select("__w", "__cnt", F.split("__w", "").alias("__syms"))
+        .localCheckpoint()
+    )
+    pair_structs = F.expr(
+        "CASE WHEN size(__syms) >= 2 THEN "
+        "transform(sequence(0, size(__syms) - 2), "
+        "i -> struct(__syms[i] AS a, __syms[i + 1] AS b)) "
+        "ELSE array() END"
+    )
+    merges: list[tuple] = []
+    cur = words
+    for step in range(num_merges):
+        top = (
+            exploded(cur.select("__cnt", pair_structs.alias("__ps")),
+                     F.col("__ps"), "__p", keep=["__cnt"])
+            .groupBy("__p.a", "__p.b")
+            .agg(F.sum("__cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < min_pair_count:
+            break
+        a, b, n = top[0].a, top[0].b, top[0].n
+        merged = a + b
+        fold = F.aggregate(
+            "__syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: (
+                F.when(F.size(acc) == 0, F.concat(acc, F.array(x)))
+                .when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                )
+                .otherwise(F.concat(acc, F.array(x)))
+            ),
+        )
+        cur = cur.withColumn("__syms", fold).localCheckpoint()
+        merges.append((step, a, b, merged, n))
+    return spark.createDataFrame(
+        merges, "step int, a string, b string, merged string, pair_count long"
     )

@@ -184,9 +184,19 @@ def q_dup_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 BPE merges learned from the document corpus
+    (rows-only: iterative argmax training is not SQL-expressible;
+    pinned by a pure-Python reference-implementation equality test in
+    tests/test_extended9.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return X.bpe_train(docs, "text", num_merges=10)
+
+
 QUERIES = {
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_dup_chains": q_dup_chains,
+    "q_bpe_vocab": q_bpe_vocab,
     "q_label_moments": q_label_moments,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,

@@ -282,3 +282,61 @@ def test_recursive_chain_closure(spark):
         ).collect()
     }
     assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 2, (5, 6): 1}
+
+
+def _ref_bpe(word_counts, k, min_pair_count=2):
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(k):
+        pc = {}
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] = pc.get((s[i], s[i + 1]), 0) + c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((step, a, b, a + b, n))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest new new",
+        "wide wider wide widest",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = [
+        (r.step, r.a, r.b, r.merged, r.pair_count)
+        for r in X.bpe_train(df, "text", num_merges=8).orderBy("step").collect()
+    ]
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _ref_bpe(wc, 8)
+    assert got == want and len(want) >= 4
+
+
+def test_bpe_train_merge_is_nonoverlapping(spark):
+    # "aaaa" x3: merge (a,a)->aa applies left-to-right: [aa, aa],
+    # then (aa,aa)->aaaa
+    df = spark.createDataFrame([(0, "aaaa aaaa aaaa")], ["id", "text"])
+    got = [
+        (r.a, r.b, r.pair_count)
+        for r in X.bpe_train(df, "text", num_merges=2).orderBy("step").collect()
+    ]
+    assert got == [("a", "a", 9), ("aa", "aa", 3)]
