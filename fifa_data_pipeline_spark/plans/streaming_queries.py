@@ -108,8 +108,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming EWMA per event_type (exact unbounded
+    recurrence, one double of state per key); batch equivalence is
+    pinned by test_streaming.py::test_stream_ewma_matches_batch."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_ewma_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_ewma(stream), name, "append")
+    return spark.table(name)
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_ewma": q_stream_ewma,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_session_window": q_stream_session_window,
     "q_stream_hopping": q_stream_hopping,

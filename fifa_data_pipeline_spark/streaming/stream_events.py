@@ -310,3 +310,67 @@ def stream_static_enrich(
     REWRITTEN between batches is picked up (eventual-consistency
     enrichment; pin a snapshot path if that is not wanted)."""
     return stream.join(F.broadcast(static_dim), on, "left")
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType([T.StructField("last_ewma", T.DoubleType())])
+
+
+def _ewma_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key stateful EWMA: carries the running smoothed value
+    across micro-batches — the FULL recurrence, not the batch
+    operator's bounded-lookback approximation (streaming state is
+    what makes the unbounded recurrence tractable: O(1) doubles per
+    key). Events are ordered by (epoch, event_id) within the batch;
+    cross-batch order is the source's arrival order, as for every
+    stateful operator here."""
+    alpha = 0.3
+    (etype,) = key
+    prev = state.get[0] if state.exists else None
+    rows: list[tuple[int, str, float, float]] = []
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        batch = pd.concat(parts, ignore_index=True)
+        batch = batch.sort_values(["epoch", "event_id"])
+        for eid, val in zip(batch["event_id"], batch["value"]):
+            val = float(val)
+            prev = val if prev is None else alpha * val + (1.0 - alpha) * prev
+            rows.append((int(eid), etype, round(val, 6), round(prev, 6)))
+    if prev is not None:
+        state.update((prev,))
+    yield pd.DataFrame(rows, columns=["event_id", "event_type", "value", "ewma"])
+
+
+def stream_ewma(events: DataFrame) -> DataFrame:
+    """Streaming EWMA per event_type via ``applyInPandasWithState``
+    (append mode: each event is emitted exactly once with its
+    smoothed value). State is one double per key — contrast with the
+    batch :func:`~fifa_data_pipeline_spark.operators.events.ewma`,
+    which pays an O(lookback) window frame per row to stay
+    data-parallel; the streaming form computes the exact unbounded
+    recurrence because state sequentializes each key anyway."""
+    prepared = events.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("epoch"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _ewma_group,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -346,3 +346,25 @@ def test_foreachbatch_upsert_partial_window_update_keeps_siblings(
         for r in spark.read.parquet(target).collect()
     }
     assert got == want
+
+
+def test_stream_ewma_matches_batch(spark, events_dir):
+    """The streaming EWMA (exact unbounded recurrence via state)
+    must equal the batch window+fold form with a lookback covering
+    the longest per-key series."""
+    from fifa_data_pipeline_spark.operators.events import ewma as batch_ewma
+
+    batch = read_table(spark, SF, "events")
+    expected = {
+        r.event_id: r.ewma
+        for r in batch_ewma(batch, lookback=1_000_000).collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    S.run_to_memory(S.stream_ewma(stream), "t_ewma", "append")
+    got = {r.event_id: r.ewma for r in spark.sql("SELECT * FROM t_ewma").collect()}
+    assert len(got) == len(expected)
+    mismatches = [
+        k for k in expected if abs(got[k] - expected[k]) > 1e-6
+    ]
+    assert not mismatches, mismatches[:5]
