@@ -193,10 +193,31 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_train(docs, "text", num_merges=10)
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics via the VARIANT type (Spark ≥4.0):
+    ``parse_json`` once into a variant column, then typed
+    ``variant_get`` extraction feeding an aggregate — the
+    shred-at-read path that replaces per-access JSON string parsing
+    (one parse per row instead of one per extracted field, and open
+    schema evolution: new props keys need no DDL)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.withColumn("__v", F.parse_json("props"))
+    return (
+        v.withColumn("k", F.expr("variant_get(__v, '$.k', 'int')"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 QUERIES = {
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_dup_chains": q_dup_chains,
     "q_bpe_vocab": q_bpe_vocab,
+    "q_variant_extract": q_variant_extract,
     "q_label_moments": q_label_moments,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,
@@ -228,6 +249,15 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    "q_variant_extract": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                    AS INTEGER) AS max_k
+        FROM events GROUP BY event_type
     """,
     "q_dup_chains": f"""
         WITH RECURSIVE t AS (

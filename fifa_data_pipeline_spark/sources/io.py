@@ -384,3 +384,34 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "--packages org.apache.spark:spark-avro_2.13:<spark version>"
         )
     return spark.read.format("avro").load(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file scan (``binaryFile`` source): one row per file with
+    (path, modificationTime, length, content) — the ingestion step
+    for multimodal corpora (images/audio land as files; this turns
+    them into the opaque ``binary`` column the multimodal operators
+    expect, SURVEY.md §2.6). Supports pathGlobFilter pushdown so
+    e.g. ``*.png`` prunes at listing time, before any bytes move."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink (built-in since Spark 4.0) — interchange with
+    XML-based feeds; export-only posture like CSV (no pushdown)."""
+    df.write.mode(mode).format("xml").option("rowTag", row_tag).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row"
+) -> DataFrame:
+    """XML scan with schema inference (pin schemas in production,
+    same policy as ``infer_then_pin`` for CSV)."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)

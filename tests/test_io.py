@@ -130,3 +130,27 @@ def test_morton_key_matches_python_model(spark):
         .collect()
     )
     assert all(r.a < 4 and r.b < 4 for r in first)
+
+
+def test_binary_file_scan_with_glob(spark, tmp_path):
+    from fifa_data_pipeline_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNGfake")
+    (tmp_path / "b.txt").write_bytes(b"not a png")
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0].path.endswith("a.png")
+    assert bytes(rows[0].content) == b"\x89PNGfake"
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from fifa_data_pipeline_spark.sources.io import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["id", "name"]
+    )
+    path = str(tmp_path / "xml_out")
+    write_xml(df, path, row_tag="rec")
+    back = read_xml(spark, path, row_tag="rec")
+    assert {(r.id, r.name) for r in back.collect()} == {(1, "alpha"), (2, "beta")}
