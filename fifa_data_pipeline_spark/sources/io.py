@@ -415,3 +415,24 @@ def read_xml(
     """XML scan with schema inference (pin schemas in production,
     same policy as ``infer_then_pin`` for CSV)."""
     return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def write_with_audit(
+    df: DataFrame, path: str, metrics: dict[str, "F.Column"], mode: str = "overwrite"
+) -> dict:
+    """Parquet sink with FREE audit metrics: ``df.observe`` attaches
+    aggregate expressions (row counts, sums, null counts, min/max)
+    that accumulate DURING the write job itself — the at-scale
+    data-quality pattern, where a separate audit query would re-scan
+    100 TB. Returns the observed metric values after the write.
+
+    Contrast with the audit-query approach (``q_dq_checks``): that
+    one expresses arbitrary cross-row constraints (FK checks need
+    joins — observe can't), this one gets the single-pass metrics for
+    zero extra cost. Production pipelines use both."""
+    from pyspark.sql import Observation
+
+    obs = Observation("write_audit")
+    observed = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
+    observed.write.mode(mode).parquet(path)
+    return obs.get

@@ -154,3 +154,30 @@ def test_xml_roundtrip(spark, tmp_path):
     write_xml(df, path, row_tag="rec")
     back = read_xml(spark, path, row_tag="rec")
     assert {(r.id, r.name) for r in back.collect()} == {(1, "alpha"), (2, "beta")}
+
+
+def test_write_with_audit_collects_metrics_in_one_pass(spark, tmp_path):
+    from fifa_data_pipeline_spark.sources.io import read_table, write_with_audit
+
+    li = read_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    got = write_with_audit(
+        li,
+        str(tmp_path / "audited"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_qty": F.sum("l_quantity"),
+            "null_prices": F.count_if(F.col("l_extendedprice").isNull()),
+        },
+    )
+    expect = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count_if(F.col("l_extendedprice").isNull()).alias("null_prices"),
+    ).collect()[0]
+    assert got["n_rows"] == expect.n_rows
+    assert got["sum_qty"] == expect.sum_qty
+    assert got["null_prices"] == 0
+    # and the write really happened
+    assert spark.read.parquet(str(tmp_path / "audited")).count() == got["n_rows"]
