@@ -72,3 +72,45 @@ def grouped_zscore(
         .groupBy(group_col)
         .applyInPandas(zscore, out_schema)
     )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    alias: str = "trimmed_mean",
+) -> DataFrame:
+    """Per-group trimmed mean via a pandas GROUPED-AGG UDF — the true
+    UDAF tier (scalar result per group) completing the UDF surface
+    next to the grouped-map (``applyInPandas``), Arrow grouped-map
+    (``applyInArrow``), iterator (``mapInPandas``) and UDTF forms.
+    Values strictly outside the [lo, hi] interpolated quantile fences
+    are dropped before averaging — the robust-mean companion to
+    :func:`~...relational.winsorize` (which clips instead of drops).
+
+    A grouped-agg UDF ships each group's VALUE COLUMN only (not the
+    whole row) through Arrow and returns one scalar — lighter than a
+    grouped-map for aggregation shapes. Same memory contract: a
+    group's values must fit one executor; pandas ``quantile`` uses
+    linear interpolation, matching SQL ``percentile``/
+    ``quantile_cont`` so the oracle is exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _trimmed(v: pd.Series) -> float:
+        qlo, qhi = v.quantile(lo), v.quantile(hi)
+        kept = v[(v >= qlo) & (v <= qhi)]
+        return float(np.round(kept.mean(), 6))
+
+    # NB: a grouped-agg pandas UDF cannot share an agg() with
+    # non-pandas aggregates (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # group size is a pandas UDAF too.
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    return df.groupBy(group_col).agg(
+        _n(value_col).alias("n"), _trimmed(value_col).alias(alias)
+    )

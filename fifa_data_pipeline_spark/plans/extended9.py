@@ -213,11 +213,22 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 10-90% trimmed mean via a pandas GROUPED-AGG
+    UDF (the UDAF tier) — oracle-exact because pandas quantile and
+    DuckDB quantile_cont share linear interpolation."""
+    from fifa_data_pipeline_spark.operators import pandas_ops as P
+
+    ev = read_table(spark, sf_dir, "events")
+    return P.trimmed_mean(ev, "event_type", "value")
+
+
 QUERIES = {
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_dup_chains": q_dup_chains,
     "q_bpe_vocab": q_bpe_vocab,
     "q_variant_extract": q_variant_extract,
+    "q_trimmed_mean": q_trimmed_mean,
     "q_label_moments": q_label_moments,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,
@@ -249,6 +260,21 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    "q_trimmed_mean": """
+        WITH f AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.1) AS lo,
+                 quantile_cont(value, 0.9) AS hi,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               MAX(f.n) AS n,
+               ROUND(AVG(e.value), 6) AS trimmed_mean
+        FROM events e JOIN f USING (event_type)
+        WHERE e.value >= f.lo AND e.value <= f.hi
+        GROUP BY e.event_type
     """,
     "q_variant_extract": """
         SELECT event_type,

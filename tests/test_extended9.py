@@ -340,3 +340,18 @@ def test_bpe_train_merge_is_nonoverlapping(spark):
         for r in X.bpe_train(df, "text", num_merges=2).orderBy("step").collect()
     ]
     assert got == [("a", "a", 9), ("aa", "aa", 3)]
+
+
+def test_trimmed_mean_udaf_drops_tails(spark):
+    from fifa_data_pipeline_spark.operators import pandas_ops as P
+
+    # 1..10 per group: fences at q10=1.9, q90=9.1 -> keep 2..9
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 11)]
+        + [("b", 5.0), ("b", 100.0), ("b", 5.0), ("b", 5.0)],
+        ["g", "v"],
+    )
+    out = {r.g: (r.n, r.trimmed_mean) for r in P.trimmed_mean(df, "g", "v").collect()}
+    assert out["a"] == (10, 5.5)
+    # b: fences q10=5.0, q90=71.5 -> 100 dropped, mean of three 5s
+    assert out["b"] == (4, 5.0)
