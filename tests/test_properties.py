@@ -130,3 +130,88 @@ def test_snapshot_diff_matches_python_model(spark, old, new):
             want[k] = "changed"
     got = {r.k: r.change_type for r in snapshot_diff(odf, ndf, "k").collect()}
     assert got == want
+
+
+values_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=values_strategy)
+@settings(**SETTINGS)
+def test_winsorize_invariants(spark, rows):
+    """Row count preserved; clipped values lie within each group's
+    exact fences; unclipped rows keep their value."""
+    from fifa_data_pipeline_spark.operators.relational import winsorize
+
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = winsorize(df, "g", "v", lo=0.1, hi=0.9).collect()
+    assert len(out) == len(rows)
+    import numpy as np
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    fences = {
+        g: (np.quantile(vs, 0.1), np.quantile(vs, 0.9))
+        for g, vs in by_g.items()
+    }
+    for r in out:
+        lo, hi = fences[r.g]
+        assert lo - 1e-6 <= r.clipped <= hi + 1e-6
+        if not r.was_clipped:
+            assert abs(r.clipped - r.v) < 1e-6
+
+
+ids_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.integers(min_value=0, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(rows=ids_strategy)
+@settings(**SETTINGS)
+def test_mixture_sample_subset_and_deterministic(spark, rows):
+    """The sample is a subset of the input, stable across calls, and
+    never exceeds a domain's population."""
+    from fifa_data_pipeline_spark.operators.relational import mixture_sample
+
+    df = spark.createDataFrame(rows, ["d", "id"])
+    a = {(r.d, r.id) for r in mixture_sample(df, "d", "id").collect()}
+    b = {(r.d, r.id) for r in mixture_sample(df, "d", "id").collect()}
+    assert a == b
+    assert a <= set(rows)
+
+
+@given(rows=ids_strategy)
+@settings(**SETTINGS)
+def test_hash_split_partitions_completely(spark, rows):
+    """Every row lands in exactly one split; assignment is a pure
+    function of the key (permutation-invariant)."""
+    from fifa_data_pipeline_spark.operators.relational import hash_split
+
+    df = spark.createDataFrame(rows, ["d", "id"])
+    out = hash_split(df, "id")
+    assert out.count() == len(rows)
+    splits = {r.id: r.split for r in out.collect()}
+    assert set(splits.values()) <= {"train", "valid", "test"}
+    again = {
+        r.id: r.split
+        for r in hash_split(
+            spark.createDataFrame(list(reversed(rows)), ["d", "id"]), "id"
+        ).collect()
+    }
+    assert splits == again
