@@ -270,6 +270,13 @@ def ewma(
     series length — bounds per-row cost.
 
     One shuffle on the key (same skew posture as :func:`sessionize`).
+
+    NULL ``value_col`` rows: ``collect_list`` silently DROPS nulls
+    from the frame, so a null row gets the EWMA of its non-null
+    neighbors rather than propagating NULL — callers needing strict
+    null propagation should filter/impute first (the events table is
+    non-null here; flagged so the divergence is a documented choice,
+    not a surprise).
     """
     w = (
         Window.partitionBy(key_col)
@@ -295,6 +302,7 @@ def seasonal_anomalies(
     key_col: str = "event_type",
     value_col: str = "value",
     z_threshold: float = 3.0,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Seasonality-aware anomaly detection: each event's value is
     z-scored against the (key, hour-of-day) baseline — the profile a
@@ -327,7 +335,7 @@ def seasonal_anomalies(
         )
         .filter(F.abs(F.col("z")) > z_threshold)
         .select(
-            "event_id",
+            id_col,
             key_col,
             F.col("__hod").alias("hod"),
             F.round(value_col, 6).alias("value_r"),

@@ -533,7 +533,14 @@ def quantize_int8(
         )
         / 127.0
     )
-    q = F.transform(v, lambda x: F.round(x / F.col("__scale")).cast("int"))
+    # All-zero vectors have scale 0: quantize to zeros instead of
+    # dividing by zero (ANSI round(NaN)->int would fail the job).
+    q = F.transform(
+        v,
+        lambda x: F.when(F.col("__scale") == 0.0, F.lit(0))
+        .otherwise(F.round(x / F.col("__scale")).cast("int"))
+        .cast("int"),
+    )
     err = F.sqrt(
         F.aggregate(
             F.zip_with(
@@ -545,7 +552,7 @@ def quantize_int8(
             F.lit(0.0),
             lambda acc, e: acc + e,
         )
-        / F.size(F.col(vec_col))
+        / F.greatest(F.size(F.col(vec_col)), F.lit(1))
     )
     return (
         df.withColumn("__scale", scale)

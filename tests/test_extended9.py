@@ -355,3 +355,13 @@ def test_trimmed_mean_udaf_drops_tails(spark):
     assert out["a"] == (10, 5.5)
     # b: fences q10=5.0, q90=71.5 -> 100 dropped, mean of three 5s
     assert out["b"] == (4, 5.0)
+
+
+def test_quantize_int8_zero_vector_safe(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, -1.0])], ["vec_id", "embedding"]
+    )
+    rows = {r.vec_id: r for r in V.quantize_int8(df).collect()}
+    assert rows[1].q_vec == [0, 0, 0]
+    assert rows[1].scale == 0.0 and rows[1].rmse == 0.0
+    assert rows[2].q_vec == [127, 0, -127]
