@@ -72,6 +72,8 @@ HEADLINE = [
     "q_jaccard_prefix",
     "q_label_moments",
     "q_seasonal_anomaly",
+    "q_variant_extract",
+    "q_trimmed_mean",
 ]
 
 
