@@ -708,3 +708,38 @@ def mad_outliers(
         )
         .filter(F.abs(F.col("robust_z")) > threshold)
     )
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/aggregate key:
+    the ``top_n`` heaviest key groups with their share of all rows
+    and their ratio to the mean group size — the numbers that decide
+    whether a key needs salting (:func:`salted_group_agg` /
+    :func:`salted_join`) or AQE skew-join before a 100 TB run, read
+    from a cheap aggregate instead of discovered as a straggler task
+    at hour three.
+
+    Plan: one hash aggregate on the key (map-side combined) plus a
+    one-row global aggregate broadcast back; top-n via
+    TakeOrderedAndProject. Output is ``top_n`` rows however large the
+    input."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__groups"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows") / (F.col("__total") / F.col("__groups")), 6
+            ).alias("x_mean_group"),
+        )
+        .orderBy(F.desc("n_rows"), *key_cols)
+        .limit(top_n)
+    )

@@ -213,6 +213,13 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user_id key groups in events with row share
+    and times-mean-group-size — the pre-shuffle skew diagnostic."""
+    ev = read_table(spark, sf_dir, "events")
+    return R.skew_report(ev, ["user_id"], top_n=10)
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 10-90% trimmed mean via a pandas GROUPED-AGG
     UDF (the UDAF tier) — oracle-exact because pandas quantile and
@@ -229,6 +236,7 @@ QUERIES = {
     "q_bpe_vocab": q_bpe_vocab,
     "q_variant_extract": q_variant_extract,
     "q_trimmed_mean": q_trimmed_mean,
+    "q_skew_report": q_skew_report,
     "q_label_moments": q_label_moments,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,
@@ -260,6 +268,21 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    "q_skew_report": """
+        WITH c AS (
+          SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+        ), t AS (
+          SELECT CAST(SUM(n_rows) AS DOUBLE) AS total,
+                 COUNT(*) AS groups
+          FROM c
+        )
+        SELECT user_id, n_rows,
+               ROUND(n_rows / t.total, 6) AS row_share,
+               ROUND(n_rows / (t.total / t.groups), 6) AS x_mean_group
+        FROM c, t
+        ORDER BY n_rows DESC, user_id
+        LIMIT 10
     """,
     "q_trimmed_mean": """
         WITH f AS (

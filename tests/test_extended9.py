@@ -365,3 +365,14 @@ def test_quantize_int8_zero_vector_safe(spark):
     assert rows[1].q_vec == [0, 0, 0]
     assert rows[1].scale == 0.0 and rows[1].rmse == 0.0
     assert rows[2].q_vec == [127, 0, -127]
+
+
+def test_skew_report_identifies_heavy_key(spark):
+    rows = [("hot", i) for i in range(80)] + [(f"k{i}", 1000 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, ["k", "x"])
+    out = R.skew_report(df, ["k"], top_n=3).collect()
+    assert out[0].k == "hot" and out[0].n_rows == 80
+    assert out[0].row_share == 0.8
+    # 21 groups, mean size 100/21; hot is 80/(100/21) = 16.8x
+    assert abs(out[0].x_mean_group - 16.8) < 1e-6
+    assert len(out) == 3 and out[1].n_rows == 1
