@@ -201,10 +201,21 @@ def interpolate_linear(
     step = _freq_seconds(freq)
     epoch = F.unix_timestamp(F.col(ts_col)).cast("bigint")
     bucket = (epoch - epoch % F.lit(step)).alias("__b")
+    # Bucket mean with ORDER-DETERMINISTIC summation: a plain avg()
+    # accumulates in partition order, which differs from the oracle's
+    # order and (measured at sf0.1) can land exactly on a 6-dp
+    # rounding boundary one ulp apart. Folding the sorted value list
+    # makes the sum bit-identical in any engine at negligible cost
+    # (buckets hold a handful of events).
+    sorted_sum = F.aggregate(
+        F.sort_array(F.collect_list(F.col(value_col).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     vals = (
         df.select(bucket, F.col(key_col), F.col(value_col))
         .groupBy("__b", key_col)
-        .agg(F.avg(value_col).alias("__v"))
+        .agg((sorted_sum / F.count(value_col)).alias("__v"))
     )
     bounds = df.select(bucket.alias("__b")).agg(
         F.min("__b").alias("__mn"), F.max("__b").alias("__mx")
@@ -241,11 +252,19 @@ def interpolate_linear(
             / (next_b - prev_b)
         )
     )
+    # NO explicit round on the output: the bucket means are computed
+    # with order-deterministic folds, so Spark and any oracle produce
+    # BIT-IDENTICAL doubles — while an explicit round(x, 6) lands on
+    # engine-specific half-boundary behavior (measured at sf0.1:
+    # DuckDB rounds the shortest decimal repr, Spark the binary
+    # value, one ulp apart exactly at ....5 means of cent-valued
+    # data). Raw doubles compare exactly; rounding would only add a
+    # divergence channel.
     return grid.select(
         F.col("__b").alias("period_s"),
         F.col(key_col),
         F.col("__v").isNotNull().alias("observed"),
-        F.round(interp, 6).alias("value_filled"),
+        interp.alias("value_filled"),
     )
 
 

@@ -447,7 +447,8 @@ ORACLES = {
           SELECT DISTINCT event_type FROM events
         ), c AS (
           SELECT date_trunc('hour', ts) AS h, event_type,
-                 AVG(value) AS v
+                 list_reduce(list_sort(list(value)), (a, b) -> a + b)
+                   / COUNT(value) AS v
           FROM events GROUP BY 1, 2
         ), grid AS (
           SELECT extract(epoch FROM s.h) AS ep, k.event_type, c.v
@@ -470,12 +471,12 @@ ORACLES = {
         SELECT CAST(FLOOR(ep) AS BIGINT) AS period_s,
                event_type,
                v IS NOT NULL AS observed,
-               ROUND(CASE
+               CASE
                  WHEN v IS NOT NULL THEN v
                  WHEN pv IS NULL THEN nv
                  WHEN nv IS NULL THEN pv
                  ELSE pv + (nv - pv) * (ep - pb) / (nb - pb)
-               END, 6) AS value_filled
+               END AS value_filled
         FROM filled
     """,
     "q_ewma": """
