@@ -362,3 +362,50 @@ def seasonal_anomalies(
             "z",
         )
     )
+
+
+def sequence_pattern(
+    df: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user event-sequence pattern detection — the poor-man's
+    MATCH_RECOGNIZE (which Spark SQL lacks): each user's events are
+    ordered by (ts, id) and folded into one ``>``-delimited type
+    string, and ``pattern`` (a regex over that string, e.g.
+    ``'view>(?:[^>]+>)*?purchase'`` for "view eventually followed by
+    purchase") is matched per user. Returns one row per user with the
+    sequence length, the first match, and a boolean.
+
+    Plan shape: one shuffle on the user key (sort_array of collected
+    (ts, id, type) structs restores event order deterministically
+    inside the row — no window sort pass), then pure string
+    expressions. Per-user sequence must fit a row — same contract and
+    skew posture as :func:`sessionize`; bound per-user history
+    upstream for bot-grade users."""
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("t"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("e"),
+                )
+            )
+        ),
+        lambda s: s["e"],
+    )
+    seq = F.concat_ws(">", ordered)
+    return (
+        df.groupBy(user_col)
+        .agg(seq.alias("seq"))
+        .select(
+            user_col,
+            (F.size(F.split("seq", ">"))).cast("bigint").alias("n_events"),
+            F.regexp_extract("seq", pattern, 0).alias("first_match"),
+            (F.regexp_extract("seq", pattern, 0) != "").alias("matched"),
+        )
+    )

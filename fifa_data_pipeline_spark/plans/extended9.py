@@ -220,6 +220,14 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.skew_report(ev, ["user_id"], top_n=10)
 
 
+def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 'view eventually followed by purchase' sequence
+    detection (MATCH_RECOGNIZE stand-in): ordered event-type string +
+    non-greedy regex, first matching subsequence returned."""
+    ev = read_table(spark, sf_dir, "events")
+    return E.sequence_pattern(ev, "view>(?:[^>]+>)*?purchase")
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 10-90% trimmed mean via a pandas GROUPED-AGG
     UDF (the UDAF tier) — oracle-exact because pandas quantile and
@@ -237,6 +245,7 @@ QUERIES = {
     "q_variant_extract": q_variant_extract,
     "q_trimmed_mean": q_trimmed_mean,
     "q_skew_report": q_skew_report,
+    "q_seq_pattern": q_seq_pattern,
     "q_label_moments": q_label_moments,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,
@@ -268,6 +277,20 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    "q_seq_pattern": """
+        WITH s AS (
+          SELECT user_id,
+                 COUNT(*) AS n_events,
+                 string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               COALESCE(regexp_extract(seq,
+                 'view>(?:[^>]+>)*?purchase'), '') AS first_match,
+               COALESCE(regexp_extract(seq,
+                 'view>(?:[^>]+>)*?purchase'), '') <> '' AS matched
+        FROM s
     """,
     "q_skew_report": """
         WITH c AS (

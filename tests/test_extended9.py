@@ -376,3 +376,26 @@ def test_skew_report_identifies_heavy_key(spark):
     # 21 groups, mean size 100/21; hot is 80/(100/21) = 16.8x
     assert abs(out[0].x_mean_group - 16.8) < 1e-6
     assert len(out) == 3 and out[1].n_rows == 1
+
+
+def test_sequence_pattern_ordering_and_match(spark):
+    t0 = dt.datetime(2026, 3, 1)
+    rows = [
+        # user 1: view -> click -> purchase (matches, skipping click)
+        (1, t0, 1, "view"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "purchase"),
+        # user 2: purchase before view (no match)
+        (4, t0, 2, "purchase"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "view"),
+        # user 3: same-ts tie broken by event_id: view(6) then purchase(7)
+        (6, t0, 3, "view"),
+        (7, t0, 3, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {r.user_id: r for r in
+           E.sequence_pattern(df, "view>(?:[^>]+>)*?purchase").collect()}
+    assert out[1].matched and out[1].first_match == "view>click>purchase"
+    assert not out[2].matched and out[2].first_match == ""
+    assert out[3].matched and out[3].first_match == "view>purchase"
+    assert out[1].n_events == 3
