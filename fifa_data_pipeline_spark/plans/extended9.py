@@ -228,6 +228,53 @@ def q_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.sequence_pattern(ev, "view>(?:[^>]+>)*?purchase")
 
 
+def q_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per event_type build an hour-of-day → count
+    MAP (map_from_entries over a sorted collect_list), then explode
+    it back to rows. The map is the natural shape for per-entity
+    feature bags; exploding back keeps the oracle comparison on plain
+    rows. One aggregate + per-row map ops, no extra shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    per_hour = (
+        ev.groupBy("event_type", F.hour("ts").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    as_map = per_hour.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("hod", "n")))
+        ).alias("by_hour")
+    )
+    return as_map.select(
+        "event_type",
+        F.map_keys("by_hour").alias("__ks"),
+        F.explode("by_hour").alias("hod", "n"),
+    ).select(
+        "event_type",
+        F.size("__ks").cast("int").alias("n_hours"),
+        "hod",
+        "n",
+    )
+
+
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ingestion semantics: under Spark 4's ANSI mode a bad
+    CAST fails the JOB, so dirty-input pipelines use try_cast (NULL
+    on failure). Parses the first whitespace token of each document
+    as an int and reports per-source parse rates — the
+    dirty-CSV-column triage shape."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = F.element_at(F.split(F.trim("text"), r"\s+"), 1)
+    parsed = docs.select(
+        "source", tok.try_cast("int").alias("as_int"), tok.alias("tok")
+    )
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("as_int").alias("n_parsed"),
+        F.sum(F.when(F.col("as_int").isNull() & F.col("tok").isNotNull(), 1)
+              .otherwise(0)).cast("bigint").alias("n_failed"),
+    )
+
+
 def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 10-90% trimmed mean via a pandas GROUPED-AGG
     UDF (the UDAF tier) — oracle-exact because pandas quantile and
@@ -246,6 +293,8 @@ QUERIES = {
     "q_trimmed_mean": q_trimmed_mean,
     "q_skew_report": q_skew_report,
     "q_seq_pattern": q_seq_pattern,
+    "q_map_roundtrip": q_map_roundtrip,
+    "q_try_cast": q_try_cast,
     "q_label_moments": q_label_moments,
     "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_winsorize": q_winsorize,
@@ -277,6 +326,33 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
           AND ROUND(len(list_intersect(a.s, b.s)) /
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+    """,
+    "q_map_roundtrip": """
+        WITH h AS (
+          SELECT event_type,
+                 CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), k AS (
+          SELECT event_type, CAST(COUNT(*) AS INTEGER) AS n_hours
+          FROM h GROUP BY event_type
+        )
+        SELECT h.event_type, k.n_hours, h.hod, h.n
+        FROM h JOIN k USING (event_type)
+    """,
+    "q_try_cast": """
+        WITH t AS (
+          SELECT source,
+                 string_split_regex(trim(text), '\\s+')[1] AS tok
+          FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(TRY_CAST(tok AS INTEGER)) AS n_parsed,
+               CAST(SUM(CASE WHEN TRY_CAST(tok AS INTEGER) IS NULL
+                              AND tok IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_failed
+        FROM t GROUP BY source
     """,
     "q_seq_pattern": """
         WITH s AS (

@@ -399,3 +399,20 @@ def test_sequence_pattern_ordering_and_match(spark):
     assert not out[2].matched and out[2].first_match == ""
     assert out[3].matched and out[3].first_match == "view>purchase"
     assert out[1].n_events == 3
+
+
+def test_try_cast_null_on_failure(spark):
+    df = spark.createDataFrame([("42",), ("nope",), (None,)], ["s"])
+    out = [r.v for r in df.select(F.col("s").try_cast("int").alias("v")).collect()]
+    assert out == [42, None, None]
+
+
+def test_map_from_entries_roundtrip(spark):
+    df = spark.createDataFrame([("a", 1, 10), ("a", 2, 20)], ["g", "k", "n"])
+    m = df.groupBy("g").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("k", "n")))
+        ).alias("m")
+    )
+    back = {(r.g, r.k): r.n for r in m.select("g", F.explode("m").alias("k", "n")).collect()}
+    assert back == {("a", 1): 10, ("a", 2): 20}
