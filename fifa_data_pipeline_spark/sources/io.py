@@ -418,7 +418,11 @@ def read_xml(
 
 
 def write_with_audit(
-    df: DataFrame, path: str, metrics: dict[str, "F.Column"], mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "F.Column"],
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Parquet sink with FREE audit metrics: ``df.observe`` attaches
     aggregate expressions (row counts, sums, null counts, min/max)
@@ -434,5 +438,8 @@ def write_with_audit(
 
     obs = Observation("write_audit")
     observed = df.observe(obs, *[v.alias(k) for k, v in metrics.items()])
-    observed.write.mode(mode).parquet(path)
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     return obs.get

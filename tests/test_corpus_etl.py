@@ -1,0 +1,56 @@
+"""End-to-end corpus ETL flow: results equal the oracle-checked
+q_corpus_pipeline aggregate, the audit metrics match the data, the
+read-back prunes partitions, and a re-run is idempotent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.plans.corpus_etl import corpus_etl_flow, read_split
+from fifa_data_pipeline_spark.plans.extended8 import q_corpus_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_etl_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    metrics = corpus_etl_flow(spark, SF, out)
+
+    # audit metrics observed during the write match the data read back
+    stored = spark.read.parquet(out)
+    agg = stored.agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("seq_tokens").alias("total_tokens"),
+    ).collect()[0]
+    assert metrics["n_seqs"] == agg.n_seqs
+    assert metrics["n_docs"] == agg.n_docs
+    assert metrics["total_tokens"] == agg.total_tokens
+
+    # per-(split, source) totals equal the oracle-checked registry query
+    expected = {
+        (r.split, r.source): (r.n_seqs, r.n_docs, r.total_tokens)
+        for r in q_corpus_pipeline(spark, SF).collect()
+    }
+    got = {
+        (r.split, r.source): (r.n_seqs, r.n_docs, r.total_tokens)
+        for r in stored.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("seq_tokens").alias("total_tokens"),
+        )
+        .collect()
+    }
+    assert got == expected
+
+    # split read-back prunes to one hive partition
+    train = read_split(spark, out, "train")
+    plan = train._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan, plan[:1500]
+    assert train.count() == stored.filter("split = 'train'").count() > 0
+
+    # idempotent re-run (CREATE OR REPLACE semantics)
+    again = corpus_etl_flow(spark, SF, out)
+    assert again == metrics
+    assert spark.read.parquet(out).count() == agg.n_seqs
