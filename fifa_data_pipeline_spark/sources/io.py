@@ -443,3 +443,21 @@ def write_with_audit(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     return obs.get
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Batch backfill with DYNAMIC partition overwrite: only the
+    partitions present in ``df`` are replaced; untouched partitions
+    survive. The idempotent-backfill primitive (re-run yesterday's
+    partition without clobbering the table) — the batch counterpart
+    of the streaming ``stream_upsert_partitioned`` sink. The mode is
+    set per-write via the writer option, not session-wide, so
+    concurrent static-overwrite writes keep their semantics."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -181,3 +181,19 @@ def test_write_with_audit_collects_metrics_in_one_pass(spark, tmp_path):
     assert got["null_prices"] == 0
     # and the write really happened
     assert spark.read.parquet(str(tmp_path / "audited")).count() == got["n_rows"]
+
+
+def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
+    from fifa_data_pipeline_spark.sources.io import overwrite_partitions
+
+    path = str(tmp_path / "parts")
+    base = spark.createDataFrame(
+        [("2026-01-01", 1), ("2026-01-01", 2), ("2026-01-02", 3)], ["d", "v"]
+    )
+    overwrite_partitions(base, path, ["d"])
+    # backfill day 1 only, with corrected values
+    fix = spark.createDataFrame([("2026-01-01", 99)], ["d", "v"])
+    overwrite_partitions(fix, path, ["d"])
+    # partition dirs read back with inferred DATE type — compare as str
+    got = {(str(r.d), r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("2026-01-01", 99), ("2026-01-02", 3)}
