@@ -743,3 +743,39 @@ def skew_report(
         .orderBy(F.desc("n_rows"), *key_cols)
         .limit(top_n)
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dims: DataFrame,
+    key: str,
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (PIT) join: each fact row picks the SCD-2
+    dimension version whose ``[valid_from, valid_to)`` interval
+    contains the fact's timestamp (``valid_to`` NULL = still open).
+    The canonical "as the data stood then" lookup against a
+    historized dimension — the temporal complement of
+    :func:`as_of_join` (which matches the latest value ≤ ts without
+    materialized intervals).
+
+    Because SCD-2 intervals are per-entity and tile the entity's
+    timeline, the interval predicate is a post-filter on an ordinary
+    EQUI-join on the entity key — Catalyst plans a hash/sort-merge
+    join on ``key``, never a nested-loop: each fact meets only its
+    own entity's handful of versions, and exactly one survives the
+    containment filter. At 100 TB both sides shuffle once on the
+    entity key (or zero times if bucketed on it); there is no range
+    explosion.
+    """
+    d = dims.select(
+        F.col(key).alias("__pk"),
+        *[c for c in dims.columns if c != key],
+    )
+    cond = (
+        (facts[ts_col] >= d[valid_from])
+        & (d[valid_to].isNull() | (facts[ts_col] < d[valid_to]))
+    )
+    return facts.join(d, (facts[key] == d["__pk"]) & cond, "inner").drop("__pk")

@@ -41,6 +41,7 @@ def _load() -> None:
         extended7,
         extended8,
         extended9,
+        extended10,
         northstar,
         parity,
         streaming_queries,
@@ -57,6 +58,7 @@ def _load() -> None:
     _merge(extended7)
     _merge(extended8)
     _merge(extended9)
+    _merge(extended10)
     _merge(streaming_queries)
 
 
