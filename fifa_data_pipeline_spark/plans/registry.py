@@ -42,6 +42,7 @@ def _load() -> None:
         extended8,
         extended9,
         extended10,
+        extended11,
         northstar,
         parity,
         streaming_queries,
@@ -59,6 +60,7 @@ def _load() -> None:
     _merge(extended8)
     _merge(extended9)
     _merge(extended10)
+    _merge(extended11)
     _merge(streaming_queries)
 
 
