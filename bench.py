@@ -74,6 +74,29 @@ HEADLINE = [
     "q_seasonal_anomaly",
     "q_variant_extract",
     "q_trimmed_mean",
+    # round-4 analytics / experimentation operators
+    "q_grouped_linreg",
+    "q_entropy",
+    "q_hhi",
+    "q_pit_join",
+    "q_heavy_hitters",
+    "q_percentile_disc",
+    "q_corr_matrix",
+    "q_ab_welch",
+    "q_time_to_convert",
+    "q_path_trigrams",
+    "q_windowed_distinct",
+    "q_bitmap_distinct",
+    "q_doc_similarity",
+    "q_attribution",
+    "q_tokenizer_fertility",
+    "q_dedup_keep_best",
+    "q_autocorr",
+    "q_cusum",
+    "q_rolling_median",
+    "q_benford",
+    "q_mode_group",
+    "q_gini",
 ]
 
 

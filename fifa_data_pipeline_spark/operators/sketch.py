@@ -15,11 +15,13 @@ sketch-then-verify shape that stays EXACT:
    bar). The union of per-partition candidates is therefore a
    guaranteed superset of the true heavy hitters — at most
    k × partitions rows, i.e. KBs at any input scale.
-2. **Verify pass** — exact recount of ONLY the candidates (broadcast
-   semi-join into a hash aggregate) and a strict ``count > N/(k+1)``
-   filter. The output is bit-identical to the brute-force
-   ``GROUP BY … HAVING`` answer, which is what the DuckDB oracle
-   runs.
+2. **Verify pass** — one fused recount: candidates keep their item
+   as the aggregate key, everything else collapses onto a NULL
+   sentinel, so a single hash aggregate yields both the exact
+   candidate counts AND the exact total N; a strict
+   ``count > N/(k+1)`` filter finishes. The output is bit-identical
+   to the brute-force ``GROUP BY … HAVING`` answer, which is what
+   the DuckDB oracle runs.
 
 At 100 TB the brute-force form shuffles one row per distinct item
 (billions for web-scale token vocabularies); the sketch form
@@ -85,21 +87,37 @@ def heavy_hitters_exact(
     wide shuffle carries only Misra–Gries survivors instead of the
     full distinct-item set.
 
-    The total N is a scalar all-to-one aggregate (one row) crossed
-    into the final filter; the candidate set is broadcast into the
-    recount join, so the only per-row work on the big side is a
-    hash probe + partial count."""
-    cands = misra_gries_candidates(items, item_col, k)
-    total = items.filter(F.col(item_col).isNotNull()).agg(
-        F.count(F.lit(1)).alias("__total")
+    The whole query is TWO scans of the input — the sketch pass and
+    one fused recount pass: non-candidate rows collapse onto a NULL
+    sentinel key in the same hash aggregate that counts candidates
+    (map-side partials keep the sentinel group one row per task, so
+    it cannot skew), which yields the exact total N for free instead
+    of a third counting scan. The tiny intermediates (candidate set,
+    per-key counts) are ``localCheckpoint``-ed so their downstream
+    double-use cannot re-trigger the big scans."""
+    cands = misra_gries_candidates(items, item_col, k).localCheckpoint(
+        eager=False
     )
-    recount = (
-        items.join(F.broadcast(cands), item_col, "left_semi")
-        .groupBy(item_col)
+    marked = (
+        items.filter(F.col(item_col).isNotNull())
+        .join(
+            F.broadcast(cands.withColumn("__is_cand", F.lit(True))),
+            item_col,
+            "left",
+        )
+        .select(
+            F.when(F.col("__is_cand"), F.col(item_col)).alias("__key")
+        )
+    )
+    counts = (
+        marked.groupBy("__key")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
     )
+    total = counts.agg(F.sum("cnt").alias("__total"))
     return (
-        recount.crossJoin(F.broadcast(total))
+        counts.filter(F.col("__key").isNotNull())
+        .crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * (k + 1) > F.col("__total"))
-        .select(item_col, "cnt")
+        .select(F.col("__key").alias(item_col), "cnt")
     )

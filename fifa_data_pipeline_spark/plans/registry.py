@@ -43,6 +43,7 @@ def _load() -> None:
         extended9,
         extended10,
         extended11,
+        extended12,
         northstar,
         parity,
         streaming_queries,
@@ -61,6 +62,7 @@ def _load() -> None:
     _merge(extended9)
     _merge(extended10)
     _merge(extended11)
+    _merge(extended12)
     _merge(streaming_queries)
 
 

@@ -1,0 +1,107 @@
+"""Unit tests for the round-4 batch-3 statistics operators
+(extended12): reference-implementation equalities and invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_gini_matches_numpy(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended12 import q_gini
+
+    got = {r["c_nationkey"]: r["gini"] for r in q_gini(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    spend = (
+        orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .groupby(["c_nationkey", "c_custkey"])["o_totalprice"]
+        .sum()
+        .reset_index()
+    )
+    for nk, grp in spend.groupby("c_nationkey"):
+        x = np.sort(grp["o_totalprice"].to_numpy())
+        n = len(x)
+        i = np.arange(1, n + 1)
+        g = 2 * (i * x).sum() / (n * x.sum()) - (n + 1) / n
+        assert abs(got[nk] - round(g, 6)) <= 2e-6
+        assert 0 <= got[nk] < 1
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended12 import q_rolling_median
+
+    got = q_rolling_median(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = (ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+    daily = (
+        ev.groupby(["event_type", "day"]).size().rename("n").reset_index()
+    )
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day")
+        expect = grp["n"].rolling(7, min_periods=1).median()
+        mine = (
+            got[got.event_type == et]
+            .set_index("day")
+            .loc[grp["day"], "median_7d"]
+            .to_numpy()
+        )
+        assert np.allclose(mine, expect.to_numpy(), atol=1e-6)
+
+
+def test_benford_shares_and_digits(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended12 import q_benford
+
+    rows = q_benford(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
+    # Benford expectations are the fixed log curve
+    for r in rows:
+        assert abs(r["benford"] - round(np.log10(1 + 1 / r["digit"]), 6)) < 1e-9
+
+
+def test_cusum_sums_to_zero_at_series_end(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended12 import q_cusum
+
+    df = q_cusum(spark, sf_dir)
+    last = (
+        df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.desc("day"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .collect()
+    )
+    # Σ(n - mean) over the full series is 0 by construction
+    for r in last:
+        assert abs(r["cusum"]) < 1e-3
+
+
+def test_mode_group_is_true_mode(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended12 import q_mode_group
+
+    got = {
+        r["c_mktsegment"]: r["modal_priority"]
+        for r in q_mode_group(spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    for seg, grp in j.groupby("c_mktsegment"):
+        counts = grp["o_orderpriority"].value_counts()
+        best = counts.max()
+        winners = sorted(counts[counts == best].index)
+        assert got[seg] == winners[0]
+
+
+def test_autocorr_bounded(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended12 import q_autocorr
+
+    for r in q_autocorr(spark, sf_dir).collect():
+        assert -1.000001 <= r["autocorr_1"] <= 1.000001
+        assert r["n_days"] >= 1
