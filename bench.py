@@ -97,6 +97,7 @@ HEADLINE = [
     "q_benford",
     "q_mode_group",
     "q_gini",
+    "q_asof_forward",
 ]
 
 

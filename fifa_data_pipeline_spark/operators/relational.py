@@ -779,3 +779,30 @@ def point_in_time_join(
         & (d[valid_to].isNull() | (facts[ts_col] < d[valid_to]))
     )
     return facts.join(d, (facts[key] == d["__pk"]) & cond, "inner").drop("__pk")
+
+
+def as_of_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    prefix: str = "next_",
+) -> DataFrame:
+    """FORWARD as-of join: attach to each left row the EARLIEST right
+    row with ``right_ts >= left_ts`` (inclusive) for the same key, or
+    NULLs if none — "what happened next" (next session start, next
+    price quote), the mirror of :func:`as_of_join`'s "latest before".
+
+    Implemented by time reversal: negate both timestamp columns and
+    run the backward join — the earliest following row IS the latest
+    preceding row on the reversed axis, ties included identically.
+    Same cost envelope: one union, one shuffle on ``key``, one
+    running-``last`` window; requires a numeric timestamp (epoch).
+    Matches DuckDB ``ASOF JOIN … ON right_ts >= left_ts``."""
+    ln = left.withColumn("__fneg", -F.col(left_ts))
+    rn = right.withColumn("__fnegr", -F.col(right_ts))
+    return as_of_join(
+        ln, rn, key, "__fneg", "__fnegr", payload_cols, prefix
+    ).drop("__fneg")

@@ -26,6 +26,9 @@ def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Engine-portable epoch seconds (matches unix_timestamp().cast).
+_EPOCH = "CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT)"
+
 _DAILY_SQL = """
           SELECT event_type,
                  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER) AS day,
@@ -197,6 +200,41 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of lookup: for each purchase, the user's EARLIEST
+    view at or after it ("did the buyer come back?"). Views are
+    canonicalized per (user, second) — min event_id — so the match
+    is deterministic in both engines; NULLs mean no later view.
+    One union + one shuffle via the time-reversed running-last form
+    (see :func:`~...relational.as_of_join_forward`)."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        as_of_join_forward,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").cast("bigint")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ep.alias("ep")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", ep.alias("vep"), "event_id")
+        .groupBy("user_id", "vep")
+        .agg(F.min("event_id").alias("view_event_id"))
+    )
+    out = as_of_join_forward(
+        purchases, views, "user_id", "ep", "vep", ["view_event_id", "vep"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ep",
+        F.col("next_view_event_id").alias("next_event_id"),
+        F.col("next_vep").alias("next_ep"),
+    )
+
+
+
 QUERIES = {
     "q_autocorr": q_autocorr,
     "q_cusum": q_cusum,
@@ -204,6 +242,7 @@ QUERIES = {
     "q_benford": q_benford,
     "q_mode_group": q_mode_group,
     "q_gini": q_gini,
+    "q_asof_forward": q_asof_forward,
 }
 
 ORACLES = {
@@ -301,5 +340,19 @@ ORACLES = {
                ROUND(2 * SUM(i * spend) / (COUNT(*) * SUM(spend))
                      - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
         FROM ranked GROUP BY c_nationkey
+    """,
+    "q_asof_forward": f"""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, {_EPOCH} AS ep FROM events
+        ), p AS (
+          SELECT event_id, user_id, ep FROM e WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, ep AS vep, MIN(event_id) AS view_event_id
+          FROM e WHERE event_type = 'view' GROUP BY 1, 2
+        )
+        SELECT p.event_id, p.user_id, p.ep,
+               v.view_event_id AS next_event_id, v.vep AS next_ep
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.user_id AND v.vep >= p.ep
     """,
 }

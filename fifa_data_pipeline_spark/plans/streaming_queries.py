@@ -120,6 +120,21 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window distinct-user reach (approx HLL state —
+    O(KB)/window instead of per-id sets; hash-deterministic, so the
+    batch twin computes the identical estimate and
+    test_streaming.py::test_stream_distinct_matches_batch pins
+    equality)."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_distinct_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_distinct_counts(stream), name, "append")
+    return spark.table(name)
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_ewma": q_stream_ewma,
@@ -128,6 +143,7 @@ QUERIES = {
     "q_stream_hopping": q_stream_hopping,
     "q_stream_interval_join": q_stream_interval_join,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_distinct": q_stream_distinct,
 }
 
 ORACLES: dict[str, str] = {}

@@ -374,3 +374,26 @@ def stream_ewma(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_distinct_counts(
+    events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Streaming per-window distinct-user reach via
+    ``approx_count_distinct`` (HLL): exact distinct counting is not
+    incrementalizable without holding every seen id per open window,
+    while the HLL register state is O(KB) per (window, key) and
+    merges associatively across micro-batches — the standard
+    streaming-reach trade. The estimate is deterministic for a given
+    input set (hash-based, no RNG), so the batch twin computes the
+    IDENTICAL number and the equality test is exact."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("ws"),
+            "event_type",
+            "approx_users",
+        )
+    )

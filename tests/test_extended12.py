@@ -105,3 +105,26 @@ def test_autocorr_bounded(spark, sf_dir):
     for r in q_autocorr(spark, sf_dir).collect():
         assert -1.000001 <= r["autocorr_1"] <= 1.000001
         assert r["n_days"] >= 1
+
+
+def test_as_of_join_forward_picks_earliest_following(spark):
+    from fifa_data_pipeline_spark.operators.relational import (
+        as_of_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 12, "b"), (1, 30, "c"), (1, 25, "tie")],
+        "k long, rts long, tag string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["next_tag"], r["next_rts"])
+        for r in as_of_join_forward(
+            left, right, "k", "ts", "rts", ["tag", "rts"]
+        ).collect()
+    }
+    assert out[(1, 10)] == ("b", 12)      # earliest rts >= 10
+    assert out[(1, 25)] == ("tie", 25)    # inclusive at equality
+    assert out[(2, 5)] == (None, None)    # no right rows for key 2

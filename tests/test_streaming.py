@@ -368,3 +368,35 @@ def test_stream_ewma_matches_batch(spark, events_dir):
         k for k in expected if abs(got[k] - expected[k]) > 1e-6
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_stream_distinct_matches_batch(spark, events_dir):
+    # approx_count_distinct is hash-deterministic: streaming HLL
+    # state merged across micro-batches must equal the one-shot
+    # batch aggregate exactly
+    from pyspark.sql import functions as F
+
+    batch = read_table(spark, SF, "events")
+    expected = {
+        (r.ws, r.event_type): r.approx_users
+        for r in batch.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.unix_timestamp("w.start").cast("bigint").alias("ws"),
+            "event_type",
+            "approx_users",
+        )
+        .collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    S.run_to_memory(S.stream_distinct_counts(stream), "t_distinct", "append")
+    got = {
+        (r.ws, r.event_type): r.approx_users
+        for r in spark.sql("SELECT * FROM t_distinct").collect()
+    }
+    assert len(got) > 0
+    for k, v in got.items():
+        assert expected[k] == v
