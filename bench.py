@@ -98,6 +98,9 @@ HEADLINE = [
     "q_mode_group",
     "q_gini",
     "q_asof_forward",
+    "q_lateral_topn",
+    "q_length_buckets",
+    "q_cross_source_dups",
 ]
 
 

@@ -44,6 +44,7 @@ def _load() -> None:
         extended10,
         extended11,
         extended12,
+        extended13,
         northstar,
         parity,
         streaming_queries,
@@ -63,6 +64,7 @@ def _load() -> None:
     _merge(extended10)
     _merge(extended11)
     _merge(extended12)
+    _merge(extended13)
     _merge(streaming_queries)
 
 

@@ -128,3 +128,28 @@ def test_as_of_join_forward_picks_earliest_following(spark):
     assert out[(1, 10)] == ("b", 12)      # earliest rts >= 10
     assert out[(1, 25)] == ("tie", 25)    # inclusive at equality
     assert out[(2, 5)] == (None, None)    # no right rows for key 2
+
+
+def test_length_buckets_are_powers_of_two_and_cover(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended13 import q_length_buckets
+
+    rows = q_length_buckets(spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        b = r["bucket"]
+        assert b >= 16 and (b & (b - 1)) == 0  # power of two
+        assert 0 <= r["waste_ratio"] < 1
+        assert r["real_tokens"] <= r["padded_tokens"]
+
+
+def test_cross_source_dups_share_bounds(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended13 import (
+        q_cross_source_dups,
+    )
+
+    for r in q_cross_source_dups(spark, sf_dir).collect():
+        assert r["src_a"] != r["src_b"]
+        assert 0 < r["share_of_a"] <= 1

@@ -140,3 +140,11 @@ def test_daily_spine_queries_aggregate_before_window(spark, sf_dir):
     # (the daily counts); the window runs on the tiny spine
     plan = _plan(spark, sf_dir, "q_rolling_median")
     assert plan.count("events.parquet") == 1
+
+
+def test_lateral_topn_is_decorrelated(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_lateral_topn")
+    # Catalyst must rewrite the correlated LATERAL into a ranked
+    # window join — one customer scan, no nested-loop re-probe
+    assert plan.count("customer.parquet") == 1
+    assert "NestedLoop" not in plan or "Window" in plan
