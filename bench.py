@@ -101,6 +101,8 @@ HEADLINE = [
     "q_lateral_topn",
     "q_length_buckets",
     "q_cross_source_dups",
+    "q_cdc_apply",
+    "q_lang_confusion",
 ]
 
 

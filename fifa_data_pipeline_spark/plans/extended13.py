@@ -11,11 +11,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.text import STOPWORDS
 from fifa_data_pipeline_spark.sources.io import read_table, register_views
 
 #: Shared SQL text for the LATERAL query — Spark ≥3.2 and DuckDB
 #: both execute it verbatim (Catalyst decorrelates the LATERAL into
 #: a ranked window join; DuckDB into a dependent join).
+#: DuckDB twin of the stopword-hit predicate (same list as
+#: operators/text.py STOPWORDS; mirrors the q_lang_id oracle).
+_STOP_PRED = " OR ".join(f"t = '{w}'" for w in STOPWORDS)
+
 _LATERAL_SQL = """
     SELECT n.n_name, t.c_name, t.c_acctbal
     FROM nation n,
@@ -100,10 +105,79 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed materialization: the event log is read as a
+    change stream (signup→INSERT, error→DELETE, everything else→
+    UPSERT, ordered per key by (epoch, event_id)); applying it means
+    keeping each key's LATEST change and dropping keys whose latest
+    op is a delete — the core of every lakehouse MERGE-from-CDC job.
+    One window rank over the key (WindowGroupLimit prunes to local
+    winners pre-shuffle), then a filter; no join against the target
+    needed for a full rebuild, and the same plan bounded by a
+    watermark is the incremental variant."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    feed = ev.select(
+        "user_id",
+        op.alias("op"),
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ep"), F.desc("event_id")
+    )
+    return (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("ep").alias("applied_at"),
+            F.round("value", 6).alias("value_r"),
+        )
+    )
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-metadata audit: confusion matrix of the declared
+    ``lang`` column vs the stopword-heuristic ``lang_id`` guess,
+    with per-declared-lang share — the mislabeled-language census a
+    corpus-curation pass runs before per-language filtering. One
+    per-row expression + two stacked aggregates (cell counts, then
+    row totals folded in via a window-free share division)."""
+    from fifa_data_pipeline_spark.operators.text import lang_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    guessed = lang_id(docs)
+    cells = guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("__t"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            F.round(F.col("n") / F.col("__t"), 6).alias("share_of_lang"),
+        )
+    )
+
+
 QUERIES = {
     "q_lateral_topn": q_lateral_topn,
     "q_length_buckets": q_length_buckets,
     "q_cross_source_dups": q_cross_source_dups,
+    "q_cdc_apply": q_cdc_apply,
+    "q_lang_confusion": q_lang_confusion,
 }
 
 ORACLES = {
@@ -140,5 +214,42 @@ ORACLES = {
         JOIN fp b ON a.fp = b.fp AND a.source <> b.source
         JOIN per_src p ON p.source = a.source
         GROUP BY a.source, b.source
+    """,
+    "q_cdc_apply": """
+        WITH feed AS (
+          SELECT user_id,
+                 CASE event_type WHEN 'signup' THEN 'I'
+                                 WHEN 'error' THEN 'D'
+                                 ELSE 'U' END AS op,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep,
+                 event_id, value
+          FROM events
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ep DESC, event_id DESC)
+                      AS rn
+          FROM feed
+        )
+        SELECT user_id, op AS last_op, ep AS applied_at,
+               ROUND(value, 6) AS value_r
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+    "q_lang_confusion": f"""
+        WITH g AS (
+          SELECT lang,
+                 CASE WHEN len(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        t -> {_STOP_PRED}))
+                      / len(string_split_regex(trim(text), '\\s+')) >= 0.08
+                      THEN 'en' ELSE 'unk' END AS lang_guess
+          FROM documents
+        ), cells AS (
+          SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY 1, 2
+        ), totals AS (
+          SELECT lang, SUM(n) AS t FROM cells GROUP BY lang
+        )
+        SELECT c.lang, c.lang_guess, CAST(c.n AS BIGINT) AS n,
+               ROUND(c.n / CAST(t.t AS DOUBLE), 6) AS share_of_lang
+        FROM cells c JOIN totals t ON c.lang = t.lang
     """,
 }

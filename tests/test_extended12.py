@@ -153,3 +153,34 @@ def test_cross_source_dups_share_bounds(spark, sf_dir):
     for r in q_cross_source_dups(spark, sf_dir).collect():
         assert r["src_a"] != r["src_b"]
         assert 0 < r["share_of_a"] <= 1
+
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended13 import q_cdc_apply
+
+    rows = {r["user_id"]: r for r in q_cdc_apply(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["ep"] = (ev["ts"].astype("int64") // 10**9)
+    # reference apply: latest change per user, drop if it's a delete
+    import numpy as np
+
+    for uid, grp in ev.groupby("user_id"):
+        last = grp.sort_values(["ep", "event_id"]).iloc[-1]
+        if last["event_type"] == "error":  # delete wins
+            assert uid not in rows
+        else:
+            assert uid in rows
+            assert rows[uid]["applied_at"] == last["ep"]
+            assert rows[uid]["value_r"] == round(float(last["value"]), 6)
+
+
+def test_lang_confusion_shares_sum_to_one(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended13 import q_lang_confusion
+
+    rows = q_lang_confusion(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += r["share_of_lang"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4
