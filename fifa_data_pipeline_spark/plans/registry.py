@@ -75,31 +75,33 @@ def _load() -> None:
 _WINDOW = [
     # flagship + core relational
     "q_flagship", "q_project", "q_agg_multi", "q_join_fact_dim",
-    "q_join_latest", "q_latest_window", "q_topk", "q_distinct",
+    "q_join_latest", "q_latest_window", "q_topk", "q_heavy_hitters",
     # join surface + set ops (q_join_anti/q_union_all are checked by
     # the local gate but rotated out of the driver window: a 0-row
     # anti-join result and a concat are weak evidence vs round-3b ops)
-    "q_join_semi", "q_join_outer",
+    "q_pit_join", "q_lateral_topn",
     "q_asof", "q_range_join",
     # OLAP aggregates (q_cube/q_grouping_sets are siblings of
     # q_rollup — one Expand-based representative suffices here)
     "q_rollup", "q_percentiles",
-    "q_stats_agg", "q_minmax_by",
+    "q_stats_agg", "q_gini",
     # windows / time series
-    "q_window_funcs", "q_window_tumbling", "q_window_hopping",
-    "q_sessionize", "q_resample_fill", "q_ewma",
+    "q_window_funcs", "q_window_tumbling",
+    "q_sessionize", "q_ewma",
     # warehouse patterns
     "q_scd2", "q_cohort_retention", "q_dq_checks",
+    # analytics / experimentation (round 4)
+    "q_cdc_apply", "q_ab_welch",
     # training-data curation (round 3)
     "q_train_test_split", "q_decontaminate", "q_seq_pack",
     "q_dedup_incremental",
     # text analysis + corpus preparation (q_fingerprint folded into
     # the dedup checks; q_doc_chunks superseded by q_chunk_dedup)
-    "q_token_count", "q_text_quality", "q_lang_id",
+    "q_token_count", "q_text_quality", "q_lang_confusion",
     "q_tfidf", "q_chunk_dedup", "q_repetition_score", "q_pii_scrub",
     # dedup family (incl. exact prefix-filter join + recursive-CTE
     # chain closure)
-    "q_dedup_exact", "q_clean_corpus", "q_ngram_jaccard",
+    "q_dedup_exact", "q_clean_corpus", "q_doc_similarity",
     "q_minhash_pairs", "q_near_dedup", "q_dedup_cc",
     "q_jaccard_prefix", "q_dup_chains",
     # vectors / interop (pandas grouped-map + Arrow grouped-map)
