@@ -103,6 +103,7 @@ HEADLINE = [
     "q_cross_source_dups",
     "q_cdc_apply",
     "q_lang_confusion",
+    "q_rfm",
 ]
 
 

@@ -172,12 +172,40 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer features from the event log: Recency (days since
+    the user's last purchase, relative to the corpus max day),
+    Frequency (purchase count) and Monetary (purchase value sum) —
+    the canonical behavioral feature triple. One conditional
+    aggregate per user plus a broadcast one-row global max; users
+    with no purchases are excluded (no R/F/M is defined for them)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("int")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", day.alias("__day"), "value"
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.max("__day").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    global_max = p.agg(F.max("__day").alias("__gmax"))
+    return per_user.crossJoin(F.broadcast(global_max)).select(
+        "user_id",
+        (F.col("__gmax") - F.col("__last")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+
+
 QUERIES = {
     "q_lateral_topn": q_lateral_topn,
     "q_length_buckets": q_length_buckets,
     "q_cross_source_dups": q_cross_source_dups,
     "q_cdc_apply": q_cdc_apply,
     "q_lang_confusion": q_lang_confusion,
+    "q_rfm": q_rfm,
 }
 
 ORACLES = {
@@ -251,5 +279,23 @@ ORACLES = {
         SELECT c.lang, c.lang_guess, CAST(c.n AS BIGINT) AS n,
                ROUND(c.n / CAST(t.t AS DOUBLE), 6) AS share_of_lang
         FROM cells c JOIN totals t ON c.lang = t.lang
+    """,
+    "q_rfm": """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INTEGER)
+                   AS day,
+                 value
+          FROM events WHERE event_type = 'purchase'
+        ), per_user AS (
+          SELECT user_id, MAX(day) AS last_day,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 ROUND(SUM(value), 6) AS monetary
+          FROM p GROUP BY user_id
+        )
+        SELECT user_id,
+               (SELECT MAX(day) FROM p) - last_day AS recency_days,
+               frequency, monetary
+        FROM per_user
     """,
 }

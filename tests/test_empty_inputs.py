@@ -94,3 +94,21 @@ def test_new_batch_ops_on_empty(spark):
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count(F.lit(1)).alias("n"))
     assert sess.count() == 0
+
+
+def test_round4_ops_on_empty(spark):
+    from fifa_data_pipeline_spark.operators import sketch as K
+
+    items = _empty(spark, "tok string")
+    assert K.misra_gries_candidates(items, "tok", 5).count() == 0
+    assert K.heavy_hitters_exact(items, "tok", 5).count() == 0
+
+    facts = _empty(spark, "k int, ts int")
+    dims = _empty(spark, "k int, valid_from int, valid_to int, tag string")
+    assert R.point_in_time_join(facts, dims, "k", "ts").count() == 0
+
+    left = _empty(spark, "k long, ts long")
+    right = _empty(spark, "k long, rts long, tag string")
+    fwd = R.as_of_join_forward(left, right, "k", "ts", "rts", ["tag"])
+    assert fwd.count() == 0
+    assert "next_tag" in fwd.columns
