@@ -215,3 +215,35 @@ def test_hash_split_partitions_completely(spark, rows):
         ).collect()
     }
     assert splits == again
+
+
+tokens_strategy = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=0,
+    max_size=120,
+)
+
+
+@given(toks=tokens_strategy, k=st.integers(min_value=2, max_value=6))
+@settings(**SETTINGS)
+def test_heavy_hitters_equals_bruteforce_model(spark, toks, k):
+    # the sketch+recount path must equal the plain-Python frequency
+    # model for ANY multiset and ANY k, at any partitioning
+    from collections import Counter
+
+    from fifa_data_pipeline_spark.operators.sketch import (
+        heavy_hitters_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(t,) for t in toks], "tok string"
+    ).repartition(4)
+    got = {
+        (r["tok"], r["cnt"])
+        for r in heavy_hitters_exact(df, "tok", k).collect()
+    }
+    n = len(toks)
+    model = {
+        (t, c) for t, c in Counter(toks).items() if c * (k + 1) > n
+    }
+    assert got == model
