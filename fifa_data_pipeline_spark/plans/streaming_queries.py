@@ -135,6 +135,47 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply end-to-end: the event-derived I/U/D feed
+    is drained multi-batch (maxFilesPerTrigger=1) through the
+    foreachBatch bucket-merge sink, then the live store (tombstones
+    filtered) is returned — converges exactly to the oracle-checked
+    batch twin q_cdc_apply
+    (test_streaming.py::test_stream_cdc_apply_converges_to_batch)."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    base = _tf.mkdtemp(prefix="spark_graft_cdc_")
+    feed_dir, target, ckpt = f"{base}/feed", f"{base}/target", f"{base}/ckpt"
+    ev = read_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    ev.select(
+        "user_id",
+        op.alias("op"),
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+        "event_id",
+        "value",
+    ).repartition(4).write.parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    S.stream_cdc_apply(stream, target, ckpt, key="user_id", n_buckets=8)
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("op") != "D")
+        .select("user_id", "op", "ep", F.round("value", 6).alias("value_r"))
+    )
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_ewma": q_stream_ewma,
@@ -144,6 +185,7 @@ QUERIES = {
     "q_stream_interval_join": q_stream_interval_join,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_distinct": q_stream_distinct,
+    "q_stream_cdc": q_stream_cdc,
 }
 
 ORACLES: dict[str, str] = {}

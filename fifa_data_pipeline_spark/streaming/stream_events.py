@@ -397,3 +397,71 @@ def stream_distinct_counts(
             "approx_users",
         )
     )
+
+
+def stream_cdc_apply(
+    feed: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    key: str = "user_id",
+    n_buckets: int = 16,
+) -> None:
+    """Streaming CDC apply with delete semantics: an I/U/D change
+    feed is merged into a bucket-partitioned parquet store via
+    ``foreachBatch`` — per micro-batch, only the key buckets the
+    batch touches are read back, merged latest-wins (ordered by
+    ``(ep, event_id)``), and atomically replaced with dynamic
+    partition overwrite. Deletes are retained as TOMBSTONES (op='D'
+    rows stay in the store) so a late, older update can never
+    resurrect a deleted key; readers filter ``op != 'D'``.
+
+    Scale: batch cost is O(touched buckets), not O(store); the
+    bucket count bounds both the merge read-back and the overwrite
+    unit (pick buckets ≈ store size / healthy-partition size). On an
+    ACID table format the same merge is MERGE INTO; this is the
+    plain-parquet equivalent with the same idempotent-replay
+    property (a replayed batch re-derives identical partitions).
+    Batch twin: plans/extended13.q_cdc_apply (oracle-checked) — the
+    streaming store filtered of tombstones converges to it."""
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.col(key), F.lit(n_buckets)).alias("bucket")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        b = batch_df.withColumn("bucket", bucket)
+        touched = [r["bucket"] for r in b.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        if os.path.exists(target_path):
+            existing = spark.read.parquet(target_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            merged = existing.unionByName(b)
+        else:
+            merged = b
+        w = Window.partitionBy(key).orderBy(
+            F.desc("ep"), F.desc("event_id")
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        (
+            latest.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(target_path)
+        )
+
+    q = (
+        feed.writeStream.foreachBatch(apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

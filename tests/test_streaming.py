@@ -400,3 +400,57 @@ def test_stream_distinct_matches_batch(spark, events_dir):
     assert len(got) > 0
     for k, v in got.items():
         assert expected[k] == v
+
+
+def test_stream_cdc_apply_converges_to_batch(spark, tmp_path_factory):
+    # multi-batch CDC stream (maxFilesPerTrigger=1 over a multi-file
+    # landing) merged into the bucket store must equal the one-shot
+    # batch apply, tombstones filtered
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.plans.extended13 import q_cdc_apply
+
+    base = tmp_path_factory.mktemp("cdc")
+    feed_dir = str(base / "feed")
+    target = str(base / "target")
+    ckpt = str(base / "ckpt")
+
+    ev = read_table(spark, SF, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+    )
+    feed = ev.select(
+        "user_id",
+        op.alias("op"),
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+        "event_id",
+        F.col("value"),
+    )
+    # several files -> several micro-batches
+    feed.repartition(4).write.parquet(feed_dir)
+
+    schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    S.stream_cdc_apply(stream, target, ckpt, key="user_id", n_buckets=8)
+
+    store = spark.read.parquet(target)
+    live = store.filter(F.col("op") != "D")
+    got = {
+        (r["user_id"], r["op"], r["ep"], round(r["value"], 6))
+        for r in live.collect()
+    }
+    expected = {
+        (r["user_id"], r["last_op"], r["applied_at"], r["value_r"])
+        for r in q_cdc_apply(spark, SF).collect()
+    }
+    assert got == expected
+    # tombstones persisted for deleted keys
+    n_deleted = store.filter(F.col("op") == "D").count()
+    assert store.count() == len(expected) + n_deleted
+    assert n_deleted > 0
