@@ -197,3 +197,47 @@ def test_overwrite_partitions_replaces_only_touched(spark, tmp_path):
     # partition dirs read back with inferred DATE type — compare as str
     got = {(str(r.d), r.v) for r in spark.read.parquet(path).collect()}
     assert got == {("2026-01-01", 99), ("2026-01-02", 3)}
+
+
+def test_analyze_table_collects_cbo_stats(spark, sf_dir, tmp_path):
+    # warehouse op: persisted table + ANALYZE TABLE feeds the
+    # cost-based optimizer (join reordering, broadcast decisions)
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    read_table(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "t_nation_stats"
+    )
+    try:
+        spark.sql(
+            "ANALYZE TABLE t_nation_stats COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey, n_name"
+        )
+        detail = spark.sql(
+            "DESCRIBE TABLE EXTENDED t_nation_stats"
+        ).collect()
+        stats = {r["col_name"]: r["data_type"] for r in detail}
+        assert "Statistics" in stats  # table-level rowCount/sizeInBytes
+        col = spark.sql(
+            "DESCRIBE EXTENDED t_nation_stats n_nationkey"
+        ).collect()
+        info = {r["info_name"]: r["info_value"] for r in col}
+        assert info.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_nation_stats")
+
+
+def test_cached_table_plans_in_memory_scan(spark, sf_dir):
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    df = read_table(spark, sf_dir, "region").cache()
+    try:
+        df.count()  # materialize
+        plan = (
+            df.filter("r_regionkey >= 0")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan
+    finally:
+        df.unpersist()
