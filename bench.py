@@ -104,6 +104,7 @@ HEADLINE = [
     "q_cdc_apply",
     "q_lang_confusion",
     "q_rfm",
+    "q_cosine_arrow",
 ]
 
 

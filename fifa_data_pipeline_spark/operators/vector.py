@@ -619,3 +619,47 @@ def label_moments_arrow(
         .groupBy(label_col)
         .applyInArrow(moments, out_schema)
     )
+
+
+def cosine_scores_arrow(
+    corpus: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    alias: str = "sim",
+) -> DataFrame:
+    """Cosine of every corpus vector against ONE query vector via
+    ``mapInArrow`` — the iterator-of-RecordBatch interop tier (the
+    only UDF form with literally zero row materialization: Arrow
+    buffers map straight onto numpy matrices, one BLAS matvec per
+    batch). Completes the Python-interop matrix next to pandas
+    grouped-map (``grouped_zscore``), pandas grouped-agg
+    (``trimmed_mean``), iterator-of-pandas (``knn_bruteforce_pandas``),
+    Arrow grouped-map (``label_moments_arrow``) and the UDTF.
+
+    Map-only: no shuffle at any scale — each task scores its own
+    batches; 6-dp rounding matches the SQL expression oracle
+    exactly (``test_extended4.py``-style equality asserted in
+    tests/test_extended10.py)."""
+    import pyarrow as pa
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    id_type = corpus.schema[id_col].dataType
+
+    def score(batches):
+        for t in batches:
+            m = np.array(t.column(vec_col).to_pylist(), dtype=np.float64)
+            if m.size == 0:
+                sims = np.zeros((0,))
+            else:
+                norms = np.sqrt((m * m).sum(axis=1))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = np.round((m @ q) / (norms * qn), 6)
+            yield pa.RecordBatch.from_arrays(
+                [t.column(0), pa.array(sims, type=pa.float64())],
+                names=[id_col, alias],
+            )
+
+    out_schema = f"{id_col} {id_type.simpleString()}, {alias} double"
+    return corpus.select(id_col, vec_col).mapInArrow(score, out_schema)

@@ -199,6 +199,44 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cosine_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide cosine scoring against one seeded query vector via
+    the ``mapInArrow`` kernel (zero-copy Arrow→numpy→BLAS, map-only —
+    no shuffle at any scale); the oracle recomputes the identical
+    algebra with DuckDB list functions over the same seeded literal.
+    """
+    from fifa_data_pipeline_spark.operators.vector import (
+        cosine_scores_arrow,
+        random_hyperplanes,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = random_hyperplanes(1, 64, seed=7)[0]
+    return cosine_scores_arrow(emb, q, "vec_id", "embedding")
+
+
+def _cosine_arrow_oracle() -> str:
+    from fifa_data_pipeline_spark.operators.vector import random_hyperplanes
+
+    q = random_hyperplanes(1, 64, seed=7)[0]
+    qlit = "[" + ", ".join(repr(float(x)) for x in q) + "]"
+    qq = "list_dot_product(q, q)"
+    return f"""
+        WITH qv AS (SELECT {qlit}::DOUBLE[] AS q),
+        e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        )
+        SELECT vec_id,
+               ROUND(list_dot_product(v, q) /
+                     (sqrt(list_dot_product(v, v)) * sqrt({qq})), 6) AS sim
+        FROM e, qv
+    """
+
+
+
 QUERIES = {
     "q_lateral_topn": q_lateral_topn,
     "q_length_buckets": q_length_buckets,
@@ -206,6 +244,7 @@ QUERIES = {
     "q_cdc_apply": q_cdc_apply,
     "q_lang_confusion": q_lang_confusion,
     "q_rfm": q_rfm,
+    "q_cosine_arrow": q_cosine_arrow,
 }
 
 ORACLES = {
@@ -298,4 +337,5 @@ ORACLES = {
                frequency, monetary
         FROM per_user
     """,
+    "q_cosine_arrow": _cosine_arrow_oracle(),
 }
