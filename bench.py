@@ -105,6 +105,8 @@ HEADLINE = [
     "q_lang_confusion",
     "q_rfm",
     "q_cosine_arrow",
+    "q_media_pool",
+    "q_triangles",
 ]
 
 

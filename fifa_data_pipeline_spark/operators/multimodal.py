@@ -137,3 +137,49 @@ def decode_image_real(df: DataFrame) -> DataFrame:
         "swap _fake_decode_batch for a PIL kernel under the same "
         "mapInPandas contract"
     )
+
+
+POOL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bin_idx", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def pool_bytes(
+    df: DataFrame, id_col: str = "doc_id", bin_size: int = 32
+) -> DataFrame:
+    """Fixed-window byte pooling over the payload — the thumbnail /
+    audio-downsample plumbing stub: each complete ``bin_size``-byte
+    window reduces to its mean (trailing partial window dropped),
+    one output row per (payload, window). The kernel is the REAL
+    interface — one-to-many ``mapInPandas``, numpy reshape+mean per
+    batch — with the byte-mean standing in for a pooling codec; the
+    deterministic arithmetic makes it oracle-checkable (ASCII
+    corpus: byte == ord(char), mirrored in DuckDB)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, bins, means = [], [], []
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n = len(buf) // bin_size
+                if n == 0:
+                    continue
+                pooled = (
+                    buf[: n * bin_size]
+                    .reshape(n, bin_size)
+                    .mean(axis=1)
+                    .round(6)
+                )
+                ids.extend([i] * n)
+                bins.extend(range(n))
+                means.extend(pooled.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin_idx": bins, "mean_byte": means}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, POOL_SCHEMA)

@@ -21,6 +21,8 @@ from fifa_data_pipeline_spark.sources.io import read_table, register_views
 #: operators/text.py STOPWORDS; mirrors the q_lang_id oracle).
 _STOP_PRED = " OR ".join(f"t = '{w}'" for w in STOPWORDS)
 
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
 _LATERAL_SQL = """
     SELECT n.n_name, t.c_name, t.c_acctbal
     FROM nation n,
@@ -237,6 +239,50 @@ def _cosine_arrow_oracle() -> str:
 
 
 
+
+def q_media_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal byte pooling (thumbnail/downsample stand-in): every
+    complete 32-byte payload window reduced to its mean via the
+    one-to-many mapInPandas kernel; ASCII corpus makes the byte
+    arithmetic reproducible in SQL."""
+    from fifa_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+        pool_bytes,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return pool_bytes(attach_payload(docs))
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the prefix-fingerprint duplicate graph
+    (edges = document pairs sharing an identical 8-token opening,
+    the q_cross_source_dups construction) — the clustering-
+    coefficient numerator that distinguishes clique-like template
+    families from chains. Ordered-triple join (a<b<c) counts each
+    triangle once; edges are fingerprint-grouped (never all-pairs),
+    and at 100 TB the same two node-keyed joins run on any
+    candidate-pair edge set."""
+    docs = read_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)
+    )
+    fps = docs.select("doc_id", F.md5(prefix).alias("fp")).distinct()
+    fa = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    fb = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        fa.join(fb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e1 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    e2 = pairs.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
+    e3 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 QUERIES = {
     "q_lateral_topn": q_lateral_topn,
     "q_length_buckets": q_length_buckets,
@@ -245,6 +291,8 @@ QUERIES = {
     "q_lang_confusion": q_lang_confusion,
     "q_rfm": q_rfm,
     "q_cosine_arrow": q_cosine_arrow,
+    "q_media_pool": q_media_pool,
+    "q_triangles": q_triangles,
 }
 
 ORACLES = {
@@ -338,4 +386,35 @@ ORACLES = {
         FROM per_user
     """,
     "q_cosine_arrow": _cosine_arrow_oracle(),
+    "q_media_pool": """
+        WITH n AS (
+          SELECT doc_id, text,
+                 CAST(floor(length(text) / 32) AS INTEGER) AS nb
+          FROM documents
+        ), bins AS (
+          SELECT doc_id, text, CAST(unnest(range(0, nb)) AS INTEGER)
+                   AS bin_idx
+          FROM n WHERE nb > 0
+        )
+        SELECT doc_id, bin_idx,
+               ROUND(list_aggregate(list_transform(range(1, 33),
+                       j -> ascii(substr(text, bin_idx * 32 + j, 1))),
+                     'sum') / 32.0, 6) AS mean_byte
+        FROM bins
+    """,
+    "q_triangles": """
+        WITH fps AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(
+                   string_split_regex(trim(text), '\\s+')[1:8], ' ')) AS fp
+          FROM documents
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e1.id_b = e2.id_a
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    """,
 }

@@ -49,3 +49,16 @@ def test_sample_frames_one_to_many(spark):
 def test_real_decode_is_stubbed(spark):
     with pytest.raises(NotImplementedError):
         M.decode_image_real(_docs(spark))
+
+
+def test_pool_bytes_windows_and_short_payloads(spark):
+    from fifa_data_pipeline_spark.operators.multimodal import pool_bytes
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 64)), (2, bytearray(b"b" * 33)), (3, bytearray(b"c" * 10))],
+        "doc_id long, payload binary",
+    )
+    rows = {(r["doc_id"], r["bin_idx"]): r["mean_byte"] for r in pool_bytes(df).collect()}
+    # doc 1: two full windows of 'a' (97.0); doc 2: one window of 'b';
+    # doc 3: shorter than one window -> no rows
+    assert rows == {(1, 0): 97.0, (1, 1): 97.0, (2, 0): 98.0}
