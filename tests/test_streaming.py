@@ -454,3 +454,45 @@ def test_stream_cdc_apply_converges_to_batch(spark, tmp_path_factory):
     n_deleted = store.filter(F.col("op") == "D").count()
     assert store.count() == len(expected) + n_deleted
     assert n_deleted > 0
+
+
+def test_stream_cdc_apply_replay_is_idempotent(spark, tmp_path_factory):
+    # wiping the checkpoint and replaying the whole feed into the
+    # SAME target must converge to the identical store (dynamic
+    # partition overwrite re-derives, never duplicates)
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("cdc_replay")
+    feed_dir, target, ckpt = str(base / "feed"), str(base / "tgt"), str(base / "ck")
+
+    ev = read_table(spark, SF, "events")
+    feed = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+        "event_id",
+        "value",
+    )
+    feed.repartition(3).write.parquet(feed_dir)
+    schema = spark.read.parquet(feed_dir).schema
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        S.stream_cdc_apply(stream, target, ck, key="user_id", n_buckets=4)
+
+    run(ckpt)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(target).drop("bucket").collect()
+    )
+    shutil.rmtree(ckpt)
+    run(str(base / "ck2"))  # full replay into the same target
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(target).drop("bucket").collect()
+    )
+    assert first == second
