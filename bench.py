@@ -107,6 +107,8 @@ HEADLINE = [
     "q_cosine_arrow",
     "q_media_pool",
     "q_triangles",
+    "q_spatial_join",
+    "q_feature_hash",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Spatial & feature-vectorization queries (round 4, batch 6): the
+grid-bucketed spatial join (geohash-join pattern, exact integer
+arithmetic end-to-end) and the hashing-trick feature vectorizer.
+
+Coordinates and hash indices derive from the engine-portable md5
+fold (the same construction as hash_split/mixture_sample), so both
+queries are exact-oracle-checked with zero FP tolerance."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.operators.text import tokens
+from fifa_data_pipeline_spark.sources.io import read_table
+
+#: Seeded "regions": (region_id, center_x, center_y, radius) on the
+#: 0-999 integer grid — literals shared verbatim with the oracle.
+REGIONS = [
+    (1, 120, 840, 150),
+    (2, 500, 500, 220),
+    (3, 870, 130, 90),
+    (4, 300, 200, 130),
+    (5, 700, 760, 180),
+]
+
+#: grid cell edge; the coarse bucketing unit for the candidate join.
+CELL = 100
+
+
+def _md5_coord(col: str, salt: str) -> F.Column:
+    """Deterministic 0-999 coordinate from the md5 fold (engine-
+    portable; mirrors the DuckDB list_reduce twin)."""
+    return F.expr(
+        f"CAST(conv(substring(md5(concat(CAST({col} AS STRING), "
+        f"'{salt}')), 1, 15), 16, 10) AS BIGINT) % 1000"
+    )
+
+
+def _md5_coord_sql(col: str, salt: str) -> str:
+    return (
+        "list_reduce(list_transform(range(1, 16), "
+        "j -> CAST(strpos('0123456789abcdef', "
+        f"substr(md5(CAST({col} AS VARCHAR) || '{salt}'), j, 1)) - 1 "
+        "AS BIGINT)), (a, b) -> a * 16 + b) % 1000"
+    )
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join (the geohash/S2 pattern without a
+    geo library): events get deterministic integer (x, y) positions;
+    each circular region EXPLODES to the coarse grid cells its
+    bounding box overlaps (≤ (2r/CELL+2)² cells — a tiny broadcast
+    side); points join their own cell's candidates and an exact
+    squared-distance filter finishes. The join is an EQUI-join on
+    the cell key — never a cross product — which is exactly how
+    planet-scale point-in-polygon joins stay linear: coarse spatial
+    bucketing for candidates, exact geometry only within buckets.
+    All-integer arithmetic → zero FP tolerance in the oracle."""
+    ev = read_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        _md5_coord("event_id", "x").alias("x"),
+        _md5_coord("event_id", "y").alias("y"),
+    ).withColumn(
+        "cell",
+        (F.col("x") - F.col("x") % CELL) * 1000 + (F.col("y") - F.col("y") % CELL),
+    )
+    regions = spark.createDataFrame(
+        REGIONS, "region_id int, cx int, cy int, r int"
+    )
+    cand_cells = (
+        regions.withColumn(
+            "gx",
+            F.explode(
+                F.sequence(
+                    (F.col("cx") - F.col("r")) - (F.col("cx") - F.col("r")) % CELL,
+                    F.col("cx") + F.col("r"),
+                    F.lit(CELL),
+                )
+            ),
+        )
+        .withColumn(
+            "gy",
+            F.explode(
+                F.sequence(
+                    (F.col("cy") - F.col("r")) - (F.col("cy") - F.col("r")) % CELL,
+                    F.col("cy") + F.col("r"),
+                    F.lit(CELL),
+                )
+            ),
+        )
+        .filter((F.col("gx") >= 0) & (F.col("gy") >= 0))
+        .select(
+            "region_id",
+            "cx",
+            "cy",
+            "r",
+            (F.col("gx") * 1000 + F.col("gy")).alias("cell"),
+        )
+    )
+    dx, dy = F.col("x") - F.col("cx"), F.col("y") - F.col("cy")
+    return (
+        pts.join(F.broadcast(cand_cells), "cell")
+        .filter(dx * dx + dy * dy <= F.col("r") * F.col("r"))
+        .groupBy("region_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer: tokens map to a fixed 256-bucket
+    feature space via the md5 fold (no vocabulary pass, no fit step
+    — the property that makes feature hashing the streaming/online
+    vectorizer), counts aggregated per (doc, feature). One explode +
+    one hash aggregate; output width is bounded by the feature-space
+    size regardless of vocabulary growth."""
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ex = exploded(docs, tokens("text"), "token", keep=["doc_id"])
+    idx = F.expr(
+        "CAST(conv(substring(md5(token), 1, 15), 16, 10) AS BIGINT) % 256"
+    )
+    return ex.groupBy("doc_id", idx.alias("feature_idx")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+_REGION_VALUES = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in REGIONS)
+
+QUERIES = {
+    "q_spatial_join": q_spatial_join,
+    "q_feature_hash": q_feature_hash,
+}
+
+ORACLES = {
+    "q_spatial_join": f"""
+        WITH pts AS (
+          SELECT event_id,
+                 {_md5_coord_sql('event_id', 'x')} AS x,
+                 {_md5_coord_sql('event_id', 'y')} AS y
+          FROM events
+        ), regions(region_id, cx, cy, r) AS (VALUES {_REGION_VALUES})
+        SELECT region_id, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM pts JOIN regions
+          ON (x - cx) * (x - cx) + (y - cy) * (y - cy) <= r * r
+        GROUP BY region_id
+    """,
+    "q_feature_hash": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT doc_id,
+               list_reduce(list_transform(range(1, 16),
+                 j -> CAST(strpos('0123456789abcdef',
+                      substr(md5(token), j, 1)) - 1 AS BIGINT)),
+                 (a, b) -> a * 16 + b) % 256 AS feature_idx,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY 1, 2
+    """,
+}

@@ -45,6 +45,7 @@ def _load() -> None:
         extended11,
         extended12,
         extended13,
+        extended14,
         northstar,
         parity,
         streaming_queries,
@@ -65,6 +66,7 @@ def _load() -> None:
     _merge(extended11)
     _merge(extended12)
     _merge(extended13)
+    _merge(extended14)
     _merge(streaming_queries)
 
 

@@ -184,3 +184,48 @@ def test_lang_confusion_shares_sum_to_one(spark, sf_dir):
         by_lang[r["lang"]] += r["share_of_lang"]
     for lang, s in by_lang.items():
         assert abs(s - 1.0) < 1e-4
+
+
+def test_spatial_join_bucketing_is_lossless(spark, sf_dir):
+    # the grid-bucketed candidate join must find EXACTLY the points
+    # the brute-force distance filter finds
+    from fifa_data_pipeline_spark.plans.extended14 import (
+        REGIONS,
+        _md5_coord,
+        q_spatial_join,
+    )
+
+    got = {
+        (r["region_id"], r["n_points"])
+        for r in q_spatial_join(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        _md5_coord("event_id", "x").alias("x"),
+        _md5_coord("event_id", "y").alias("y"),
+    ).collect()
+    brute: dict = {}
+    for rid, cx, cy, r in REGIONS:
+        brute[rid] = sum(
+            1
+            for p in pts
+            if (p["x"] - cx) ** 2 + (p["y"] - cy) ** 2 <= r * r
+        )
+    assert got == {(rid, n) for rid, n in brute.items() if n > 0}
+
+
+def test_feature_hash_bounded_space(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended14 import q_feature_hash
+
+    rows = q_feature_hash(spark, sf_dir).collect()
+    assert all(0 <= r["feature_idx"] < 256 for r in rows)
+    # total count mass equals total tokens of the selected docs
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).collect()[0][0]
+    assert sum(r["cnt"] for r in rows) == n_tokens
