@@ -109,6 +109,7 @@ HEADLINE = [
     "q_triangles",
     "q_spatial_join",
     "q_feature_hash",
+    "q_sql_udf",
 ]
 
 

@@ -126,11 +126,43 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark ≥4.0 ``CREATE FUNCTION … RETURN expr``):
+    business expressions named once and reused across queries — and
+    unlike Python UDFs, Catalyst INLINES the body into the plan
+    (plan-asserted: no BatchEvalPython / PythonUDF node appears), so
+    the abstraction costs nothing at any scale. The oracle computes
+    the same algebra with the expressions inlined."""
+    from fifa_data_pipeline_spark.sources.io import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, "
+        "t DOUBLE) RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
+                 AS sum_disc_price,
+               ROUND(SUM(charged(l_extendedprice, l_discount, l_tax)), 2)
+                 AS sum_charged
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 _REGION_VALUES = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in REGIONS)
 
 QUERIES = {
     "q_spatial_join": q_spatial_join,
     "q_feature_hash": q_feature_hash,
+    "q_sql_udf": q_sql_udf,
 }
 
 ORACLES = {
@@ -159,5 +191,13 @@ ORACLES = {
                  (a, b) -> a * 16 + b) % 256 AS feature_idx,
                CAST(COUNT(*) AS BIGINT) AS cnt
         FROM toks GROUP BY 1, 2
+    """,
+    "q_sql_udf": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                 AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                 AS sum_charged
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -229,3 +229,41 @@ def test_feature_hash_bounded_space(spark, sf_dir):
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
     ).collect()[0][0]
     assert sum(r["cnt"] for r in rows) == n_tokens
+
+
+def test_bitmap_partials_merge_exactly(spark, sf_dir):
+    # the per-bucket bitmaps are mergeable partial state: OR-merging
+    # two half-table bitmap sets must give the exact union distinct
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    halves = [
+        ev.filter(F.col("event_id") % 2 == i).select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("b"),
+            F.expr("bitmap_bit_position(user_id)").alias("p"),
+        )
+        for i in (0, 1)
+    ]
+    partials = [
+        h.groupBy("event_type", "b").agg(
+            F.expr("bitmap_construct_agg(p)").alias("bm")
+        )
+        for h in halves
+    ]
+    merged = (
+        partials[0]
+        .unionByName(partials[1])
+        .groupBy("event_type", "b")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+    )
+    got = {(r["event_type"], r["n"]) for r in merged.collect()}
+    exact = {
+        (r["event_type"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact

@@ -148,3 +148,11 @@ def test_lateral_topn_is_decorrelated(spark, sf_dir):
     # window join — one customer scan, no nested-loop re-probe
     assert plan.count("customer.parquet") == 1
     assert "NestedLoop" not in plan or "Window" in plan
+
+
+def test_sql_udf_is_inlined_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sql_udf")
+    # SQL UDF bodies inline into codegen'd expressions — the
+    # zero-cost-abstraction property Python UDFs lack
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
