@@ -110,6 +110,7 @@ HEADLINE = [
     "q_spatial_join",
     "q_feature_hash",
     "q_sql_udf",
+    "q_weighted_sample",
 ]
 
 

@@ -157,12 +157,41 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each document draws a uniform u from
+    the md5 fold (content-addressed — stable across engines, runs
+    and cluster sizes) and the 100 smallest −ln(u)/weight keys win,
+    weight = document length. The selection is a single
+    TakeOrderedAndProject over a per-row expression — no shuffle of
+    the corpus, no RNG, and the inclusion probability is exactly the
+    weighted-without-replacement distribution. The doc_id tie-break
+    is shared with the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+            "16, 10) AS BIGINT) % 1000000"
+        )
+        + 1
+    ) / 1000001.0
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("__k"))
+        .orderBy("__k", "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
 _REGION_VALUES = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in REGIONS)
 
 QUERIES = {
     "q_spatial_join": q_spatial_join,
     "q_feature_hash": q_feature_hash,
     "q_sql_udf": q_sql_udf,
+    "q_weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
@@ -199,5 +228,18 @@ ORACLES = {
                ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
                  AS sum_charged
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_weighted_sample": """
+        WITH d AS (
+          SELECT doc_id, n_chars,
+                 (list_reduce(list_transform(range(1, 16),
+                    j -> CAST(strpos('0123456789abcdef',
+                         substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1
+                         AS BIGINT)),
+                    (a, b) -> a * 16 + b) % 1000000 + 1) / 1000001.0 AS u
+          FROM documents
+        )
+        SELECT doc_id, n_chars
+        FROM d ORDER BY -ln(u) / n_chars, doc_id LIMIT 100
     """,
 }

@@ -267,3 +267,20 @@ def test_bitmap_partials_merge_exactly(spark, sf_dir):
         .collect()
     }
     assert got == exact
+
+
+def test_weighted_sample_favors_long_docs(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from fifa_data_pipeline_spark.plans.extended14 import q_weighted_sample
+
+    sample = q_weighted_sample(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    mean_sample = sample.agg(F.avg("n_chars")).collect()[0][0]
+    # length-weighted sampling must raise the expected sampled length
+    assert mean_sample > mean_all
+    # plan: selection is TakeOrderedAndProject, no corpus shuffle
+    plan = sample._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
