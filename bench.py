@@ -111,6 +111,8 @@ HEADLINE = [
     "q_feature_hash",
     "q_sql_udf",
     "q_weighted_sample",
+    "q_target_encode",
+    "q_quantile_norm",
 ]
 
 

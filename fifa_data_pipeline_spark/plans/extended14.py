@@ -185,6 +185,70 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing: each
+    event's category (event_type) becomes the mean of the OTHER
+    events' values in that category, shrunk toward the global mean
+    with pseudo-count m=10 — enc = (Σy − y + m·prior)/(n − 1 + m).
+    The leak-free categorical encoding for training tables, computed
+    from ONE category aggregate broadcast back plus a one-row global
+    aggregate: no window, no per-row state, two joins of one-row/
+    |categories|-row tables against the fact."""
+    ev = read_table(spark, sf_dir, "events")
+    per_cat = ev.groupBy("event_type").agg(
+        F.sum("value").alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    prior = ev.agg(F.avg("value").alias("__prior"))
+    m = 10.0
+    enc = (F.col("__sum") - F.col("value") + m * F.col("__prior")) / (
+        F.col("__n") - 1 + m
+    )
+    return (
+        ev.join(F.broadcast(per_cat), "event_type")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value_r"),
+            F.round(enc, 6).alias("te"),
+        )
+    )
+
+
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups (the batch-effect
+    correction used on expression/feature matrices): each value maps
+    to its within-group rank, and every group's rank-i value is
+    replaced by the ACROSS-GROUP mean of rank-i values — after it,
+    every group has an identical distribution. Two windows sharing
+    one (group) partitioning plus one rank-keyed aggregate join;
+    restricted to the first 3 event types to keep equal-sized groups
+    out of scope (ragged ranks average over present groups)."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("__rk"),
+    )
+    ref = ranked.groupBy("__rk").agg(F.avg("value").alias("__ref"))
+    return (
+        ranked.join(ref, "__rk")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("__rk").alias("rk"),
+            F.round("__ref", 6).alias("qnorm_value"),
+        )
+    )
+
+
 _REGION_VALUES = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in REGIONS)
 
 QUERIES = {
@@ -192,6 +256,8 @@ QUERIES = {
     "q_feature_hash": q_feature_hash,
     "q_sql_udf": q_sql_udf,
     "q_weighted_sample": q_weighted_sample,
+    "q_target_encode": q_target_encode,
+    "q_quantile_norm": q_quantile_norm,
 }
 
 ORACLES = {
@@ -241,5 +307,32 @@ ORACLES = {
         )
         SELECT doc_id, n_chars
         FROM d ORDER BY -ln(u) / n_chars, doc_id LIMIT 100
+    """,
+    "q_target_encode": """
+        WITH per_cat AS (
+          SELECT event_type, SUM(value) AS s, COUNT(*) AS n
+          FROM events GROUP BY event_type
+        ), prior AS (SELECT AVG(value) AS p FROM events)
+        SELECT event_id, e.event_type,
+               ROUND(value, 6) AS value_r,
+               ROUND((c.s - e.value + 10.0 * prior.p) / (c.n - 1 + 10.0), 6)
+                 AS te
+        FROM events e
+        JOIN per_cat c ON e.event_type = c.event_type
+        CROSS JOIN prior
+    """,
+    "q_quantile_norm": """
+        WITH ranked AS (
+          SELECT event_id, event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rk
+          FROM events
+          WHERE event_type IN ('click', 'view', 'purchase')
+        ), ref AS (
+          SELECT rk, AVG(value) AS ref FROM ranked GROUP BY rk
+        )
+        SELECT event_id, event_type, CAST(r.rk AS BIGINT) AS rk,
+               ROUND(ref.ref, 6) AS qnorm_value
+        FROM ranked r JOIN ref ON r.rk = ref.rk
     """,
 }

@@ -284,3 +284,42 @@ def test_weighted_sample_favors_long_docs(spark, sf_dir):
     plan = sample._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_quantile_norm_equalizes_distributions(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended14 import q_quantile_norm
+
+    out = q_quantile_norm(spark, sf_dir).toPandas()
+    by_type = {
+        t: dict(zip(g["rk"], g["qnorm_value"]))
+        for t, g in out.groupby("event_type")
+    }
+    maps = list(by_type.values())
+    n = min(len(m) for m in maps)
+    # every group's rank-i value is the SAME cross-group mean, and
+    # within the fully-populated rank range the mapping is monotone
+    # (beyond it, ragged group sizes shrink the averaging set and
+    # monotonicity is not guaranteed — that's inherent to QN)
+    for rk in range(1, n + 1):
+        assert len({m[rk] for m in maps}) == 1
+    common = [maps[0][rk] for rk in range(1, n + 1)]
+    assert common == sorted(common)
+
+
+def test_target_encode_is_leak_free(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from fifa_data_pipeline_spark.plans.extended14 import q_target_encode
+
+    out = q_target_encode(spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    prior = ev["value"].mean()
+    g = ev.groupby("event_type")["value"].agg(["sum", "count"])
+    row = out.filter(F.col("event_id") == int(ev["event_id"].iloc[0])).collect()[0]
+    et, y = ev["event_type"].iloc[0], float(ev["value"].iloc[0])
+    expect = (g.loc[et, "sum"] - y + 10.0 * prior) / (g.loc[et, "count"] - 1 + 10.0)
+    assert abs(row["te"] - round(expect, 6)) <= 2e-6
+    # the row's own value must not move its encoding toward itself:
+    # identical (category, value) rows share an encoding independent
+    # of event identity
+    assert row["value_r"] == round(y, 6)
