@@ -241,3 +241,35 @@ def test_cached_table_plans_in_memory_scan(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         df.unpersist()
+
+
+def test_range_partitioned_export_is_globally_sorted(spark, sf_dir, tmp_path):
+    # ordered export: repartitionByRange + sortWithinPartitions gives
+    # a globally-sorted file sequence (merge-friendly consumers read
+    # disjoint, ordered key ranges per file)
+    import pyspark.sql.functions as F
+
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    out = str(tmp_path / "sorted_export")
+    orders = read_table(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(4, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob as _glob
+
+    ranges = []
+    for f in sorted(_glob.glob(f"{out}/part-*.parquet")):
+        df = spark.read.parquet(f)
+        r = df.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        if r["lo"] is not None:
+            ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered ranges across files

@@ -156,3 +156,19 @@ def test_sql_udf_is_inlined_no_python(spark, sf_dir):
     # zero-cost-abstraction property Python UDFs lack
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    # the tuning surface for 100TB joins: per-join strategy hints
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+
+    def plan_of(hint):
+        j = li.join(orders.hint(hint), li["l_orderkey"] == orders["o_orderkey"])
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    assert "ShuffledHashJoin" in plan_of("shuffle_hash")
+    assert "SortMergeJoin" in plan_of("merge")
+    assert "BroadcastHashJoin" in plan_of("broadcast")
