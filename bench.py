@@ -113,6 +113,7 @@ HEADLINE = [
     "q_weighted_sample",
     "q_target_encode",
     "q_quantile_norm",
+    "q_textrank",
 ]
 
 

@@ -249,6 +249,39 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): tokens
+    become graph nodes, adjacent-token co-occurrence (both
+    directions) becomes edges, and PageRank scores centrality — the
+    unsupervised keyword extractor, composed entirely from existing
+    operators (token window lag → edge list → ``graph.pagerank``).
+    Top 25 tokens by rank (6-dp round, token tie-break). Rows-only:
+    the iterative fixpoint isn't single-statement SQL; the PageRank
+    kernel itself is pinned by its numpy power-iteration reference
+    test, and determinism by the fixed iteration count."""
+    from pyspark.sql import Window
+
+    from fifa_data_pipeline_spark.operators.graph import pagerank
+    from fifa_data_pipeline_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ex = exploded(docs, tokens("text"), "token", keep=["doc_id"], pos_alias="pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        ex.withColumn("next", F.lead("token").over(w))
+        .filter(F.col("next").isNotNull() & (F.col("token") != F.col("next")))
+        .select(F.col("token").alias("src"), F.col("next").alias("dst"))
+    )
+    edges = adj.union(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, "src", "dst", n_iter=10)
+    return (
+        ranks.select(F.col("node").alias("token"), F.round("rank", 6).alias("score"))
+        .orderBy(F.desc("score"), "token")
+        .limit(25)
+    )
+
+
 _REGION_VALUES = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in REGIONS)
 
 QUERIES = {
@@ -258,6 +291,7 @@ QUERIES = {
     "q_weighted_sample": q_weighted_sample,
     "q_target_encode": q_target_encode,
     "q_quantile_norm": q_quantile_norm,
+    "q_textrank": q_textrank,
 }
 
 ORACLES = {

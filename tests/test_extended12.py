@@ -323,3 +323,31 @@ def test_target_encode_is_leak_free(spark, sf_dir):
     # identical (category, value) rows share an encoding independent
     # of event identity
     assert row["value_r"] == round(y, 6)
+
+
+def test_textrank_scores_are_centrality(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from fifa_data_pipeline_spark.plans.extended14 import q_textrank
+
+    out = q_textrank(spark, sf_dir).collect()
+    assert len(out) == 25
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # high-degree connector tokens (stopwords) must dominate the top
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    top_freq = {
+        r["token"]
+        for r in docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(50)
+        .collect()
+    }
+    overlap = sum(1 for r in out if r["token"] in top_freq)
+    assert overlap >= 15  # centrality tracks (but isn't identical to) frequency
