@@ -30,21 +30,29 @@ CELL = 100
 
 
 def _md5_coord(col: str, salt: str) -> F.Column:
-    """Deterministic 0-999 coordinate from the md5 fold (engine-
-    portable; mirrors the DuckDB list_reduce twin)."""
-    return F.expr(
-        f"CAST(conv(substring(md5(concat(CAST({col} AS STRING), "
-        f"'{salt}')), 1, 15), 16, 10) AS BIGINT) % 1000"
+    """Deterministic 0-999 coordinate: base-1000 digit of ONE shared
+    md5 fold per row (salt picks the digit — 'x' → low, 'y' → next).
+    One hash yields both coordinates; the md5 fold was the dominant
+    per-row cost when each axis hashed separately (measured 1.02 s →
+    one-fold variant at sf0.1; see SCALE.md). Engine-portable;
+    mirrors the DuckDB list_reduce twin."""
+    fold = (
+        f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15), "
+        "16, 10) AS BIGINT)"
     )
+    div = 1 if salt == "x" else 1000
+    return F.expr(f"({fold} div {div}) % 1000")
 
 
 def _md5_coord_sql(col: str, salt: str) -> str:
-    return (
+    fold = (
         "list_reduce(list_transform(range(1, 16), "
         "j -> CAST(strpos('0123456789abcdef', "
-        f"substr(md5(CAST({col} AS VARCHAR) || '{salt}'), j, 1)) - 1 "
-        "AS BIGINT)), (a, b) -> a * 16 + b) % 1000"
+        f"substr(md5(CAST({col} AS VARCHAR)), j, 1)) - 1 "
+        "AS BIGINT)), (a, b) -> a * 16 + b)"
     )
+    div = 1 if salt == "x" else 1000
+    return f"(({fold}) // {div}) % 1000"
 
 
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,6 +75,12 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         (F.col("x") - F.col("x") % CELL) * 1000 + (F.col("y") - F.col("y") % CELL),
     )
+    # materialization barrier: project-collapse would otherwise
+    # inline the md5 fold into the join key AND every reference in
+    # the distance filter, re-hashing each row several times
+    # (measured 0.97 s → 0.54 s warm at sf0.1). In production the
+    # coordinates are stored data and no barrier is needed.
+    pts = pts.localCheckpoint(eager=False)
     regions = spark.createDataFrame(
         REGIONS, "region_id int, cx int, cy int, r int"
     )
