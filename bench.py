@@ -113,7 +113,10 @@ HEADLINE = [
     "q_weighted_sample",
     "q_target_encode",
     "q_quantile_norm",
-    "q_textrank",
+    # q_textrank (and q_pagerank) stay OUT of the headline: an
+    # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
+    # round, so at toy scale the wall clock measures round count,
+    # not data throughput (SCALE.md covers the per-round structure)
 ]
 
 
