@@ -806,3 +806,56 @@ def as_of_join_forward(
     return as_of_join(
         ln, rn, key, "__fneg", "__fnegr", payload_cols, prefix
     ).drop("__fneg")
+
+
+def bloom_pruned_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m: int = 4096,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Semi-join with a Bloom-filter pre-prune: the dim side's keys
+    are folded into a ≤ ``m``-row bit-position table (one row per SET
+    bit, all ``n_hashes`` hash functions pooled); the fact side keeps
+    only rows whose every hash position is set (``n_hashes`` chained
+    broadcast semi-joins — all map-side, zero fact shuffles), then the
+    exact semi-join runs on the survivors.
+
+    No false negatives (every true match passes the filter), so the
+    result is EXACTLY the plain semi-join — which is what the oracle
+    runs. The value is the 100 TB shape: when the dim side is too big
+    to broadcast as rows but its bloom bits aren't, the pre-prune
+    shrinks the fact's shuffle volume by the filter's selectivity —
+    the same idea as Spark's own runtime row-group bloom pushdown,
+    expressed as a reusable operator with an engine-portable (md5)
+    hash family.
+    """
+    def positions(key_expr: str):
+        from fifa_data_pipeline_spark.operators.sketch import _cms_fold_spark
+
+        folded = f"CAST({key_expr} AS STRING)"
+        return [
+            F.expr(f"{_cms_fold_spark(folded, j)} % {m}")
+            for j in range(n_hashes)
+        ]
+
+    bits = F.broadcast(
+        union_all(
+            *[
+                dim.select(p.alias("bit"))
+                for p in positions(dim_key)
+            ]
+        ).distinct()
+    )
+    pruned = fact
+    for p in positions(fact_key):
+        pruned = pruned.join(
+            bits, p == F.col("bit"), "left_semi"
+        )
+    return pruned.join(
+        dim.select(F.col(dim_key).alias("__bk")).distinct(),
+        F.col(fact_key) == F.col("__bk"),
+        "left_semi",
+    )

@@ -121,3 +121,91 @@ def heavy_hitters_exact(
         .filter(F.col("cnt") * (k + 1) > F.col("__total"))
         .select(F.col("__key").alias(item_col), "cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (deterministic md5 hash family)
+# ---------------------------------------------------------------------------
+
+def _cms_fold_spark(key_expr: str, d: int) -> str:
+    """Spark SQL: 60-bit md5 fold of ``'<d>:' || key`` (the engine's
+    portable hash — same construction as hash_split/spatial grid)."""
+    s = f"concat('{d}:', {key_expr})"
+    return (
+        f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _cms_fold_duckdb(key_expr: str, d: int) -> str:
+    """DuckDB twin of :func:`_cms_fold_spark`."""
+    s = f"'{d}:' || {key_expr}"
+    return (
+        "list_reduce(list_transform(range(1, 16), "
+        "j -> CAST(strpos('0123456789abcdef', "
+        f"substr(md5({s}), j, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch as a DataFrame: one row per non-empty
+    (depth, bucket) cell with its count. The hash family is the
+    deterministic md5 fold salted by the depth index, so the sketch
+    is reproducible across engines and runs (no JVM hash seeds).
+
+    The build is a single hash aggregate over depth × n rows
+    (posexplode of the per-row bucket array); the result is at most
+    ``depth × width`` rows — KBs at ANY input scale, and mergeable
+    across shards/days by summing cell counts (the property the
+    oracle's single-pass twin verifies indirectly: estimates depend
+    only on cell sums).
+    """
+    buckets = F.array(
+        *[
+            F.expr(f"{_cms_fold_spark(key_col, d)} % {width}")
+            for d in range(depth)
+        ]
+    )
+    return (
+        items.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-estimate probe keys against a CMS: est(key) = min over
+    depths of the key's cell count (0 when a cell is empty). The CMS
+    guarantee — est ≥ true, with overshoot bounded by collisions —
+    is asserted by the oracle pairing (the query also carries the
+    exact count).
+
+    The probe side is tiny (a literal key list) → broadcast; the CMS
+    is ≤ depth×width rows → also broadcast-sized. No wide shuffle at
+    any scale.
+    """
+    buckets = F.array(
+        *[
+            F.expr(f"{_cms_fold_spark(key_col, d)} % {width}")
+            for d in range(depth)
+        ]
+    )
+    probe_cells = probes.select(
+        F.col(key_col), F.posexplode(buckets).alias("d", "bucket")
+    )
+    return (
+        probe_cells.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

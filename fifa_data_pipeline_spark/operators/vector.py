@@ -663,3 +663,72 @@ def cosine_scores_arrow(
 
     out_schema = f"{id_col} {id_type.simpleString()}, {alias} double"
     return corpus.select(id_col, vec_col).mapInArrow(score, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (cluster-then-prune, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic deduplication: cluster embeddings with the IVF
+    coarse quantizer, then within each cluster drop every vector
+    whose cosine to ANY lower-id vector of the same cluster is ≥
+    ``threshold`` (so the lowest id of each near-duplicate
+    neighborhood always survives as the exemplar). Returns the kept
+    rows as (id, cluster).
+
+    This is the cluster-then-prune semantic-dedup recipe (Abbas et
+    al., "SemDeDup", arXiv:2303.09540) re-expressed as DataFrames:
+    clustering cuts the pairwise verify from O(n²) to
+    O(Σ cluster²) ≈ O(n²/k), and each cluster's pair join
+    co-locates on the cluster key — one shuffle, no cross-cluster
+    pairs ever materialize. Like all LSH/IVF-family ops here it is
+    approximate at the boundary: a pair split across two cells is
+    never compared (recall dial = ``n_clusters``; raise for speed,
+    lower for recall).
+
+    Keep-lowest-id within a pair (rather than transitive-closure
+    components) is the standard greedy SemDeDup policy and keeps the
+    op a single join + anti-join — no iteration.
+    """
+    assigned, _ = ivf_assign(df, id_col, vec_col, n_clusters, seed)
+    withn = assigned.withColumn("__n", norm(F.col(vec_col)))
+    left = withn.select(
+        F.col("__cluster"),
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    right = withn.select(
+        F.col("__cluster"),
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    dropped = (
+        left.join(right, "__cluster")
+        .filter(F.col("__a") < F.col("__b"))
+        .withColumn(
+            "__sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, id_col, "left_anti")
+        .select(id_col, F.col("__cluster").alias("cluster"))
+    )

@@ -46,6 +46,7 @@ def _load() -> None:
         extended12,
         extended13,
         extended14,
+        extended15,
         northstar,
         parity,
         streaming_queries,
@@ -67,6 +68,7 @@ def _load() -> None:
     _merge(extended12)
     _merge(extended13)
     _merge(extended14)
+    _merge(extended15)
     _merge(streaming_queries)
 
 

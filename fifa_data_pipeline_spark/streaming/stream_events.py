@@ -465,3 +465,64 @@ def stream_cdc_apply(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 stateful processor API)
+# ---------------------------------------------------------------------------
+
+def stream_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) via the Spark-4
+    ``transformWithStateInPandas`` StatefulProcessor API — the
+    successor to ``applyInPandasWithState`` with typed composite
+    state (ValueState/ListState/MapState), timers, and an explicit
+    init/close lifecycle.
+
+    Each micro-batch emits one row per touched user carrying the
+    lifetime totals so far (update semantics; a keyed sink upserts).
+    State is a single ValueState<(count, sum)> per user — O(active
+    users), the minimal stateful-streaming footprint. The batch twin
+    (a plain groupBy count/sum) pins correctness in
+    test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, s DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = 0, 0.0
+            if self._state.exists():
+                n, s = self._state.get()
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
