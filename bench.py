@@ -113,6 +113,14 @@ HEADLINE = [
     "q_weighted_sample",
     "q_target_encode",
     "q_quantile_norm",
+    # round-5 governance / layout / retrieval / sketch operators
+    "q_kanonymity",
+    "q_zorder",
+    "q_postings",
+    "q_bm25",
+    "q_agg_merge",
+    "q_cms_counts",
+    "q_bloom_join",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

@@ -842,11 +842,8 @@ def bloom_pruned_semi_join(
         ]
 
     bits = F.broadcast(
-        union_all(
-            *[
-                dim.select(p.alias("bit"))
-                for p in positions(dim_key)
-            ]
+        dim.select(
+            F.explode(F.array(*positions(dim_key))).alias("bit")
         ).distinct()
     )
     pruned = fact

@@ -47,6 +47,7 @@ def _load() -> None:
         extended13,
         extended14,
         extended15,
+        extended16,
         northstar,
         parity,
         streaming_queries,
@@ -69,6 +70,7 @@ def _load() -> None:
     _merge(extended13)
     _merge(extended14)
     _merge(extended15)
+    _merge(extended16)
     _merge(streaming_queries)
 
 
