@@ -48,6 +48,7 @@ def _load() -> None:
         extended14,
         extended15,
         extended16,
+        extended17,
         northstar,
         parity,
         streaming_queries,
@@ -71,6 +72,7 @@ def _load() -> None:
     _merge(extended14)
     _merge(extended15)
     _merge(extended16)
+    _merge(extended17)
     _merge(streaming_queries)
 
 
