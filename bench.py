@@ -121,6 +121,14 @@ HEADLINE = [
     "q_agg_merge",
     "q_cms_counts",
     "q_bloom_join",
+    # round-5 survival / drift / balancing / rules / PCA operators
+    "q_survival_km",
+    "q_kl_drift",
+    "q_domain_cap",
+    "q_weighted_quantile",
+    "q_assoc_rules",
+    "q_rolling_corr",
+    "q_pca_project",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

@@ -732,3 +732,96 @@ def semantic_dedup(
         assigned.join(dropped, id_col, "left_anti")
         .select(id_col, F.col("__cluster").alias("cluster"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (map-side Gram reduction + driver eigendecomposition)
+# ---------------------------------------------------------------------------
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 2
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over an ``array<float>`` column with the classic
+    two-phase distributed algorithm:
+
+    1. **Map-side sufficient statistics**: ``mapInPandas`` folds each
+       Arrow batch into ONE fixed-size row ``(n, Σx, XᵀX)`` — a BLAS
+       ``X.T @ X`` per batch, zero row materialization. The reduce is
+       a single narrow aggregate over ``1 + d + d²`` exploded cells,
+       so the driver receives O(d²) numbers regardless of corpus
+       size — the same treeAggregate shape MLlib's PCA/SVD uses.
+    2. **Driver eigendecomposition** of the d×d sample covariance
+       (``numpy.linalg.eigh``) — d is embedding width (64 here,
+       ≤ a few thousand in practice), never data-sized.
+
+    Sign convention: each component's largest-|coefficient| entry is
+    made positive, so the fit is deterministic up to FP summation
+    order. Returns ``(mean[d], components[k,d], explained_var[k])``.
+    """
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(x))],
+                    "s": [x.sum(axis=0)],
+                    "g": [(x.T @ x).ravel()],
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(
+        partials, "n double, s array<double>, g array<double>"
+    )
+    cells = part.select(
+        F.posexplode(
+            F.concat(F.array(F.col("n")), F.col("s"), F.col("g"))
+        ).alias("idx", "v")
+    )
+    rows = cells.groupBy("idx").agg(F.sum("v").alias("v")).collect()
+    flat = np.zeros(max(r["idx"] for r in rows) + 1)
+    for r in rows:
+        flat[r["idx"]] = r["v"]
+    n = flat[0]
+    d = int(round((len(flat) - 1 + 0.25) ** 0.5 - 0.5))  # 1 + d + d²
+    s, g = flat[1 : 1 + d], flat[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    for i in range(len(comps)):
+        if comps[i][np.argmax(np.abs(comps[i]))] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Project every vector onto the top-k principal components
+    (centered scores). The fit ships O(d²) numbers to the driver
+    (:func:`pca_fit`); the projection is a map-only pass — each
+    component becomes one JVM-side fold expression with the component
+    vector inlined as literals (same string-built expression trick as
+    :func:`srp_bucket`: one parse instead of hundreds of py4j calls),
+    so the scoring scan never shuffles at any scale."""
+    mean, comps, _ = pca_fit(df, vec_col, k)
+    vd = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+    cols = [id_col]
+    for i, comp in enumerate(comps):
+        lits = ", ".join(f"{float(c)!r}D" for c in comp)
+        offset = float(mean @ comp)
+        cols.append(
+            f"round(aggregate(zip_with({vd}, array({lits}), "
+            f"(x, y) -> x * y), 0D, (a, x) -> a + x) - {offset!r}D, "
+            f"{round_to}) AS pc{i + 1}"
+        )
+    return df.selectExpr(*cols)

@@ -20,6 +20,9 @@ no UDFs — so every one is exact-oracle-checked against DuckDB.
   lift) over per-user event-type baskets.
 - ``q_rolling_corr`` — 14-day rolling correlation between two event
   streams' daily volumes, exact in integer cents.
+- ``q_pca_project`` — distributed PCA scores over the embeddings
+  table (rows-only: eigenvectors aren't SQL-derivable; pinned to a
+  numpy reference in tests/test_extended17.py).
 """
 
 from __future__ import annotations
@@ -319,8 +322,22 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component scores for every embedding:
+    map-side Gram reduction (one O(d²) row per Arrow batch) →
+    driver-side eigh → map-only literal-fold projection. Rows-only
+    (the components come from an eigendecomposition, not SQL); the
+    numpy-equality test pins values, and ordering by vec_id keeps
+    the driver's row-count/schema check deterministic."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    from fifa_data_pipeline_spark.operators.vector import pca_project
+
+    return pca_project(emb, "embedding", "vec_id", k=2)
+
+
 QUERIES = {
     "q_survival_km": q_survival_km,
+    "q_pca_project": q_pca_project,
     "q_kl_drift": q_kl_drift,
     "q_domain_cap": q_domain_cap,
     "q_weighted_quantile": q_weighted_quantile,

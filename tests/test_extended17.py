@@ -113,3 +113,30 @@ def test_rolling_corr_matches_pandas(spark, sf_dir):
         got["corr_14d"].to_numpy(), roll.to_numpy(), atol=2e-6
     )
     assert got["corr_14d"].abs().max() <= 1.0 + 1e-9
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    got = (
+        X17.q_pca_project(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    x = np.vstack(emb["embedding"].to_numpy()).astype(np.float64)
+    xc = x - x.mean(axis=0)
+    cov = (xc.T @ xc) / (len(x) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    comps = evecs[:, order].T
+    for i in range(2):
+        if comps[i][np.argmax(np.abs(comps[i]))] < 0:
+            comps[i] = -comps[i]
+    ref = xc @ comps.T
+    np.testing.assert_allclose(
+        got[["pc1", "pc2"]].to_numpy(), ref, atol=5e-4
+    )
+    # variance along pc1 >= along pc2 (top component first)
+    assert got["pc1"].var() >= got["pc2"].var()
