@@ -129,6 +129,10 @@ HEADLINE = [
     "q_assoc_rules",
     "q_rolling_corr",
     "q_pca_project",
+    "q_auc",
+    "q_theil_sen",
+    "q_late_events",
+    "q_rrf_fusion",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

@@ -49,6 +49,7 @@ def _load() -> None:
         extended15,
         extended16,
         extended17,
+        extended18,
         northstar,
         parity,
         streaming_queries,
@@ -73,6 +74,7 @@ def _load() -> None:
     _merge(extended15)
     _merge(extended16)
     _merge(extended17)
+    _merge(extended18)
     _merge(streaming_queries)
 
 
