@@ -189,7 +189,7 @@ def minhash_candidate_pairs(
         "y -> struct(x AS id_a, y AS id_b))))"
     )
     return (
-        sized.select(F.explode(combos).alias("__p"))
+        exploded(sized, combos, "__p")
         .select("__p.id_a", "__p.id_b")
         .distinct()
     )
@@ -415,7 +415,7 @@ def simhash_pairs(
         "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
     )
     return (
-        sized.select(F.explode(combos).alias("__p"))
+        exploded(sized, combos, "__p")
         .select("__p.id_a", "__p.id_b", "__p.hamming")
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -464,7 +464,7 @@ def fuzzy_name_pairs(
         f"levenshtein(x, y) AS dist)), p -> p.dist <= {int(max_dist)})))"
     )
     return (
-        sized.select(F.explode(combos).alias("__p"))
+        exploded(sized, combos, "__p")
         .select("__p.name_a", "__p.name_b", "__p.dist")
         .distinct()
     )

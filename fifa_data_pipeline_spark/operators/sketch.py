@@ -163,8 +163,13 @@ def cms_build(
     ``depth × width`` rows — KBs at ANY input scale, and mergeable
     across shards/days by summing cell counts (the property the
     oracle's single-pass twin verifies indirectly: estimates depend
-    only on cell sums).
+    only on cell sums). The explode goes through the outer-generate
+    idiom (`util.exploded`): a plain inner posexplode would trigger
+    ``InferFiltersFromGenerate`` and evaluate the depth×md5 bucket
+    array two extra times per row, interpreted (see util.exploded).
     """
+    from fifa_data_pipeline_spark.operators.util import exploded
+
     buckets = F.array(
         *[
             F.expr(f"{_cms_fold_spark(key_col, d)} % {width}")
@@ -172,7 +177,7 @@ def cms_build(
         ]
     )
     return (
-        items.select(F.posexplode(buckets).alias("d", "bucket"))
+        exploded(items, buckets, "bucket", pos_alias="d")
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -500,9 +500,12 @@ def label_centroids(
     aggregate combines map-side, so 100 TB of embeddings reduce to
     kilobytes before the exchange."""
     return (
-        df.select(
-            F.col(label_col),
-            F.posexplode(_as_double(F.col(vec_col))).alias("dim", "__v"),
+        exploded(
+            df,
+            _as_double(F.col(vec_col)),
+            "__v",
+            keep=[label_col],
+            pos_alias="dim",
         )
         .groupBy(label_col, "dim")
         .agg(

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import exploded
 from fifa_data_pipeline_spark.sources.io import read_table
 
 
@@ -167,15 +168,15 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_list("l_partkey")).alias("ps"))
     )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) ->"
-                " transform(filter(slice(ps, i + 2, size(ps) - i - 1),"
-                "                  y -> y > x),"
-                "           y -> struct(x AS p1, y AS p2))))"
-            )
-        ).alias("pr")
+    pairs = exploded(
+        baskets,
+        F.expr(
+            "flatten(transform(ps, (x, i) ->"
+            " transform(filter(slice(ps, i + 2, size(ps) - i - 1),"
+            "                  y -> y > x),"
+            "           y -> struct(x AS p1, y AS p2))))"
+        ),
+        "pr",
     ).select("pr.p1", "pr.p2")
     return (
         pairs.groupBy("p1", "p2")
