@@ -133,6 +133,10 @@ HEADLINE = [
     "q_theil_sen",
     "q_late_events",
     "q_rrf_fusion",
+    "q_chi_square",
+    "q_degree_dist",
+    "q_clustering_coeff",
+    "q_top_movers",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

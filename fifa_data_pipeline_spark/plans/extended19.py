@@ -1,0 +1,288 @@
+"""Round-5 batch 5: categorical inference, graph structure, movers.
+
+- ``q_chi_square`` — χ² independence test of event type × daypart
+  (the categorical counterpart to q_ab_welch's two-sample t-test).
+- ``q_degree_dist`` — degree distribution of the prefix-fingerprint
+  duplicate graph (the q_cross_source_dups / q_triangles edge set).
+- ``q_clustering_coeff`` — global clustering coefficient: 3·triangles
+  / wedges, both counted relationally on the same edge set.
+- ``q_top_movers`` — week-over-week volume change with per-week
+  top-3 movers (the standing anomaly report on any metric tree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.sources.io import read_table
+
+#: Fingerprint prefix length (tokens) shared with q_cross_source_dups.
+FP_TOKENS = 8
+
+#: Movers surfaced per week.
+TOP_MOVERS = 3
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing an identical ``FP_TOKENS``-token opening
+    — the fingerprint-grouped candidate edge set used by
+    q_cross_source_dups and q_triangles (extended13). Grouped by
+    fingerprint, never all-pairs, so edge generation is
+    O(Σ group²) over duplicate families only."""
+    docs = read_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, FP_TOKENS)
+    )
+    fps = docs.select("doc_id", F.md5(prefix).alias("fp")).distinct()
+    fa = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    fb = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        fa.join(fb, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+_DUP_PAIRS_CTE = f"""
+        fps AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(
+                   string_split_regex(trim(text), '\\s+')[1:{FP_TOKENS}],
+                   ' ')) AS fp
+          FROM documents
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        )
+"""
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test: is event type independent of
+    daypart (6-hour buckets)? One contingency aggregate, marginals
+    re-derived from it with two tiny re-aggregations (never a second
+    data scan), expected counts E = row·col/N, χ² = Σ(O−E)²/E.
+    Output: the statistic, degrees of freedom, n, and Cramér's V
+    effect size. All counts integer until the final arithmetic.
+    """
+    events = read_table(spark, sf_dir, "events")
+    # explicit floor: Spark's double→int cast truncates but DuckDB's
+    # rounds, so the bucket rule must be floor() on both engines
+    daypart = F.floor(F.hour("ts") / 6).cast("int")
+    obs = events.groupBy(
+        F.col("event_type"), daypart.alias("daypart")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    cols = obs.groupBy("daypart").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("event_type").alias("r"),
+        F.count_distinct("daypart").alias("c"),
+    )
+    cells = (
+        obs.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "daypart")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e", F.col("row_n") * F.col("col_n") / F.col("n")
+        )
+    )
+    return cells.groupBy().agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6
+        ).alias("chi2"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+                / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the duplicate graph: explode each edge
+    into both endpoints, count per node, histogram per degree. The
+    shape separates chain-like near-dup drift (degree ≈ 1-2) from
+    template clique families (degree ≈ family size)."""
+    pairs = _dup_pairs(spark, sf_dir)
+    nodes = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the duplicate graph:
+    3·triangles / wedges, with wedges = Σ_v deg(v)·(deg(v)−1)/2 —
+    both sides counted relationally on the SAME edge set as
+    q_triangles, so the ratio is exact. Near 1 ⇒ duplicate families
+    are cliques (true template reuse); near 0 ⇒ chained drift."""
+    pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    e1 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    e2 = pairs.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
+    e3 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    wedges = (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2)
+            .cast("long")
+            .alias("n_wedges")
+        )
+    )
+    return tri.crossJoin(wedges).select(
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        "n_wedges",
+        F.round(
+            3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+        ).alias("global_coeff"),
+    )
+
+
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movers: weekly event counts per type, percent
+    change vs the previous observed week (lag window), per-week top-3
+    by |change| — the standing what-shifted report. Two narrow
+    windows over the (type, week) aggregate; the data crosses one
+    shuffle at the weekly grain."""
+    events = read_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    weekly = events.groupBy(
+        F.col("event_type"), week.alias("wk")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("event_type").orderBy("wk")
+    with_prev = weekly.withColumn("prev_n", F.lag("n").over(wl)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    pct = F.round(
+        (F.col("n") - F.col("prev_n")) / F.col("prev_n") * 100, 6
+    )
+    wr = Window.partitionBy("wk").orderBy(
+        F.desc(F.abs((F.col("n") - F.col("prev_n")) / F.col("prev_n"))),
+        F.asc("event_type"),
+    )
+    return (
+        with_prev.withColumn("pct_change", pct)
+        .withColumn("mover_rank", F.row_number().over(wr))
+        .filter(F.col("mover_rank") <= TOP_MOVERS)
+        .select(
+            "wk",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("prev_n").cast("long").alias("prev_n"),
+            "pct_change",
+            F.col("mover_rank").cast("int").alias("mover_rank"),
+        )
+    )
+
+
+QUERIES = {
+    "q_chi_square": q_chi_square,
+    "q_degree_dist": q_degree_dist,
+    "q_clustering_coeff": q_clustering_coeff,
+    "q_top_movers": q_top_movers,
+}
+
+ORACLES = {
+    "q_chi_square": """
+        WITH obs AS (
+          SELECT event_type,
+                 CAST(floor(hour(ts) / 6) AS INT) AS daypart,
+                 COUNT(*) AS o
+          FROM events GROUP BY 1, 2
+        ), rows_m AS (
+          SELECT event_type, SUM(o) AS row_n FROM obs GROUP BY 1
+        ), cols_m AS (
+          SELECT daypart, SUM(o) AS col_n FROM obs GROUP BY 1
+        ), tot AS (
+          SELECT SUM(o) AS n,
+                 COUNT(DISTINCT event_type) AS r,
+                 COUNT(DISTINCT daypart) AS c
+          FROM obs
+        ), cells AS (
+          SELECT o.o, r.row_n * c.col_n / CAST(t.n AS DOUBLE) AS e,
+                 t.n, t.r, t.c
+          FROM obs o
+          JOIN rows_m r USING (event_type)
+          JOIN cols_m c USING (daypart)
+          CROSS JOIN tot t
+        )
+        SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+               CAST((MAX(r) - 1) * (MAX(c) - 1) AS BIGINT) AS dof,
+               CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(SQRT(SUM((o - e) * (o - e) / e)
+                 / (MAX(n) * LEAST(MAX(r) - 1, MAX(c) - 1))), 6)
+                 AS cramers_v
+        FROM cells
+    """,
+    "q_degree_dist": f"""
+        WITH {_DUP_PAIRS_CTE},
+        nodes AS (
+          SELECT id_a AS node FROM pairs
+          UNION ALL SELECT id_b FROM pairs
+        ), deg AS (
+          SELECT node, COUNT(*) AS degree FROM nodes GROUP BY 1
+        )
+        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+    "q_clustering_coeff": f"""
+        WITH {_DUP_PAIRS_CTE},
+        tri AS (
+          SELECT COUNT(*) AS n_triangles
+          FROM pairs e1
+          JOIN pairs e2 ON e1.id_b = e2.id_a
+          JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        ), deg AS (
+          SELECT node, COUNT(*) AS d FROM (
+            SELECT id_a AS node FROM pairs
+            UNION ALL SELECT id_b FROM pairs
+          ) GROUP BY 1
+        ), wg AS (
+          SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg
+        )
+        SELECT CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST(n_wedges AS BIGINT) AS n_wedges,
+               ROUND(3.0 * n_triangles / n_wedges, 6) AS global_coeff
+        FROM tri, wg
+    """,
+    "q_top_movers": f"""
+        WITH weekly AS (
+          SELECT event_type,
+                 CAST(date_trunc('week', ts) AS DATE) AS wk,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2
+        ), wp AS (
+          SELECT *, LAG(n) OVER (PARTITION BY event_type ORDER BY wk)
+                 AS prev_n
+          FROM weekly
+        ), ranked AS (
+          SELECT wk, event_type, n, prev_n,
+                 ROUND((n - prev_n) / CAST(prev_n AS DOUBLE) * 100, 6)
+                   AS pct_change,
+                 ROW_NUMBER() OVER (PARTITION BY wk
+                   ORDER BY ABS((n - prev_n) / CAST(prev_n AS DOUBLE)) DESC,
+                            event_type) AS mover_rank
+          FROM wp WHERE prev_n IS NOT NULL
+        )
+        SELECT wk, event_type, CAST(n AS BIGINT) AS n,
+               CAST(prev_n AS BIGINT) AS prev_n, pct_change,
+               CAST(mover_rank AS INT) AS mover_rank
+        FROM ranked WHERE mover_rank <= {TOP_MOVERS}
+    """,
+}

@@ -50,6 +50,7 @@ def _load() -> None:
         extended16,
         extended17,
         extended18,
+        extended19,
         northstar,
         parity,
         streaming_queries,
@@ -75,6 +76,7 @@ def _load() -> None:
     _merge(extended16)
     _merge(extended17)
     _merge(extended18)
+    _merge(extended19)
     _merge(streaming_queries)
 
 

@@ -188,6 +188,7 @@ def stream_interval_join(
     key: str = "user_id",
     lookback: str = "INTERVAL 1 HOUR",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event pairs
     with right-stream events of the same key in the window
@@ -199,6 +200,13 @@ def stream_interval_join(
     the streaming planner evict join state; an unbounded condition
     would grow state forever. Scale: state is partitioned by the join
     key, sized by (event rate × lookback window).
+
+    ``how='left_outer'`` additionally emits null-padded rows for left
+    events that found no partner — but only once the watermark has
+    passed their join window (the engine must be SURE no partner can
+    still arrive), so outer results trail the watermark by design;
+    a stopped stream may hold back null rows for the newest events.
+    Same state bound as the inner form.
     """
     l = left.select(
         F.col(key),
@@ -215,7 +223,7 @@ def stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.expr(f"l_ts - {lookback}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         key, "l_event_id", "r_event_id",
         F.unix_timestamp("l_ts").cast("bigint").alias("l_epoch"),
         F.unix_timestamp("r_ts").cast("bigint").alias("r_epoch"),

@@ -496,3 +496,39 @@ def test_stream_cdc_apply_replay_is_idempotent(spark, tmp_path_factory):
         tuple(r) for r in spark.read.parquet(target).drop("bucket").collect()
     )
     assert first == second
+
+
+def test_stream_interval_join_left_outer(spark, events_dir):
+    batch = read_table(spark, SF, "events")
+    purchases_b = batch.filter(F.col("event_type") == "purchase")
+    views_b = batch.filter(F.col("event_type") == "view")
+    matched = {
+        r.l_event_id
+        for r in purchases_b.alias("l")
+        .join(
+            views_b.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") <= F.col("l.ts"))
+            & (F.col("r.ts") >= F.expr("l.ts - INTERVAL 1 HOUR")),
+        )
+        .select(F.col("l.event_id").alias("l_event_id"))
+        .collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    joined = S.stream_interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "view"),
+        how="left_outer",
+    )
+    S.run_to_memory(joined, "t_ivjoin_lo", "append")
+    rows = spark.sql("SELECT * FROM t_ivjoin_lo").collect()
+    inner = {(r.user_id, r.l_event_id, r.r_event_id) for r in rows
+             if r.r_event_id is not None}
+    nulls = {r.l_event_id for r in rows if r.r_event_id is None}
+    assert len(inner) > 0
+    # every null-padded left must truly have NO batch partner
+    assert not (nulls & matched)
+    # matched pairs are a subset of the inner join's batch answer
+    for u, le, re_ in inner:
+        assert le not in nulls  # a left row is matched XOR null-padded
