@@ -137,6 +137,10 @@ HEADLINE = [
     "q_degree_dist",
     "q_clustering_coeff",
     "q_top_movers",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
+    "q_tpch_q18",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

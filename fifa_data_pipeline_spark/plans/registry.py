@@ -53,6 +53,7 @@ def _load() -> None:
         extended19,
         northstar,
         parity,
+        tpch,
         streaming_queries,
     )
 
@@ -77,6 +78,7 @@ def _load() -> None:
     _merge(extended17)
     _merge(extended18)
     _merge(extended19)
+    _merge(tpch)
     _merge(streaming_queries)
 
 
