@@ -141,6 +141,9 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q10",
     "q_tpch_q18",
+    "q_pipe_syntax",
+    "q_param_sql",
+    "q_session_dynamic_gap",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

@@ -51,6 +51,7 @@ def _load() -> None:
         extended17,
         extended18,
         extended19,
+        extended20,
         northstar,
         parity,
         tpch,
@@ -78,6 +79,7 @@ def _load() -> None:
     _merge(extended17)
     _merge(extended18)
     _merge(extended19)
+    _merge(extended20)
     _merge(tpch)
     _merge(streaming_queries)
 

@@ -1,0 +1,31 @@
+"""CI guardrail: no headline query may slip a cartesian product, an
+unexpected conditioned nested-loop join, or a row-at-a-time Python
+UDF into its physical plan (tools/plan_audit.py, in-process)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from bench import HEADLINE
+from tools.plan_audit import (
+    BNLJ_ALLOWED,
+    CARTESIAN_ALLOWED,
+    PY_UDF_ALLOWED,
+    audit_plan,
+)
+
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", [n for n in HEADLINE if n in QUERIES])
+def test_headline_plan_is_scale_clean(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    a = audit_plan(plan)
+    if name not in CARTESIAN_ALLOWED:
+        assert not a["cartesian"], f"{name}: CartesianProduct in plan"
+    if name not in BNLJ_ALLOWED:
+        assert not a["bnlj"], f"{name}: conditioned BNLJ in plan"
+    if name not in PY_UDF_ALLOWED:
+        assert not a["py_udf"], f"{name}: row-at-a-time Python UDF"
