@@ -144,6 +144,9 @@ HEADLINE = [
     "q_pipe_syntax",
     "q_param_sql",
     "q_session_dynamic_gap",
+    "q_bigram_lm",
+    "q_ivm_delta",
+    "q_quality_fusion",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

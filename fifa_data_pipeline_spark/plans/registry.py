@@ -52,6 +52,7 @@ def _load() -> None:
         extended18,
         extended19,
         extended20,
+        extended21,
         northstar,
         parity,
         tpch,
@@ -80,6 +81,7 @@ def _load() -> None:
     _merge(extended18)
     _merge(extended19)
     _merge(extended20)
+    _merge(extended21)
     _merge(tpch)
     _merge(streaming_queries)
 
