@@ -147,6 +147,7 @@ HEADLINE = [
     "q_bigram_lm",
     "q_ivm_delta",
     "q_quality_fusion",
+    "q_udtf_topk",
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

@@ -92,3 +92,56 @@ def split_sentences_native(
         (F.col("__i") + 1).cast("int").alias("sent_idx"),
         "sentence",
     )
+
+
+#: Bounded per-partition state size for TopKPerPartition.
+TOPK_K = 2
+
+
+@udtf(returnType="doc_id bigint, n_chars bigint, rank int")
+class TopKPerPartition:
+    """Polymorphic UDTF over a TABLE argument: consumes every row of
+    its input partition (``eval`` per row), keeps a bounded top-k by
+    ``n_chars`` (doc_id tie-break), and emits it in ``terminate`` —
+    the aggregate-shaped UDTF tier (Spark ≥3.5 TABLE(...) PARTITION
+    BY): the engine shuffles each partition to one worker instance,
+    so per-partition Python state replaces a window + filter when the
+    per-group logic outgrows SQL. State is O(k) per partition
+    regardless of partition size (insertion into a sorted bounded
+    list — same contract as Misra–Gries in operators/sketch.py).
+    """
+
+    def __init__(self):
+        self._top: list[tuple[int, int]] = []  # (-n_chars, doc_id)
+
+    def eval(self, row):  # noqa: D102 (fixed contract)
+        import bisect
+
+        bisect.insort(self._top, (-row["n_chars"], row["doc_id"]))
+        if len(self._top) > TOPK_K:
+            self._top.pop()
+
+    def terminate(self):  # noqa: D102
+        for i, (neg, doc_id) in enumerate(self._top, 1):
+            yield doc_id, -neg, i
+
+
+def topk_per_source(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Top-``TOPK_K`` documents per source by length via
+    the TABLE-argument UDTF: ``PARTITION BY source`` routes each
+    source's rows to one UDTF instance. Equivalent to the
+    row_number window (the oracle) — the point is the API surface
+    and the bounded-state per-partition contract."""
+    spark.udtf.register("topk_docs_udtf", TopKPerPartition)
+    docs.select("doc_id", "source", "n_chars").createOrReplaceTempView(
+        "__topk_in"
+    )
+    return spark.sql(
+        """
+        SELECT t.doc_id, p.source, t.n_chars, t.rank
+        FROM topk_docs_udtf(
+            TABLE(__topk_in) PARTITION BY source ORDER BY doc_id
+        ) t
+        JOIN __topk_in p ON t.doc_id = p.doc_id
+        """
+    )

@@ -53,6 +53,7 @@ def _load() -> None:
         extended19,
         extended20,
         extended21,
+        extended22,
         northstar,
         parity,
         tpch,
@@ -82,6 +83,7 @@ def _load() -> None:
     _merge(extended19)
     _merge(extended20)
     _merge(extended21)
+    _merge(extended22)
     _merge(tpch)
     _merge(streaming_queries)
 

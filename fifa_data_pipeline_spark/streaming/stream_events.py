@@ -534,3 +534,60 @@ def stream_running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_quarantine_late(
+    stream_df: DataFrame,
+    main_path: str,
+    quarantine_path: str,
+    hwm_path: str,
+    checkpoint_path: str,
+    delay_s: int = 1800,
+) -> None:
+    """Dead-letter channel for late events: each micro-batch is split
+    against the persisted event-time high-water mark — rows more than
+    ``delay_s`` behind it are appended to the quarantine sink instead
+    of the main sink, then the mark advances to the batch max. This
+    is the operational complement to ``withWatermark``: the watermark
+    silently DROPS late rows inside stateful operators, while a
+    pipeline that must account for every input routes them to a
+    quarantine for replay/audit (sizing data: q_late_events).
+
+    Lateness is judged against the mark as of the PREVIOUS batch
+    (batch-granular, exactly like watermark advancement); the mark is
+    a one-row parquet so restarts resume with the same split rule.
+    Scale: the split is two predicate scans of the batch and the mark
+    update is O(1) — nothing here grows with stream history."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            rows = spark.read.parquet(hwm_path).collect()
+            hwm = rows[0]["hwm"] if rows else None
+        except Exception:
+            hwm = None  # first batch: no mark yet
+        ep = F.unix_timestamp("ts").cast("bigint")
+        marked = batch_df.withColumn("__ep", ep).localCheckpoint()
+        if hwm is not None:
+            is_late = F.col("__ep") < F.lit(hwm - delay_s)
+        else:
+            is_late = F.lit(False)
+        marked.filter(~is_late).drop("__ep").write.mode("append").parquet(
+            main_path
+        )
+        late = marked.filter(is_late).drop("__ep")
+        if late.limit(1).count() > 0:
+            late.write.mode("append").parquet(quarantine_path)
+        bmax = marked.agg(F.max("__ep").alias("m")).collect()[0]["m"]
+        new_hwm = max(x for x in (hwm, bmax) if x is not None)
+        spark.createDataFrame([(int(new_hwm),)], "hwm bigint").write.mode(
+            "overwrite"
+        ).parquet(hwm_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -229,7 +229,7 @@ def test_analyze_table_collects_cbo_stats(spark, sf_dir, tmp_path):
 def test_cached_table_plans_in_memory_scan(spark, sf_dir):
     from fifa_data_pipeline_spark.sources.io import read_table
 
-    df = read_table(spark, sf_dir, "region").cache()
+    df = io.read_table(spark, sf_dir, "region").cache()
     try:
         df.count()  # materialize
         plan = (
@@ -273,3 +273,33 @@ def test_range_partitioned_export_is_globally_sorted(spark, sf_dir, tmp_path):
     assert len(ranges) >= 2
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint, ordered ranges across files
+
+
+def test_to_arrow_zero_copy_export(spark, sf_dir):
+    """Spark 4 df.toArrow(): the Arrow interchange surface — results
+    leave the JVM as one Arrow table, the zero-serialization path to
+    pandas/polars/duckdb consumers."""
+    import pyarrow as pa
+
+    df = io.read_table(spark, sf_dir, "region")
+    t = df.toArrow()
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == df.count()
+    assert set(t.column_names) == set(df.columns)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on plain parquet: files written before a
+    column existed read back as NULL under mergeSchema=true — the
+    additive-evolution contract a long-lived table relies on."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("x"))
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.range(3, 6).select(
+        F.col("id"), F.lit("b").alias("x"), F.lit(1.5).alias("y")
+    )
+    v2.write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "x", "y"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[0].y is None and rows[4].y == 1.5

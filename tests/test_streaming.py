@@ -532,3 +532,50 @@ def test_stream_interval_join_left_outer(spark, events_dir):
     # matched pairs are a subset of the inner join's batch answer
     for u, le, re_ in inner:
         assert le not in nulls  # a left row is matched XOR null-padded
+
+
+def test_stream_quarantine_late_routes_dead_letters(spark, tmp_path):
+    import datetime as dt
+    import time as _time
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "q_src")
+    cols = ["event_id", "ts", "value"]
+    batch1 = [(1, t0, 1.0), (2, t0 + dt.timedelta(minutes=30), 2.0),
+              (3, t0 + dt.timedelta(hours=1), 3.0)]
+    spark.createDataFrame(batch1, cols).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _time.sleep(1.1)  # file-source orders by mtime
+    batch2 = [(4, t0 - dt.timedelta(hours=2), 4.0),  # late vs hwm
+              (5, t0 + dt.timedelta(hours=2), 5.0)]
+    spark.createDataFrame(batch2, cols).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    main = str(tmp_path / "q_main")
+    quar = str(tmp_path / "q_quar")
+    hwm = str(tmp_path / "q_hwm")
+    ckpt = str(tmp_path / "q_ckpt")
+    S.stream_quarantine_late(stream, main, quar, hwm, ckpt, delay_s=1800)
+
+    main_ids = {r.event_id for r in spark.read.parquet(main).collect()}
+    quar_ids = {r.event_id for r in spark.read.parquet(quar).collect()}
+    # id 4 is 2h behind the batch-1 high-water mark (t0+1h) minus the
+    # 30-min delay -> quarantined; everything else lands in main
+    assert quar_ids == {4}
+    assert main_ids == {1, 2, 3, 5}
+    # the mark advanced to the global max event time
+    got_hwm = spark.read.parquet(hwm).collect()[0]["hwm"]
+    import calendar
+    assert got_hwm == int(
+        (t0 + dt.timedelta(hours=2)).replace(
+            tzinfo=dt.timezone.utc
+        ).timestamp()
+    )
