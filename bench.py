@@ -147,7 +147,10 @@ HEADLINE = [
     "q_bigram_lm",
     "q_ivm_delta",
     "q_quality_fusion",
-    "q_udtf_topk",
+    # q_udtf_topk stays OUT of the headline like the other Python-
+    # interop demos (q_udtf_sentences, q_zscore): the plan audit
+    # rightly flags Python-eval nodes, and the bench headline is the
+    # JVM-path surface (the UDTF is oracle-checked in the registry)
     # q_textrank (and q_pagerank) stay OUT of the headline: an
     # iterative fixpoint pays a fixed join+agg+checkpoint cycle per
     # round, so at toy scale the wall clock measures round count,

@@ -461,3 +461,32 @@ def overwrite_partitions(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_tuned(
+    df: DataFrame,
+    path: str,
+    codec: str = "zstd",
+    rowgroup_bytes: int = 128 * 1024 * 1024,
+    page_bytes: int = 1024 * 1024,
+) -> None:
+    """Parquet layout tuning — the three physical levers that matter
+    at 100 TB, surfaced as one writer:
+
+    - ``codec``: zstd trades ~10-20% CPU for materially smaller files
+      than snappy (scan cost at scale is dominated by bytes moved);
+    - ``rowgroup_bytes`` (parquet.block.size): the min/max-stat
+      pruning granule AND the minimum read amplification per matching
+      row — smaller groups prune finer, larger groups scan faster
+      when most data qualifies;
+    - ``page_bytes``: the decompression granule within a column chunk.
+
+    Pair with repartition/sortWithinPartitions (see write_clustered)
+    so the row-group min/max stats are actually selective."""
+    (
+        df.write.mode("overwrite")
+        .option("compression", codec)
+        .option("parquet.block.size", str(rowgroup_bytes))
+        .option("parquet.page.size", str(page_bytes))
+        .parquet(path)
+    )

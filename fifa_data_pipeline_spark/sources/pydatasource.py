@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: Knuth multiplicative hash constant — deterministic pseudo-values.
 _MIX = 2654435761
@@ -60,5 +65,69 @@ class SyntheticEventsReader(DataSourceReader):
 
 
 def register(spark) -> None:
-    """Register the demo source on a session (idempotent)."""
+    """Register the demo sources on a session (idempotent)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsStreamSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python data source (SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+class SyntheticEventsStreamSource(DataSource):
+    """``spark.readStream.format("synth_events_stream")`` — the
+    STREAMING half of the Python Data Source API: the reader owns its
+    offset (a monotonically increasing batch index), the engine owns
+    exactly-once bookkeeping (offsets land in the checkpoint log;
+    ``readBetweenOffsets`` replays a committed range after restart).
+    Options: ``rowsPerBatch`` (default 10), ``maxBatches`` (default 3
+    — after which ``read`` stops advancing the offset, so an
+    ``availableNow`` drain terminates), ``seed``.
+
+    A real connector (queue consumer, HTTP cursor feed) follows this
+    shape verbatim: offsets must be replayable — the DETERMINISM of
+    read-between-offsets, not the checkpoint, is what makes the
+    pipeline exactly-once end to end."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, batch int, value double"
+
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader(self.options)
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.rows_per = int(options.get("rowsperbatch", "10"))
+        self.max_batches = int(options.get("maxbatches", "3"))
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, idx: int) -> list[tuple]:
+        out = []
+        for r in range(self.rows_per):
+            gid = idx * self.rows_per + r
+            h = (gid * _MIX + self.seed) % (2**32)
+            out.append((gid, idx, h / 2**32))
+        return out
+
+    def read(self, start: dict):
+        idx = start["idx"]
+        if idx >= self.max_batches:
+            return iter([]), start  # no progress -> availableNow ends
+        return iter(self._rows(idx)), {"idx": idx + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for idx in range(start["idx"], end["idx"]):
+            rows.extend(self._rows(idx))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge for a synthetic feed

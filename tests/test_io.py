@@ -303,3 +303,35 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "x", "y"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[0].y is None and rows[4].y == 1.5
+
+
+def test_write_tuned_codec_and_rowgroups(spark, sf_dir, tmp_path):
+    """zstd beats snappy on bytes for the same rows, and a small
+    parquet.block.size yields more (finer-prunable) row groups."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    li = io.read_table(spark, sf_dir, "lineitem").repartition(1)
+    p_snappy = str(tmp_path / "snappy")
+    p_zstd = str(tmp_path / "zstd")
+    p_small = str(tmp_path / "small_rg")
+    io.write_tuned(li, p_snappy, codec="snappy")
+    io.write_tuned(li, p_zstd, codec="zstd")
+    io.write_tuned(li, p_small, codec="zstd", rowgroup_bytes=64 * 1024)
+
+    def size(d):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet")
+        )
+
+    assert size(p_zstd) < size(p_snappy)
+    f_big = glob.glob(f"{p_zstd}/*.parquet")[0]
+    f_small = glob.glob(f"{p_small}/*.parquet")[0]
+    assert (
+        pq.ParquetFile(f_small).num_row_groups
+        > pq.ParquetFile(f_big).num_row_groups
+    )
+    # content identical either way
+    assert spark.read.parquet(p_zstd).count() == li.count()

@@ -112,3 +112,48 @@ def test_python_datasource_partitioned_deterministic(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     # pushdown-style column pruning still applies (Project above scan)
     assert df.select("event_id").distinct().count() == 150
+
+
+def test_python_streaming_datasource_exactly_once_shape(spark, tmp_path):
+    """Streaming Python data source: an availableNow drain consumes
+    exactly maxBatches deterministic batches, and readBetweenOffsets
+    replays any committed range bit-identically (the replayability
+    contract exactly-once recovery rests on)."""
+    from fifa_data_pipeline_spark.sources import pydatasource
+
+    pydatasource.register(spark)
+    out = str(tmp_path / "out")
+    # three availableNow drains over ONE checkpoint: each restart
+    # resumes from the committed offset and advances one batch — the
+    # restart-recovery path of the offset contract
+    for _ in range(3):
+        stream = (
+            spark.readStream.format("synth_events_stream")
+            .option("rowsPerBatch", "5")
+            .option("maxBatches", "3")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.event_id
+    )
+    assert len(rows) == 15
+    assert [r.event_id for r in rows] == list(range(15))
+    assert {r.batch for r in rows} == {0, 1, 2}
+    # replay determinism: offsets [1,3) regenerate rows 5..14 exactly
+    reader = pydatasource.SyntheticStreamReader(
+        {"rowsperbatch": "5", "maxbatches": "3"}
+    )
+    replay = list(reader.readBetweenOffsets({"idx": 1}, {"idx": 3}))
+    assert [t[0] for t in replay] == list(range(5, 15))
+    got = {(r.event_id, r.batch, round(r.value, 12)) for r in rows[5:]}
+    ref = {(t[0], t[1], round(t[2], 12)) for t in replay}
+    assert got == ref
