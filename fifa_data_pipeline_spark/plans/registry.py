@@ -57,6 +57,7 @@ def _load() -> None:
         northstar,
         parity,
         tpch,
+        tpch2,
         streaming_queries,
     )
 
@@ -85,6 +86,7 @@ def _load() -> None:
     _merge(extended21)
     _merge(extended22)
     _merge(tpch)
+    _merge(tpch2)
     _merge(streaming_queries)
 
 

@@ -47,3 +47,44 @@ def test_q18_threshold_filters_rows(spark, sf_dir):
     rows = tpch.q_tpch_q18(spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r.total_qty > tpch.Q18_MIN_QTY for r in rows)
+
+
+# ---- suite completion (plans/tpch2.py) --------------------------
+
+from fifa_data_pipeline_spark.plans import tpch2
+
+
+def test_q1_single_shuffle_partial_agg(spark, sf_dir):
+    plan = _plan(tpch2.q_tpch_q1(spark, sf_dir))
+    # map-side partial + final HashAggregate around ONE exchange
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") >= 2
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_q6_pure_scan_aggregate(spark, sf_dir):
+    plan = _plan(tpch2.q_tpch_q6(spark, sf_dir))
+    assert "Join" not in plan
+    # all three predicates pushed to the scan
+    assert "l_discount" in plan and "l_quantity" in plan
+
+
+def test_q19_disjunction_keeps_hash_join(spark, sf_dir):
+    plan = _plan(tpch2.q_tpch_q19(spark, sf_dir))
+    # the OR must not demote the equi-join to a nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_aggregates_at_order_grain_only(spark, sf_dir):
+    plan = _plan(tpch2.q_tpch_q21(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_semi_join_with_range_predicate(spark, sf_dir):
+    plan = _plan(tpch2.q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+    # the equality drives the join; the date lag rides as a filter
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
