@@ -129,14 +129,181 @@ def sample_frames(
 
 
 def decode_image_real(df: DataFrame) -> DataFrame:
-    """Real image decode — requires PIL/opencv, which this container
-    does not ship. The Spark plumbing above is identical; only the
-    kernel differs."""
+    """General image decode (JPEG/WebP/...) — requires PIL/opencv,
+    which this container does not ship. The Spark plumbing above is
+    identical; only the kernel differs. For the one format a PNG
+    codec can be written from the stdlib alone, see
+    ``encode_png``/``decode_png`` below — that path is REAL (zlib
+    deflate, CRC-validated chunks), not a fake."""
     raise NotImplementedError(
-        "image codecs not available in this environment; "
+        "JPEG/WebP codecs not available in this environment; "
         "swap _fake_decode_batch for a PIL kernel under the same "
-        "mapInPandas contract"
+        "mapInPandas contract (PNG has a real stdlib path: decode_png)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec — stdlib only (zlib + struct + numpy), no PIL.
+#
+# Grayscale 8-bit PNGs with deterministic pixel content
+# pixel(k) = (doc_id + k) % 256 at k = y*width + x, so every decoded
+# statistic is independently predictable by the DuckDB oracle — this
+# is the one multimodal path where "decode" means real entropy
+# decoding (zlib inflate) + real container parsing (length/type/CRC
+# chunk walk), not a stand-in.
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("png", T.BinaryType()),
+    ]
+)
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("color_type", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+    ]
+)
+
+
+def png_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic image dimensions for a doc id (4..64 × 4..48)."""
+    return (doc_id % 16 + 1) * 4, (doc_id % 12 + 1) * 4
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png_bytes(doc_id: int) -> bytes:
+    """Build a valid grayscale 8-bit PNG for one doc id."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = png_dims(doc_id)
+    pixels = ((np.arange(w * h, dtype=np.int64) + doc_id) % 256).astype(
+        np.uint8
+    ).reshape(h, w)
+    # filter byte 0 (None) before every scanline
+    raw = b"".join(b"\x00" + row.tobytes() for row in pixels)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_bytes(buf: bytes) -> tuple[int, int, int, int, int, float]:
+    """Parse + inflate one PNG: walk the chunk stream (validating
+    every CRC), require grayscale-8/filter-0, and return
+    (width, height, bit_depth, color_type, n_pixels, mean_pixel)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack_from(
+                ">IIBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    if bit_depth != 8 or color_type != 0:
+        raise ValueError("only grayscale-8 supported by this decoder")
+    raw = zlib.decompress(bytes(idat))
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    if rows[:, 0].any():
+        raise ValueError("only filter type 0 supported by this decoder")
+    pixels = rows[:, 1:]
+    return (
+        width,
+        height,
+        bit_depth,
+        color_type,
+        int(pixels.size),
+        float(pixels.mean()),
+    )
+
+
+def encode_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a valid PNG per row via ``mapInPandas`` — the write
+    half of the real-codec path. Payload bytes stream through Arrow
+    batches; nothing touches the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "png": [
+                        _encode_png_bytes(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(run, PNG_SCHEMA)
+
+
+def decode_png(df: DataFrame) -> DataFrame:
+    """Decode PNG payloads back to typed stats via ``mapInPandas``:
+    container parse, CRC validation, zlib inflate, scanline
+    de-filtering, pixel aggregation — a real decoder, batched over
+    Arrow. Executor memory is bounded by Arrow batch size × image
+    size; decoded pixel arrays die inside the kernel (only the stats
+    leave), which is exactly how a 100 TB image pipeline must behave:
+    never let raw pixels reach a shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_decode_png_bytes(b) for b in pdf["png"]]
+            res = pd.DataFrame(
+                out,
+                columns=[
+                    "width", "height", "bit_depth", "color_type",
+                    "n_pixels", "mean_pixel",
+                ],
+            )
+            res.insert(0, "doc_id", pdf["doc_id"].values)
+            yield res
+
+    return df.mapInPandas(run, PNG_STATS_SCHEMA)
 
 
 POOL_SCHEMA = T.StructType(

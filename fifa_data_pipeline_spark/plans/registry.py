@@ -54,6 +54,7 @@ def _load() -> None:
         extended20,
         extended21,
         extended22,
+        extended23,
         northstar,
         parity,
         tpch,
@@ -85,6 +86,7 @@ def _load() -> None:
     _merge(extended20)
     _merge(extended21)
     _merge(extended22)
+    _merge(extended23)
     _merge(tpch)
     _merge(tpch2)
     _merge(streaming_queries)

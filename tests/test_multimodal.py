@@ -62,3 +62,35 @@ def test_pool_bytes_windows_and_short_payloads(spark):
     # doc 1: two full windows of 'a' (97.0); doc 2: one window of 'b';
     # doc 3: shorter than one window -> no rows
     assert rows == {(1, 0): 97.0, (1, 1): 97.0, (2, 0): 98.0}
+
+
+# ---- real PNG codec path (stdlib zlib/struct, no PIL) -----------
+
+def test_png_bytes_are_a_valid_png_container():
+    buf = M._encode_png_bytes(7)
+    assert buf[:8] == M._PNG_MAGIC
+    assert b"IHDR" in buf and b"IDAT" in buf
+    # empty-IEND CRC is the well-known constant ae 42 60 82
+    assert buf.endswith(b"IEND\xaeB`\x82")
+    w, h, bd, ct, n, mean = M._decode_png_bytes(buf)
+    assert (w, h) == M.png_dims(7) == (32, 32)
+    assert (bd, ct) == (8, 0) and n == w * h
+    # pixel(k) = (7 + k) % 256 over exactly 4 full cycles -> mean 127.5
+    assert mean == 127.5
+
+
+def test_png_decode_rejects_corrupted_idat():
+    buf = bytearray(M._encode_png_bytes(3))
+    idat = buf.find(b"IDAT")
+    buf[idat + 10] ^= 0xFF  # flip a byte inside the compressed stream
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        M._decode_png_bytes(bytes(buf))
+
+
+def test_png_roundtrip_on_spark(spark):
+    out = M.decode_png(M.encode_png(_docs(spark))).collect()
+    assert len(out) > 0
+    for r in out:
+        w, h = M.png_dims(r.doc_id)
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        assert 0.0 <= r.mean_pixel <= 255.0
