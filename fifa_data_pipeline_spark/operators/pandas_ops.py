@@ -114,3 +114,60 @@ def trimmed_mean(
     return df.groupBy(group_col).agg(
         _n(value_col).alias("n"), _trimmed(value_col).alias(alias)
     )
+
+
+def cogroup_asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_val: str,
+    alias: str = "matched",
+) -> DataFrame:
+    """Per-key AS-OF merge via **cogrouped** ``applyInPandas``
+    (``pd.merge_asof`` inside each key's cogroup) — the third Pandas
+    interop shape next to grouped-map and map-iter: BOTH sides
+    shuffle once on the key, then each key's two groups meet in one
+    Python task. Use it when the per-key merge logic outgrows the
+    union+running-last SQL form (``relational.as_of_join``) — e.g.
+    tolerance windows, nearest-direction switches, or model-driven
+    matching — while keeping the exact same shuffle posture.
+
+    Scale: state per task is one key's rows on both sides (bounded
+    by the key grain, same caveat as grouped-map); the Arrow
+    transfer is 2 columnar batches per key, not per row.
+
+    Ties on (key, ts) in the right side must be pre-deduplicated by
+    the caller (``merge_asof`` keeps the last row in sort order,
+    which is otherwise nondeterministic).
+    """
+    from pyspark.sql import types as T
+
+    lt = {f.name: f.dataType for f in left.schema.fields}
+    out_schema = T.StructType(
+        [T.StructField(c, lt[c]) for c in left_cols]
+        + [T.StructField("ts_epoch", T.LongType()),
+           T.StructField(alias, T.DoubleType())]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=[c.name for c in out_schema])
+        lpdf = lpdf.sort_values(ts_col, kind="mergesort")
+        rpdf = rpdf[[ts_col, right_val]].sort_values(
+            ts_col, kind="mergesort"
+        )
+        m = pd.merge_asof(lpdf, rpdf, on=ts_col, direction="backward")
+        out = m[left_cols].copy()
+        out["ts_epoch"] = (
+            m[ts_col].astype("datetime64[us]").astype("int64")
+        )  # microsecond epoch (matches DuckDB epoch_us)
+        out[alias] = m[right_val].astype("float64")
+        return out
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, out_schema)
+    )

@@ -856,3 +856,44 @@ def bloom_pruned_semi_join(
         F.col(fact_key) == F.col("__bk"),
         "left_semi",
     )
+
+
+def keyset_page(
+    df: DataFrame,
+    order_cols: list[str],
+    cursor: list | None,
+    n: int,
+) -> DataFrame:
+    """Keyset (cursor) pagination: the page AFTER ``cursor`` in
+    ``order_cols`` order — ``WHERE (k1, k2, …) > (c1, c2, …)
+    ORDER BY k1, k2, … LIMIT n`` with the row-value comparison
+    expanded lexicographically (Spark has no tuple comparator in the
+    DataFrame API).
+
+    This is THE pagination idiom for big tables: OFFSET must scan
+    and discard ``offset`` rows on every page (O(total) per page —
+    quadratic to walk a table), while keyset is O(page): the leading
+    strict-inequality conjunct ``k1 >= c1`` is added redundantly so
+    it pushes into the parquet scan (row-group min/max skip), and
+    the ORDER+LIMIT plans as TakeOrderedAndProject — a per-partition
+    top-n plus a driver merge of n-row candidates, never a global
+    sort. ``cursor=None`` returns the first page.
+    """
+    out = df
+    if cursor is not None:
+        assert len(cursor) == len(order_cols)
+        cond = F.lit(False)
+        for i in range(len(order_cols) - 1, -1, -1):
+            eq_prefix = F.lit(True)
+            for j in range(i):
+                eq_prefix = eq_prefix & (
+                    F.col(order_cols[j]) == F.lit(cursor[j])
+                )
+            cond = cond | (
+                eq_prefix & (F.col(order_cols[i]) > F.lit(cursor[i]))
+            )
+        # redundant range conjunct on the leading key -> scan pruning
+        out = out.filter(
+            (F.col(order_cols[0]) >= F.lit(cursor[0])) & cond
+        )
+    return out.orderBy(*[F.asc(c) for c in order_cols]).limit(n)

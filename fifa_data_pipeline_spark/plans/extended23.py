@@ -1,5 +1,13 @@
-"""Round-6 batch 1: real PNG codec path for the multimodal surface.
+"""Round-6 batch 1: real PNG codec, cogrouped as-of, keyset pages.
 
+- ``q_cogroup_asof`` — per-user as-of merge (last purchase value at
+  or before each click) through COGROUPED ``applyInPandas``
+  (``pd.merge_asof`` per key) — the two-sided Pandas interop shape;
+  oracle is DuckDB's native ASOF LEFT JOIN.
+- ``q_keyset_page`` — cursor pagination ``(k1,k2) > (c1,c2)`` with
+  the row-value comparison expanded lexicographically plus a
+  redundant leading-key range conjunct for scan pruning; OFFSET-free
+  by design (OFFSET is O(total) per page).
 - ``q_png_decode`` — encode a valid grayscale-8 PNG per document
   (stdlib zlib/struct, deterministic pixel content), then DECODE it
   back (chunk walk + CRC validation + zlib inflate + scanline
@@ -15,11 +23,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import datetime as _dt
+
 from fifa_data_pipeline_spark.operators.multimodal import (
     decode_png,
     encode_png,
 )
+from fifa_data_pipeline_spark.operators.pandas_ops import cogroup_asof_merge
+from fifa_data_pipeline_spark.operators.relational import keyset_page
 from fifa_data_pipeline_spark.sources.io import read_table
+
+
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click, the value of the user's most recent purchase
+    at or before it (NULL if none) — cogrouped-pandas as-of merge.
+    The right side is pre-deduplicated per (user, ts) so tie order
+    cannot leak nondeterminism into the merge."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("v"))
+    )
+    return cogroup_asof_merge(
+        clicks, purchases, "user_id", "ts",
+        ["event_id", "user_id"], "v", alias="last_purchase",
+    )
+
+
+#: Keyset cursor: the page strictly after this (date, orderkey).
+KEYSET_CURSOR = (_dt.datetime(1998, 1, 3), 7000)
+KEYSET_N = 50
+
+
+def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One 50-row keyset page of orders after the fixed cursor in
+    (o_orderdate, o_orderkey) order — plans as a pruned scan +
+    TakeOrderedAndProject (asserted in test_extended23)."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    return keyset_page(
+        orders, ["o_orderdate", "o_orderkey"], list(KEYSET_CURSOR), KEYSET_N
+    )
 
 
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,9 +86,35 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_png_decode": q_png_decode}
+QUERIES = {
+    "q_png_decode": q_png_decode,
+    "q_cogroup_asof": q_cogroup_asof,
+    "q_keyset_page": q_keyset_page,
+}
 
 ORACLES = {
+    "q_cogroup_asof": """
+        WITH clicks AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click'),
+        pur AS (
+          SELECT user_id, ts, MAX(value) AS v FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id,
+               epoch_us(c.ts) AS ts_epoch, p.v AS last_purchase
+        FROM clicks c
+        ASOF LEFT JOIN pur p
+          ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "q_keyset_page": """
+        SELECT o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        WHERE (o_orderdate, o_orderkey)
+              > (TIMESTAMP '1998-01-03', 7000)
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 50
+    """,
     # The pixel sequence (doc_id + k) % 256 is periodic, so the
     # oracle predicts the decoded pixel SUM in closed form (full
     # 0..255 cycles + a split partial cycle) — no series expansion.

@@ -490,3 +490,28 @@ def write_tuned(
         .option("parquet.page.size", str(page_bytes))
         .parquet(path)
     )
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    records_per_file: int,
+    shuffle_col: str | None = None,
+) -> None:
+    """Training-shard export: bound every output file to
+    ``records_per_file`` rows (``maxRecordsPerFile`` splits files at
+    write time with no extra shuffle). With ``shuffle_col``, rows are
+    first redistributed by ``xxhash64(shuffle_col)`` — a
+    deterministic global "shuffle" that breaks source/time locality
+    across shards (what a training loader wants) while staying fully
+    reproducible, unlike ``repartition()``'s round-robin which
+    depends on input split order. Dataloader-sized files matter at
+    100 TB: a loader maps shards to workers, so shard-size variance
+    IS load imbalance."""
+    if shuffle_col is not None:
+        df = df.repartition(F.xxhash64(F.col(shuffle_col)))
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_file)
+        .parquet(path)
+    )

@@ -1,0 +1,108 @@
+"""Round-6 batch 1: cogrouped as-of merge, keyset pagination,
+sharded training export, PNG codec registry wiring."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from fifa_data_pipeline_spark.operators.pandas_ops import cogroup_asof_merge
+from fifa_data_pipeline_spark.operators.relational import keyset_page
+from fifa_data_pipeline_spark.plans.extended23 import (
+    KEYSET_CURSOR,
+    KEYSET_N,
+    q_keyset_page,
+)
+from fifa_data_pipeline_spark.sources.io import read_table, write_sharded
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_cogroup_asof_hand_computed(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:00")),   # after both purchases
+            (2, 10, _ts("2024-01-01T08:30")),   # between
+            (3, 10, _ts("2024-01-01T07:00")),   # before any -> NULL
+            (4, 20, _ts("2024-01-01T12:00")),   # user w/o purchases
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T08:00"), 5.0),
+            (10, _ts("2024-01-01T09:00"), 7.0),
+            (30, _ts("2024-01-01T01:00"), 9.0),  # right-only user
+        ],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r.event_id: r.last_purchase
+        for r in cogroup_asof_merge(
+            left, right, "user_id", "ts", ["event_id", "user_id"], "v",
+            alias="last_purchase",
+        ).collect()
+    }
+    assert out == {1: 7.0, 2: 5.0, 3: None, 4: None}
+
+
+def test_keyset_pages_are_disjoint_and_contiguous(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    cols = ["o_orderdate", "o_orderkey"]
+    p1 = keyset_page(orders, cols, None, 40).collect()
+    cursor = [p1[-1].o_orderdate, p1[-1].o_orderkey]
+    p2 = keyset_page(orders, cols, cursor, 40).collect()
+    keys1 = [r.o_orderkey for r in p1]
+    keys2 = [r.o_orderkey for r in p2]
+    assert not set(keys1) & set(keys2)
+    # the two pages equal the first 80 rows of the global order
+    both = [
+        r.o_orderkey
+        for r in orders.orderBy("o_orderdate", "o_orderkey")
+        .limit(80)
+        .collect()
+    ]
+    assert keys1 + keys2 == both
+
+
+def test_keyset_plan_prunes_and_takeordered(spark, sf_dir):
+    plan = (
+        q_keyset_page(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    # the redundant leading-key range conjunct reaches the scan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "Sort " not in plan  # never a global sort
+
+
+def test_keyset_cursor_tuple_semantics(spark, sf_dir):
+    # rows ON the cursor date but with key <= cursor key are excluded;
+    # key > cursor key on the same date are included
+    rows = q_keyset_page(spark, sf_dir).collect()
+    assert len(rows) == KEYSET_N
+    cd, ck = KEYSET_CURSOR
+    for r in rows:
+        assert (r.o_orderdate, r.o_orderkey) > (cd, ck)
+
+
+def test_write_sharded_bounds_file_sizes(spark, sf_dir, tmp_path):
+    df = read_table(spark, sf_dir, "orders").limit(1000)
+    path = str(tmp_path / "shards")
+    write_sharded(df, path, records_per_file=100, shuffle_col="o_orderkey")
+    back = spark.read.parquet(path)
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in per_file) == 1000
+    assert max(r["count"] for r in per_file) <= 100
+    assert len(per_file) >= 10
