@@ -897,3 +897,102 @@ def keyset_page(
             (F.col(order_cols[0]) >= F.lit(cursor[0])) & cond
         )
     return out.orderBy(*[F.asc(c) for c in order_cols]).limit(n)
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "row_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Dense, gap-free global row ids 1..N in ``order_cols`` order —
+    WITHOUT the classic 100 TB trap of ``row_number() OVER (ORDER BY
+    …)``, whose empty-partitionBy window collapses the whole table
+    into ONE task.
+
+    Three distributed steps instead:
+
+    1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+       key (one range shuffle; sampling-based bounds are
+       deterministic for a fixed input).
+    2. Partition-local index for free from
+       ``monotonically_increasing_id()`` — its layout IS
+       ``(partition_id << 33) | local_row_index`` on an ordered scan,
+       so no second shuffle and no per-partition Python.
+    3. Per-partition row counts (a #partitions-row aggregate) turned
+       into cumulative offsets by a tiny driver-side scan, broadcast
+       back, and added to the local index.
+
+    ``order_cols`` must be a unique key: range-partition bounds may
+    split ties across partitions, which would make ids of tied rows
+    depend on placement.
+    """
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in order_cols]
+    ).sortWithinPartitions(*order_cols)
+    # PIN the physical layout: the counts pass and the final join
+    # would otherwise evaluate the range shuffle twice, and AQE may
+    # coalesce its partitions DIFFERENTLY per evaluation (the two
+    # queries have different shapes) — shifting every (pid, local)
+    # pair between the offset map and the output. At cluster scale
+    # swap persist() for a checkpoint/stable-storage materialization.
+    with_mid = part.withColumn(
+        "__mid", F.monotonically_increasing_id()
+    ).persist()
+    with_pid = with_mid.withColumn(
+        "__pid", F.shiftrightunsigned("__mid", 33).cast("long")
+    ).withColumn(
+        "__local", F.expr(f"__mid & {(1 << 33) - 1}").cast("long")
+    )
+    counts = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy("__pid")
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "__pid long, __off long"
+        )
+    )
+    return (
+        with_pid.join(off_df, "__pid")
+        .withColumn(id_col, (F.col("__off") + F.col("__local") + 1))
+        .drop("__mid", "__pid", "__local", "__off")
+    )
+
+
+def table_checksum(
+    df: DataFrame, cols: list[str], alias: str = "checksum"
+) -> DataFrame:
+    """Order-insensitive one-row table fingerprint: per-row
+    ``md5(concat_ws('|', cols))`` folded to a BIGINT, combined with
+    ``bit_xor`` — the anti-entropy check two systems run
+    independently to verify a 100 TB copy without moving data (XOR is
+    commutative/associative, so partial checksums merge across
+    partitions, files, or clusters for free; a count rides along
+    because XOR alone cannot see row multiplicity changes of even
+    degree). Engine-portable: the DuckDB twin reproduces the fold
+    bit-exactly (see extended23 oracle). NULLs are canonicalized
+    before hashing — ``concat_ws`` silently skips them, which would
+    collide ('a', NULL) with ('a',)."""
+    canon = [
+        F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols
+    ]
+    concat = F.concat_ws("|", *canon)
+    row_hash = F.expr(
+        "CAST(conv(substring(md5(__c), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        df.select(concat.alias("__c"))
+        .select(row_hash.alias("__h"))
+        .agg(
+            F.expr("bit_xor(__h)").alias(alias),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -30,7 +30,11 @@ from fifa_data_pipeline_spark.operators.multimodal import (
     encode_png,
 )
 from fifa_data_pipeline_spark.operators.pandas_ops import cogroup_asof_merge
-from fifa_data_pipeline_spark.operators.relational import keyset_page
+from fifa_data_pipeline_spark.operators.relational import (
+    assign_dense_ids,
+    keyset_page,
+    table_checksum,
+)
 from fifa_data_pipeline_spark.sources.io import read_table
 
 
@@ -72,6 +76,26 @@ def q_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free global ids over orders in o_orderkey order via the
+    range-partition + local-index + offset-join scheme — equal to
+    ``row_number() OVER (ORDER BY o_orderkey)`` (the oracle) but
+    never collapsing the table into one task."""
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    return assign_dense_ids(orders, ["o_orderkey"])
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row anti-entropy fingerprint of lineitem's key columns
+    (md5 fold XOR-combined + row count); the DuckDB twin reproduces
+    the fold bit-exactly, which IS the operator's use case: two
+    engines independently checksumming the same 100 TB table."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return table_checksum(
+        li, ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG encode → decode round-trip over the documents table; the
     decoded width/height/pixel-mean must equal what the generator
@@ -88,11 +112,34 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_png_decode": q_png_decode,
+    "q_dense_ids": q_dense_ids,
+    "q_table_checksum": q_table_checksum,
     "q_cogroup_asof": q_cogroup_asof,
     "q_keyset_page": q_keyset_page,
 }
 
+_CHECKSUM_FOLD = (
+    "list_reduce(list_transform(range(1, 16), "
+    "j -> CAST(strpos('0123456789abcdef', substr(md5(c), j, 1)) - 1 "
+    "AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
 ORACLES = {
+    "q_dense_ids": """
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
+                 AS row_id,
+               o_orderkey
+        FROM orders
+    """,
+    "q_table_checksum": f"""
+        SELECT bit_xor({_CHECKSUM_FOLD}) AS checksum,
+               COUNT(*) AS n_rows
+        FROM (SELECT concat_ws('|',
+                COALESCE(CAST(l_orderkey AS VARCHAR), '\u2400'),
+                COALESCE(CAST(l_linenumber AS VARCHAR), '\u2400'),
+                COALESCE(CAST(l_returnflag AS VARCHAR), '\u2400')) AS c
+              FROM lineitem)
+    """,
     "q_cogroup_asof": """
         WITH clicks AS (
           SELECT event_id, user_id, ts FROM events

@@ -106,3 +106,40 @@ def test_write_sharded_bounds_file_sizes(spark, sf_dir, tmp_path):
     assert sum(r["count"] for r in per_file) == 1000
     assert max(r["count"] for r in per_file) <= 100
     assert len(per_file) >= 10
+
+
+def test_dense_ids_are_gapfree_and_windowless(spark, sf_dir):
+    from fifa_data_pipeline_spark.operators.relational import (
+        assign_dense_ids,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    out = assign_dense_ids(orders, ["o_orderkey"], num_partitions=7)
+    rows = out.collect()
+    ids = sorted(r.row_id for r in rows)
+    assert ids == list(range(1, len(rows) + 1))
+    # ids follow the key order
+    by_key = sorted(rows, key=lambda r: r.o_orderkey)
+    assert [r.row_id for r in by_key] == ids
+    # the whole point: no global-sort window (1-task collapse)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan
+
+
+def test_table_checksum_order_insensitive_and_sensitive(spark):
+    from fifa_data_pipeline_spark.operators.relational import (
+        table_checksum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k long, v string"
+    )
+    base = table_checksum(df, ["k", "v"]).collect()[0]
+    shuffled = table_checksum(df.repartition(5), ["k", "v"]).collect()[0]
+    assert (base.checksum, base.n_rows) == (shuffled.checksum, 3)
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "x"), (3, "c")], "k long, v string"
+    )
+    assert table_checksum(changed, ["k", "v"]).collect()[0].checksum \
+        != base.checksum

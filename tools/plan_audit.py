@@ -35,6 +35,12 @@ BNLJ_ALLOWED = {
     "q_mixture_sample",  # hash threshold vs broadcast per-domain rates
     # genuine non-equi join against a bounded broadcast query batch
     "q_knn_exact",       # corpus x broadcast query vectors
+    # TPC-H scalar-subquery shapes: the HAVING/threshold comparison
+    # is pushed into a BNLJ whose broadcast side is a ONE-ROW
+    # aggregate (global total / avg) — bounded by construction
+    "q_tpch_q11",        # part_value > 0.0008 * one-row total
+    "q_tpch_q20",        # shipped qty > one-row half-average
+    "q_tpch_q22",        # acctbal > one-row positive-balance average
 }
 
 #: Queries allowed a CartesianProduct: none — a true cartesian on two
