@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 import datetime as _dt
 
+from fifa_data_pipeline_spark.operators.mv import (
+    build_events_mv,
+    rollup_from_mv,
+)
 from fifa_data_pipeline_spark.operators.multimodal import (
     decode_png,
     encode_png,
@@ -96,6 +100,28 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month × event_type aggregate answered FROM the day-grain MV
+    (two-level re-aggregation with AVG derived from the stored
+    sum/count pair); the oracle computes the same result directly on
+    the base events table, proving the rewrite algebra."""
+    ev = read_table(spark, sf_dir, "events")
+    mv = build_events_mv(ev)
+    monthly = rollup_from_mv(
+        mv.withColumn("day", F.date_trunc("month", "day").cast("date")),
+        ["day", "event_type"],
+    )
+    return monthly.select(
+        F.col("day").alias("month"),
+        "event_type",
+        "cnt",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG encode → decode round-trip over the documents table; the
     decoded width/height/pixel-mean must equal what the generator
@@ -113,6 +139,7 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_png_decode": q_png_decode,
     "q_dense_ids": q_dense_ids,
+    "q_mv_rollup": q_mv_rollup,
     "q_table_checksum": q_table_checksum,
     "q_cogroup_asof": q_cogroup_asof,
     "q_keyset_page": q_keyset_page,
@@ -125,6 +152,18 @@ _CHECKSUM_FOLD = (
 )
 
 ORACLES = {
+    "q_mv_rollup": """
+        SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE)
+                 AS month,
+               event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 4) AS sum_value,
+               ROUND(MIN(value), 6) AS min_value,
+               ROUND(MAX(value), 6) AS max_value,
+               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
     "q_dense_ids": """
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT)
                  AS row_id,

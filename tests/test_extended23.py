@@ -143,3 +143,48 @@ def test_table_checksum_order_insensitive_and_sensitive(spark):
     )
     assert table_checksum(changed, ["k", "v"]).collect()[0].checksum \
         != base.checksum
+
+
+def test_mv_rewrite_refuses_unknown_keys(spark, sf_dir):
+    import pytest as _pytest
+
+    from fifa_data_pipeline_spark.operators.mv import (
+        build_events_mv,
+        rollup_from_mv,
+    )
+
+    mv = build_events_mv(read_table(spark, sf_dir, "events"))
+    with _pytest.raises(ValueError, match="rewrite refused"):
+        rollup_from_mv(mv, ["user_id"])
+
+
+def test_publish_atomic_versions_and_survives_failed_publish(
+    spark, sf_dir, tmp_path
+):
+    from fifa_data_pipeline_spark.sources.io import (
+        publish_atomic,
+        read_published,
+    )
+
+    root = str(tmp_path / "pub")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    v1 = publish_atomic({"nation": nation, "region": region}, root)
+    assert v1 == 1
+    assert read_published(spark, root, "nation").count() == nation.count()
+
+    # v2 publish dies midway (second table explodes) -> pointer stays v1
+    class Boom:
+        @property
+        def write(self):
+            raise RuntimeError("disk full")
+
+    try:
+        publish_atomic({"nation": nation.limit(3), "bad": Boom()}, root)
+    except RuntimeError:
+        pass
+    assert read_published(spark, root, "nation").count() == nation.count()
+
+    v2 = publish_atomic({"nation": nation.limit(3), "region": region}, root)
+    assert v2 > v1
+    assert read_published(spark, root, "nation").count() == 3
