@@ -21,8 +21,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Knuth multiplicative hash constant — deterministic pseudo-values.
@@ -131,3 +133,83 @@ class SyntheticStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # nothing external to acknowledge for a synthetic feed
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITER (the third leg of the API: reader / stream reader / writer)
+# ---------------------------------------------------------------------------
+
+class JsonlSinkDataSource(DataSource):
+    """Pure-Python sink: JSONL files with a manifest-commit protocol.
+
+    Each task streams its partition to a uniquely-named
+    ``part-<partition>-<uuid>.jsonl`` and reports the file back as
+    its commit message; only when EVERY task succeeded does the
+    driver write ``_MANIFEST.json`` naming the committed files —
+    readers that honor the manifest never see a torn write, and
+    ``abort()`` removes the orphans of a failed job. This is the
+    same rename-free commit discipline object stores need (no
+    atomic directory rename at scale), in ~40 lines of Python.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, schema)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema) -> None:
+        self._path = options["path"]
+        self._fields = [f.name for f in schema.fields]
+
+    def write(self, rows: Iterator) -> "JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self._path, fname)
+        n = 0
+        with open(full, "w") as fh:
+            for row in rows:
+                fh.write(
+                    json.dumps(dict(zip(self._fields, row)), default=str)
+                )
+                fh.write("\n")
+                n += 1
+        return JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.file for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self._path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._path, m.file))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int) -> None:
+        self.file = file
+        self.rows = rows

@@ -157,3 +157,38 @@ def test_python_streaming_datasource_exactly_once_shape(spark, tmp_path):
     got = {(r.event_id, r.batch, round(r.value, 12)) for r in rows[5:]}
     ref = {(t[0], t[1], round(t[2], 12)) for t in replay}
     assert got == ref
+
+
+def test_python_datasource_writer_manifest_commit(spark, sf_dir, tmp_path):
+    """The Python Data Source WRITER leg: per-task JSONL files + a
+    driver-side manifest commit; the manifest row count equals the
+    input and every listed file exists."""
+    import json
+    import os
+
+    from fifa_data_pipeline_spark.sources.pydatasource import (
+        JsonlSinkDataSource,
+    )
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_out")
+    df = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select("n_nationkey", "n_name")
+        .repartition(4)
+    )
+    df.write.format("jsonl_sink").mode("append").option("path", out).save()
+
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["rows"] == df.count()
+    rows = []
+    for f in manifest["files"]:
+        p = os.path.join(out, f)
+        assert os.path.exists(p)
+        with open(p) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == manifest["rows"]
+    assert {r["n_name"] for r in rows} == {
+        r.n_name for r in df.collect()
+    }
