@@ -160,6 +160,13 @@ HEADLINE = [
     "q_tpch_q20",
     "q_tpch_q21",
     "q_tpch_q22",
+    # round-6 warehouse-engineering operators (extended23.py)
+    "q_keyset_page",
+    "q_mv_rollup",
+    "q_dense_ids",
+    "q_table_checksum",
+    # q_png_decode / q_cogroup_asof stay OUT of the headline with
+    # the other Python-eval paths (oracle-checked in the registry)
     "q_pipe_syntax",
     "q_param_sql",
     "q_session_dynamic_gap",

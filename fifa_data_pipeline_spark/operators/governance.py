@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -54,3 +54,80 @@ def k_anonymity_report(
         )
         .withColumn("at_risk", F.col("n") < F.lit(k))
     )
+
+
+def write_user_bucketed(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_buckets: int = 64,
+) -> None:
+    """Lay a table out for O(1/N) subject deletion: hive-partition by
+    ``pmod(xxhash64(key), n_buckets)`` so every subject's rows live
+    in exactly ONE partition directory. The bucket count trades
+    deletion cost (rewrite 1/N of the table per distinct bucket
+    touched) against small-file pressure — at 100 TB use enough
+    buckets that one bucket fits a rewrite job, not so many that
+    steady-state files go sub-row-group."""
+    (
+        df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)),
+        )
+        .write.mode("overwrite")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+
+
+def delete_subjects(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+    n_buckets: int = 64,
+) -> int:
+    """Right-to-be-forgotten delete over a :func:`write_user_bucketed`
+    table: compute the hash buckets of the requested keys, rewrite
+    ONLY those partition directories with the keys anti-joined out
+    (dynamic partition overwrite), and leave every other partition's
+    files physically untouched — the property the test pins via file
+    listing. Returns the number of partitions rewritten.
+
+    Scale: deleting any number of subjects costs
+    O(touched_buckets / n_buckets) of the table, not a full rewrite;
+    the keys ride along as a broadcast anti-join side."""
+    buckets = sorted(
+        {
+            r["__bucket"]
+            for r in spark.createDataFrame(
+                [(k,) for k in keys], f"{key_col} long"
+            )
+            .select(
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias(
+                    "__bucket"
+                )
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    if not buckets:
+        return 0
+    key_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in keys], f"{key_col} long")
+        .withColumnRenamed(key_col, "__del_key")
+    )
+    touched = spark.read.parquet(path).filter(
+        F.col("__bucket").isin(buckets)
+    )
+    kept = touched.join(
+        key_df, F.col(key_col) == F.col("__del_key"), "left_anti"
+    )
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__bucket")
+        .parquet(path)
+    )
+    return len(buckets)

@@ -563,3 +563,32 @@ def read_published(
     with open(os.path.join(root, "_CURRENT")) as fh:
         version = json.load(fh)["version"]
     return spark.read.parquet(os.path.join(root, f"v{version}", name))
+
+
+def cached_result(
+    spark: SparkSession, df: DataFrame, cache_root: str
+) -> tuple[DataFrame, bool]:
+    """Content-addressed query-result cache: the analyzed plan's
+    ``semanticHash`` keys a parquet directory under ``cache_root`` —
+    a hit swaps the whole computation for a scan of the cached
+    result, a miss computes once and populates. Returns
+    ``(result_df, was_hit)``.
+
+    ``semanticHash`` is stable across cosmetically-different but
+    semantically-equal plans (alias names, column order in
+    commutative ops), so two dashboards issuing the same logical
+    query share one cache entry. Invalidation is the caller's
+    problem (key the root per input snapshot/version — pair with
+    ``publish_atomic``'s version number); a result cache that
+    guesses at freshness is worse than none. The write itself is
+    atomic-by-rename per partition file plus parquet's _SUCCESS
+    marker; concurrent misses of the same key both compute and one
+    wins the rename — wasteful, never wrong."""
+    import os
+
+    key = f"{df.semanticHash() & 0xFFFFFFFF:08x}"
+    slot = os.path.join(cache_root, key)
+    if os.path.exists(os.path.join(slot, "_SUCCESS")):
+        return spark.read.parquet(slot), True
+    df.write.mode("overwrite").parquet(slot)
+    return spark.read.parquet(slot), False

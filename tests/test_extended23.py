@@ -188,3 +188,74 @@ def test_publish_atomic_versions_and_survives_failed_publish(
     v2 = publish_atomic({"nation": nation.limit(3), "region": region}, root)
     assert v2 > v1
     assert read_published(spark, root, "nation").count() == 3
+
+
+def test_delete_subjects_rewrites_only_touched_buckets(
+    spark, sf_dir, tmp_path
+):
+    import os
+
+    from fifa_data_pipeline_spark.operators.governance import (
+        delete_subjects,
+        write_user_bucketed,
+    )
+
+    path = str(tmp_path / "users")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    write_user_bucketed(ev, path, "user_id", n_buckets=8)
+
+    def file_map():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__bucket="):
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = file_map()
+    victims = [r.user_id for r in ev.select("user_id").distinct().limit(2).collect()]
+    n_rewritten = delete_subjects(spark, path, "user_id", victims, n_buckets=8)
+    assert 1 <= n_rewritten <= 2
+    after = file_map()
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id").isin(victims)).count() == 0
+    kept_expected = ev.filter(~F.col("user_id").isin(victims)).count()
+    assert back.count() == kept_expected
+    # untouched buckets: identical files, untouched mtimes
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(untouched) == len(before) - n_rewritten
+
+
+def test_cached_result_hits_on_semantically_equal_plan(
+    spark, sf_dir, tmp_path
+):
+    from fifa_data_pipeline_spark.sources.io import cached_result
+
+    root = str(tmp_path / "qcache")
+    q1 = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r1, hit1 = cached_result(spark, q1, root)
+    assert not hit1
+    # same semantics, rebuilt from scratch -> must HIT
+    q2 = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r2, hit2 = cached_result(spark, q2, root)
+    assert hit2
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    # a different query must MISS
+    q3 = q1.filter(F.col("n") > 0)
+    _, hit3 = cached_result(spark, q3, root)
+    assert not hit3
