@@ -192,3 +192,75 @@ def test_python_datasource_writer_manifest_commit(spark, sf_dir, tmp_path):
     assert {r["n_name"] for r in rows} == {
         r.n_name for r in df.collect()
     }
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Join-driven partition pruning: the fact is partitioned on the
+    join key and carries NO static filter — the dim side's filter
+    must reach the fact scan as a runtime `dynamicpruning` subquery.
+    At 100 TB this is the difference between scanning one date's
+    partitions and scanning the table."""
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    path = str(tmp_path / "li_part")
+    (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("R", "returned")], ["flag", "label"]
+    ).filter(F.col("label") == "returned")
+    joined = fact.join(
+        dim, fact.l_returnflag == dim.flag
+    ).groupBy("label").agg(F.sum("l_quantity").alias("q"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    assert joined.collect()[0]["label"] == "returned"
+
+
+def test_cbo_stats_reorder_joins_filtered_dim_first(spark, sf_dir):
+    """With ANALYZE'd stats + CBO join reorder, the written join
+    order (customer ⋈ orders, THEN the 1-row nation filter) is
+    rewritten to join the selective dim first — the reorder that
+    keeps a 100 TB intermediate from ever materializing."""
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    for t in ["customer", "orders", "nation"]:
+        read_table(spark, sf_dir, t).write.mode("overwrite").saveAsTable(
+            f"cbo_{t}"
+        )
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS")
+    try:
+        confs = {
+            "spark.sql.cbo.enabled": "true",
+            "spark.sql.cbo.joinReorder.enabled": "true",
+        }
+        old = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            df = spark.sql(
+                """
+                SELECT n_name, COUNT(*) AS n
+                FROM cbo_customer
+                JOIN cbo_orders ON o_custkey = c_custkey
+                JOIN cbo_nation ON c_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY n_name
+                """
+            )
+            txt = df._jdf.queryExecution().optimizedPlan().toString()
+            # left-deep reordered tree prints the first-joined (dim)
+            # relation before the demoted big side
+            assert txt.index("cbo_nation") < txt.index("cbo_orders")
+            assert df.collect()[0]["n"] > 0
+        finally:
+            for k, v in old.items():
+                spark.conf.set(k, v)
+    finally:
+        for t in ["customer", "orders", "nation"]:
+            spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
