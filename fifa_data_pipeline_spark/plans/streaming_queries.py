@@ -176,6 +176,36 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash near-dedup end-to-end: documents arrive in
+    micro-batches (maxFilesPerTrigger), each batch is LSH-banded and
+    checked against the persisted band table of previously-accepted
+    docs; the accepted corpus is returned. Representative-anchored
+    semantics (see stream_events.stream_near_dedup); invariants
+    pinned in test_streaming.py."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    base = _tf.mkdtemp(prefix="spark_graft_nd_")
+    src, bands_p, acc, ckpt = (
+        f"{base}/src", f"{base}/bands", f"{base}/accepted", f"{base}/ckpt"
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.stream_near_dedup(stream, bands_p, acc, ckpt)
+    return (
+        spark.read.parquet(acc)
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+
 # NOTE: stream_events.stream_running_totals_tws (the Spark-4
 # transformWithStateInPandas form) is implemented and unit-tested,
 # but NOT registered: its state-server protocol requires the
@@ -194,6 +224,7 @@ QUERIES = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_distinct": q_stream_distinct,
     "q_stream_cdc": q_stream_cdc,
+    "q_stream_neardedup": q_stream_neardedup,
 }
 
 ORACLES: dict[str, str] = {}

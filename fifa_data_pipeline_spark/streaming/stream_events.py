@@ -591,3 +591,122 @@ def stream_quarantine_late(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_near_dedup(
+    docs_stream: DataFrame,
+    bands_path: str,
+    accepted_path: str,
+    checkpoint_path: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> None:
+    """Streaming MinHash near-dedup: representative-anchored corpus
+    ingestion. Each micro-batch of documents is LSH-banded, docs
+    whose ANY band collides with the persisted band table of
+    previously-ACCEPTED docs are rejected, the batch's survivors are
+    component-reduced among themselves (band-sharing graph, min id
+    wins), and the winners' bands are appended to the band table.
+
+    Semantics (the standard streaming-dedup contract, documented
+    because it differs from offline global dedup): only
+    REPRESENTATIVES anchor future rejections — a doc that near-dups
+    a previously-rejected doc but not its representative is accepted.
+    Offline global dedup (``near_dedup_components``) would merge
+    those into one component; run it periodically as compaction if
+    transitive-closure semantics are required.
+
+    Scale: per batch, the history contributes ONLY its (band_id,
+    band_hash) pairs — a narrow semi-join probe, never the corpus
+    text; state grows O(accepted docs × bands). The band table is a
+    plain parquet append per batch; lead with a checkpointed source
+    so replays re-append identically (the semi-join makes replayed
+    appends no-ops for acceptance decisions)."""
+    from fifa_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_buckets,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        buckets = minhash_buckets(
+            batch_df, "doc_id", "text", n_hashes, bands, k
+        )
+        import os
+
+        # existence probe instead of read-and-catch: Spark logs a
+        # noisy stack trace for a missing path even when caught
+        seen = (
+            spark.read.parquet(bands_path)
+            if os.path.exists(bands_path)
+            else None
+        )
+        if seen is not None:
+            hit = (
+                buckets.join(
+                    seen.select("band_id", "band_hash").distinct(),
+                    ["band_id", "band_hash"],
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            fresh_ids = (
+                batch_df.select("doc_id")
+                .join(hit, "doc_id", "left_anti")
+            )
+        else:
+            fresh_ids = batch_df.select("doc_id")
+        fresh_buckets = buckets.join(
+            F.broadcast(fresh_ids), "doc_id", "left_semi"
+        ).cache()
+        # within-batch transitive reduction: docs sharing a band form
+        # an edge; keep each component's min doc_id
+        pairs = (
+            fresh_buckets.alias("a")
+            .join(
+                fresh_buckets.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("src"),
+                F.col("b.doc_id").alias("dst"),
+            )
+            .distinct()
+        )
+        # min-label propagation: each node's label converges to the
+        # min reachable id, so component winners are node == label;
+        # isolated docs never appear in the edge set and win by
+        # default (anti-join against the losers)
+        comp = connected_components(pairs, "src", "dst")
+        losers = comp.filter(F.col("node") != F.col("label")).select(
+            F.col("node").alias("doc_id")
+        )
+        winners = fresh_ids.join(
+            F.broadcast(losers), "doc_id", "left_anti"
+        )
+        accepted = batch_df.join(
+            F.broadcast(winners), "doc_id", "left_semi"
+        )
+        accepted.write.mode("append").parquet(accepted_path)
+        (
+            fresh_buckets.join(F.broadcast(winners), "doc_id", "left_semi")
+            .select("band_id", "band_hash")
+            .distinct()
+            .write.mode("append")
+            .parquet(bands_path)
+        )
+        fresh_buckets.unpersist()
+
+    q = (
+        docs_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -579,3 +579,63 @@ def test_stream_quarantine_late_routes_dead_letters(spark, tmp_path):
             tzinfo=dt.timezone.utc
         ).timestamp()
     )
+
+
+def test_stream_near_dedup_invariants_and_batch_split_stability(
+    spark, tmp_path
+):
+    """Streaming near-dedup: (a) accepted docs never share an LSH
+    band; (b) exact duplicate texts are always collapsed to one
+    survivor; (c) the wave split does not change the outcome when
+    ids arrive in order (min-id representatives are wave-stable)."""
+    from fifa_data_pipeline_spark.operators.dedup import minhash_buckets
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),  # near dup of 1
+        (5, "yet another unrelated text mentioning databases only"),
+        (6, "a completely different document about spark engines!"),  # near dup of 3
+    ]
+
+    def run(split_at: int, tag: str) -> set:
+        base = tmp_path / tag
+        src = str(base / "src")
+        df1 = spark.createDataFrame(texts[:split_at], ["doc_id", "text"])
+        df2 = spark.createDataFrame(texts[split_at:], ["doc_id", "text"])
+        df1.coalesce(1).write.mode("overwrite").parquet(src)
+        df2.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        S.stream_near_dedup(
+            stream,
+            str(base / "bands"),
+            str(base / "acc"),
+            str(base / "ckpt"),
+        )
+        return {
+            r.doc_id for r in spark.read.parquet(str(base / "acc")).collect()
+        }
+
+    acc = run(3, "a")
+    assert 2 not in acc          # exact dup rejected
+    assert 1 in acc and 3 in acc and 5 in acc
+    # (a) accepted docs pairwise share no band
+    docs = spark.createDataFrame(
+        [t for t in texts if t[0] in acc], ["doc_id", "text"]
+    )
+    b = minhash_buckets(docs)
+    dup_bands = (
+        b.groupBy("band_id", "band_hash")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup_bands == 0
+    # (c) different wave split, same outcome (ordered arrival)
+    assert run(4, "b") == acc
