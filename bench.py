@@ -163,6 +163,7 @@ HEADLINE = [
     # round-6 warehouse-engineering operators (extended23.py)
     "q_keyset_page",
     "q_mv_rollup",
+    "q_sql_inference",
     "q_dense_ids",
     "q_table_checksum",
     # q_png_decode / q_cogroup_asof stay OUT of the headline with

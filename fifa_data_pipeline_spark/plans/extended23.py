@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 import datetime as _dt
 
+from fifa_data_pipeline_spark.operators.mlsql import (
+    logistic_to_column,
+    tree_to_column,
+)
 from fifa_data_pipeline_spark.operators.mv import (
     build_events_mv,
     rollup_from_mv,
@@ -122,6 +126,40 @@ def q_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A hand-trained toy return-risk model over lineitem features —
+#: the spec shape an artifact store would hand a scoring job.
+RISK_TREE = {
+    "feat": "l_discount", "thr": 0.05,
+    "lo": {
+        "feat": "l_quantity", "thr": 25.0,
+        "lo": {"leaf": 0.1}, "hi": {"leaf": 0.4},
+    },
+    "hi": {
+        "feat": "l_extendedprice", "thr": 30000.0,
+        "lo": {"leaf": 0.6}, "hi": {"leaf": 0.9},
+    },
+}
+RISK_LOGIT = ({"l_quantity": 0.03, "l_discount": -8.0}, -0.5)
+
+
+def q_sql_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model scoring compiled to pure Catalyst expressions
+    (tree → nested CASE, logistic → sigmoid of a dot product): one
+    scan, one aggregate, zero Python. The oracle re-implements both
+    models in SQL — matching hashes prove the compilation is exact,
+    not approximate."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w, b = RISK_LOGIT
+    scored = li.select(
+        tree_to_column(RISK_TREE).alias("tree_score"),
+        F.round(logistic_to_column(w, b), 6).alias("logit_prob"),
+    )
+    return scored.groupBy("tree_score").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("logit_prob"), 6).alias("avg_prob"),
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG encode → decode round-trip over the documents table; the
     decoded width/height/pixel-mean must equal what the generator
@@ -140,6 +178,7 @@ QUERIES = {
     "q_png_decode": q_png_decode,
     "q_dense_ids": q_dense_ids,
     "q_mv_rollup": q_mv_rollup,
+    "q_sql_inference": q_sql_inference,
     "q_table_checksum": q_table_checksum,
     "q_cogroup_asof": q_cogroup_asof,
     "q_keyset_page": q_keyset_page,
@@ -152,6 +191,22 @@ _CHECKSUM_FOLD = (
 )
 
 ORACLES = {
+    "q_sql_inference": """
+        WITH scored AS (
+          SELECT CASE WHEN l_discount <= 0.05 THEN
+                   CASE WHEN l_quantity <= 25.0 THEN 0.1 ELSE 0.4 END
+                 ELSE
+                   CASE WHEN l_extendedprice <= 30000.0 THEN 0.6
+                        ELSE 0.9 END
+                 END AS tree_score,
+                 ROUND(1.0 / (1.0 + EXP(-(-0.5 + 0.03 * l_quantity
+                                          - 8.0 * l_discount))), 6)
+                   AS logit_prob
+          FROM lineitem)
+        SELECT tree_score, COUNT(*) AS n,
+               ROUND(AVG(logit_prob), 6) AS avg_prob
+        FROM scored GROUP BY tree_score
+    """,
     "q_mv_rollup": """
         SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE)
                  AS month,

@@ -259,3 +259,30 @@ def test_cached_result_hits_on_semantically_equal_plan(
     q3 = q1.filter(F.col("n") > 0)
     _, hit3 = cached_result(spark, q3, root)
     assert not hit3
+
+
+def test_sql_inference_stays_in_codegen(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended23 import q_sql_inference
+
+    df = q_sql_inference(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan so codegen spans print
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the whole model is a fused projection: no Python evaluator of
+    # any kind, and the scan + score + partial agg share a codegen span
+    assert "Python" not in plan and "Arrow" not in plan
+    # "*(n)" prefixes are the WholeStageCodegen span markers in the
+    # compact plan string
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_forest_to_column_adds_members(spark):
+    from fifa_data_pipeline_spark.operators.mlsql import forest_to_column
+
+    stump = lambda thr, lo, hi: {
+        "feat": "x", "thr": thr, "lo": {"leaf": lo}, "hi": {"leaf": hi}
+    }
+    df = spark.createDataFrame([(1.0,), (5.0,)], ["x"])
+    out = df.select(
+        forest_to_column([stump(2, 1, 10), stump(4, 100, 1000)]).alias("s")
+    ).collect()
+    assert [r.s for r in out] == [101.0, 1010.0]
