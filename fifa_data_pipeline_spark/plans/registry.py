@@ -109,9 +109,10 @@ _WINDOW = [
     # q_rollup — one Expand-based representative suffices here)
     "q_rollup", "q_percentiles",
     "q_stats_agg", "q_gini",
-    # windows / time series
+    # windows / time series (q_ewma rotated out r6 for the TPC-H Q1
+    # map-side-combine representative; still locally gated)
     "q_window_funcs", "q_window_tumbling",
-    "q_sessionize", "q_ewma",
+    "q_sessionize", "q_tpch_q1",
     # warehouse patterns
     "q_scd2", "q_cohort_retention", "q_dq_checks",
     # analytics / experimentation (round 4)
@@ -128,11 +129,14 @@ _WINDOW = [
     "q_dedup_exact", "q_clean_corpus", "q_doc_similarity",
     "q_minhash_pairs", "q_near_dedup", "q_dedup_cc",
     "q_jaccard_prefix", "q_dup_chains",
-    # vectors / interop (pandas grouped-map + Arrow grouped-map)
+    # vectors / interop (q_label_moments rotated out r6 — q_zscore
+    # already covers grouped-map interop; still locally gated)
     "q_zscore", "q_knn_exact", "q_knn_lsh", "q_embed_near_dup",
-    "q_label_moments",
-    # multimodal plumbing
-    "q_multimodal_features", "q_frame_sample",
+    # model scoring compiled to pure Catalyst expressions (r6)
+    "q_sql_inference",
+    # multimodal: the REAL codec path replaces the fake-kernel demo
+    # (q_frame_sample still locally gated)
+    "q_multimodal_features", "q_png_decode",
 ]
 
 
