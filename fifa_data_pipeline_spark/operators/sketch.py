@@ -127,23 +127,42 @@ def heavy_hitters_exact(
 # Count-min sketch (deterministic md5 hash family)
 # ---------------------------------------------------------------------------
 
-def _cms_fold_spark(key_expr: str, d: int) -> str:
-    """Spark SQL: 60-bit md5 fold of ``'<d>:' || key`` (the engine's
-    portable hash — same construction as hash_split/spatial grid)."""
-    s = f"concat('{d}:', {key_expr})"
+def _cms_fold_spark(key_expr: str) -> str:
+    """Spark SQL: ONE 60-bit md5 fold of the key (the engine's
+    portable hash — same construction as hash_split/spatial grid).
+    All ``depth`` bucket indices derive from disjoint 10-bit slices
+    of this single fold — the md5-per-(depth × row) variant cost
+    d× the per-row hash work for identical CMS guarantees
+    (est ≥ true holds for ANY hash family; the slices of one strong
+    hash are the standard cheap stand-in for d independent hashes)."""
     return (
-        f"CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+        f"CAST(conv(substring(md5({key_expr}), 1, 15), 16, 10) AS BIGINT)"
     )
 
 
-def _cms_fold_duckdb(key_expr: str, d: int) -> str:
+def _cms_fold_duckdb(key_expr: str) -> str:
     """DuckDB twin of :func:`_cms_fold_spark`."""
-    s = f"'{d}:' || {key_expr}"
     return (
         "list_reduce(list_transform(range(1, 16), "
         "j -> CAST(strpos('0123456789abcdef', "
-        f"substr(md5({s}), j, 1)) - 1 AS BIGINT)), "
+        f"substr(md5({key_expr}), j, 1)) - 1 AS BIGINT)), "
         "(a, b) -> a * 16 + b)"
+    )
+
+
+def _cms_buckets(key_col: str, depth: int, width: int):
+    """Array of per-depth bucket indices sliced from ONE shared fold:
+    the three expression trees are IDENTICAL below the div, so
+    whole-stage-codegen's common-subexpression elimination computes
+    the md5 once per row (the old per-depth salt defeated CSE by
+    construction). Wall clock at sf0.1 is tokenization-bound either
+    way; the win is per-row hash work at scale."""
+    fold = _cms_fold_spark(key_col)
+    return F.array(
+        *[
+            F.expr(f"({fold}) div {width ** d} % {width}")
+            for d in range(depth)
+        ]
     )
 
 
@@ -170,14 +189,9 @@ def cms_build(
     """
     from fifa_data_pipeline_spark.operators.util import exploded
 
-    buckets = F.array(
-        *[
-            F.expr(f"{_cms_fold_spark(key_col, d)} % {width}")
-            for d in range(depth)
-        ]
-    )
     return (
-        exploded(items, buckets, "bucket", pos_alias="d")
+        exploded(items, _cms_buckets(key_col, depth, width), "bucket",
+                 pos_alias="d")
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -200,14 +214,11 @@ def cms_estimate(
     is ≤ depth×width rows → also broadcast-sized. No wide shuffle at
     any scale.
     """
-    buckets = F.array(
-        *[
-            F.expr(f"{_cms_fold_spark(key_col, d)} % {width}")
-            for d in range(depth)
-        ]
-    )
     probe_cells = probes.select(
-        F.col(key_col), F.posexplode(buckets).alias("d", "bucket")
+        F.col(key_col),
+        F.posexplode(_cms_buckets(key_col, depth, width)).alias(
+            "d", "bucket"
+        ),
     )
     return (
         probe_cells.join(F.broadcast(cms), ["d", "bucket"], "left")

@@ -28,11 +28,12 @@ CMS_PROBES = ["join", "hash", "spark", "window", "zzz_absent"]
 CMS_DEPTH = 3
 CMS_WIDTH = 1024
 
-#: DuckDB md5 fold with the depth salt as a COLUMN (d from range()).
-_FOLD_D = (
+#: DuckDB twin of the engine's single shared md5 fold; per-depth
+#: buckets are disjoint 10-bit slices (fold // width^d % width).
+_FOLD = (
     "list_reduce(list_transform(range(1, 16), "
     "j -> CAST(strpos('0123456789abcdef', "
-    "substr(md5(CAST(d AS VARCHAR) || ':' || token), j, 1)) - 1 "
+    "substr(md5(token), j, 1)) - 1 "
     "AS BIGINT)), (a, b) -> a * 16 + b)"
 )
 
@@ -93,11 +94,15 @@ ORACLES = {
           FROM documents
         ), cells AS (
           SELECT d, bucket, COUNT(*) AS cnt FROM (
-            SELECT r.d AS d, ({_FOLD_D}) % {CMS_WIDTH} AS bucket
+            SELECT r.d AS d,
+                   (({_FOLD}) // CAST(pow({CMS_WIDTH}, r.d) AS BIGINT))
+                     % {CMS_WIDTH} AS bucket
             FROM toks, range(0, {CMS_DEPTH}) r(d)
           ) GROUP BY 1, 2
         ), probe_cells AS (
-          SELECT token, r.d AS d, ({_FOLD_D}) % {CMS_WIDTH} AS bucket
+          SELECT token, r.d AS d,
+                 (({_FOLD}) // CAST(pow({CMS_WIDTH}, r.d) AS BIGINT))
+                   % {CMS_WIDTH} AS bucket
           FROM (VALUES {_PROBE_VALUES}) p(token), range(0, {CMS_DEPTH}) r(d)
         ), est AS (
           SELECT token, MIN(COALESCE(cnt, 0)) AS est
