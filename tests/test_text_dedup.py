@@ -113,3 +113,62 @@ def test_near_dedup_components_keeps_one_per_chain(spark):
     # nothing extra here, but on a-b-c with only (a,b),(b,c) pairs the
     # greedy form keeps c's twin a AND c; CC keeps exactly one)
     assert kept == [1, 10, 99]
+
+
+def test_minhash_pairs_cross_validated_against_pyspark_ml(spark, sf_dir):
+    """External validation: the engine's banded-MinHash + exact
+    Jaccard verify finds the SAME near-dup pair set as pyspark.ml's
+    MinHashLSH.approxSimilarityJoin at the same threshold over the
+    same 3-token shingles (SURVEY §2.6 named the ml primitive as the
+    candidate mapping; the custom operator must not diverge from it)."""
+    import pyspark.sql.functions as F
+    from pyspark.ml.feature import (
+        CountVectorizer,
+        MinHashLSH,
+        NGram,
+        RegexTokenizer,
+    )
+
+    from fifa_data_pipeline_spark.operators.dedup import (
+        jaccard_verify_pairs,
+        minhash_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    stages = RegexTokenizer(
+        inputCol="text", outputCol="toks", pattern="\\s+"
+    ).transform(docs)
+    stages = NGram(n=3, inputCol="toks", outputCol="shingles").transform(
+        stages
+    )
+    model = CountVectorizer(
+        inputCol="shingles", outputCol="vec", binary=True
+    ).fit(stages)
+    vecs = model.transform(stages).filter(F.size("shingles") >= 1)
+    mh = MinHashLSH(
+        inputCol="vec", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(vecs)
+    ml_pairs = {
+        (r.id_a, r.id_b): r.jac
+        for r in (
+            mh.approxSimilarityJoin(vecs, vecs, 0.2, distCol="dist")
+            .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+            .select(
+                F.col("datasetA.doc_id").alias("id_a"),
+                F.col("datasetB.doc_id").alias("id_b"),
+                (1 - F.col("dist")).alias("jac"),
+            )
+            .collect()
+        )
+    }
+    ours = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify_pairs(
+            docs, minhash_candidate_pairs(docs)
+        ).collect()
+    }
+    assert set(ours) == set(ml_pairs)
+    for pair, jac in ours.items():
+        assert abs(jac - ml_pairs[pair]) < 0.05
