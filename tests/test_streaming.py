@@ -639,3 +639,28 @@ def test_stream_near_dedup_invariants_and_batch_split_stability(
     assert dup_bands == 0
     # (c) different wave split, same outcome (ordered arrival)
     assert run(4, "b") == acc
+
+
+def test_stream_interval_join_full_outer(spark, events_dir):
+    """full_outer stream-stream interval join: BOTH directions emit
+    null-padded rows once the watermark clears their window — lefts
+    with no partner AND rights whose events never preceded a left."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = S.read_event_stream(spark, events_dir, schema)
+    joined = S.stream_interval_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "view"),
+        how="full_outer",
+    )
+    S.run_to_memory(joined, "t_ivjoin_fo", "append")
+    rows = spark.sql("SELECT * FROM t_ivjoin_fo").collect()
+    left_null = [r for r in rows if r.l_event_id is None]
+    right_null = [r for r in rows if r.r_event_id is None]
+    both = [r for r in rows
+            if r.l_event_id is not None and r.r_event_id is not None]
+    assert both, "inner matches must still appear"
+    # full outer must pad BOTH sides somewhere in this data
+    assert left_null and right_null
+    # a padded row carries the surviving side's key
+    assert all(r.r_event_id is not None for r in left_null)
+    assert all(r.l_event_id is not None for r in right_null)
