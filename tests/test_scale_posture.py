@@ -264,3 +264,20 @@ def test_cbo_stats_reorder_joins_filtered_dim_first(spark, sf_dir):
     finally:
         for t in ["customer", "orders", "nation"]:
             spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+
+
+def test_suggest_shuffle_partitions_sizing_rule():
+    from fifa_data_pipeline_spark.session import (
+        default_parallelism,
+        suggest_shuffle_partitions,
+    )
+
+    # tiny input floors at the core count
+    assert suggest_shuffle_partitions(10 * 1024) == default_parallelism()
+    # 1 TB parquet at 3x expansion / 128 MB targets -> ~24576 parts
+    one_tb = 1024 ** 4
+    assert suggest_shuffle_partitions(one_tb) == 24576
+    # halving the target doubles the count (monotone in both knobs)
+    assert suggest_shuffle_partitions(
+        one_tb, target_partition_bytes=64 * 1024 * 1024
+    ) == 49152
