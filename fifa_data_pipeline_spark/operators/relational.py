@@ -835,9 +835,12 @@ def bloom_pruned_semi_join(
     def positions(key_expr: str):
         from fifa_data_pipeline_spark.operators.sketch import _cms_fold_spark
 
-        folded = f"CAST({key_expr} AS STRING)"
+        # n bit positions sliced from ONE shared md5 fold (identical
+        # subtrees -> codegen CSE computes the hash once per row);
+        # any hash family preserves the no-false-negative guarantee
+        fold = _cms_fold_spark(f"CAST({key_expr} AS STRING)")
         return [
-            F.expr(f"{_cms_fold_spark(folded, j)} % {m}")
+            F.expr(f"({fold}) div {m ** j} % {m}")
             for j in range(n_hashes)
         ]
 

@@ -88,9 +88,9 @@ def test_bloom_prune_actually_prunes(spark, sf_dir):
     )
 
     def positions(df, key):
-        key_s = f"CAST({key} AS STRING)"
+        fold = _cms_fold_spark(f"CAST({key} AS STRING)")
         return [
-            F.expr(f"{_cms_fold_spark(key_s, j)} % {m}")
+            F.expr(f"({fold}) div {m ** j} % {m}")
             for j in range(n_hashes)
         ]
 

@@ -29,3 +29,31 @@ def test_headline_plan_is_scale_clean(name, spark, sf_dir):
         assert not a["bnlj"], f"{name}: conditioned BNLJ in plan"
     if name not in PY_UDF_ALLOWED:
         assert not a["py_udf"], f"{name}: row-at-a-time Python UDF"
+
+
+def test_exchange_counts_pinned(spark, sf_dir):
+    """Shuffle-count regression net: every headline query's physical
+    plan must contain EXACTLY the number of Exchange operators it had
+    when its shape was last reviewed (tools/plan_pins.json). A diff
+    here is not necessarily a bug — a deliberate plan improvement
+    updates the pin — but an ACCIDENTAL extra shuffle in a refactor
+    is exactly what this catches. Regenerate pins with the snippet in
+    the file's git history / SCALE.md."""
+    import json
+    import os
+
+    pins_path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "plan_pins.json"
+    )
+    with open(pins_path) as fh:
+        pins = json.load(fh)
+    diffs = {}
+    for name, expected in pins.items():
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        got = audit_plan(plan)["exchanges"]
+        if got != expected:
+            diffs[name] = (expected, got)
+    assert not diffs, f"exchange-count drift (expected, got): {diffs}"

@@ -624,6 +624,22 @@ def test_stream_near_dedup_invariants_and_batch_split_stability(
 
     acc = run(3, "a")
     assert 2 not in acc          # exact dup rejected
+    # replay with the SAME checkpoint: availableNow sees nothing new,
+    # the accepted corpus must not grow (exactly-once end-to-end)
+    base = tmp_path / "a"
+    schema2 = spark.read.parquet(str(base / "src")).schema
+    S.stream_near_dedup(
+        spark.readStream.schema(schema2)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base / "src")),
+        str(base / "bands"),
+        str(base / "acc"),
+        str(base / "ckpt"),
+    )
+    replay = {
+        r.doc_id for r in spark.read.parquet(str(base / "acc")).collect()
+    }
+    assert replay == acc
     assert 1 in acc and 3 in acc and 5 in acc
     # (a) accepted docs pairwise share no band
     docs = spark.createDataFrame(
