@@ -5,6 +5,8 @@ optimized plan, the same way the bucketing/pushdown tests do."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -281,3 +283,30 @@ def test_suggest_shuffle_partitions_sizing_rule():
     assert suggest_shuffle_partitions(
         one_tb, target_partition_bytes=64 * 1024 * 1024
     ) == 49152
+
+
+def test_nested_struct_column_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """Nested-schema pruning: selecting one leaf of a struct column
+    must narrow the parquet ReadSchema to that leaf — at 100 TB with
+    wide metadata structs, reading `meta.width` must not drag the
+    whole struct (or the payload sibling) off disk."""
+    from fifa_data_pipeline_spark.operators.multimodal import (
+        attach_payload,
+    )
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    path = str(tmp_path / "media")
+    attach_payload(read_table(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path).select(
+        "doc_id", F.col("meta.width").alias("w")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "width" in schema
+    # siblings pruned: neither the binary payload nor other struct
+    # leaves reach the scan
+    assert "payload" not in schema and "media_format" not in schema
