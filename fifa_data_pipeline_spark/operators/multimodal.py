@@ -2,10 +2,12 @@
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
 The Spark-side design is the real thing — schema, partitioning, UDF
-signature, batch shape. The actual image/audio codecs are NOT in this
-container, so the decode kernels are deterministic fakes (clearly
-marked) behind the same interface; swap ``_fake_decode_batch`` for a
-PIL/torchaudio kernel and nothing else changes.
+signature, batch shape. Two formats have REAL stdlib codecs (PNG via
+zlib/struct, WAV via wave — encode AND decode, oracle-checked);
+formats needing external libs (JPEG/WebP/video) keep deterministic
+fake kernels (clearly marked) behind the same interface — swap
+``_fake_decode_batch`` for a PIL/torchaudio kernel and nothing else
+changes.
 
 Scale notes: payload bytes ride through the plan as parquet BINARY —
 never materialized driver-side; ``mapInPandas`` streams Arrow record
@@ -350,3 +352,115 @@ def pool_bytes(
             )
 
     return df.select(id_col, "payload").mapInPandas(run, POOL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real WAV codec — stdlib only (wave + struct + numpy), no torchaudio.
+#
+# 16-bit mono PCM with deterministic samples
+# sample(k) = amp(doc_id) * ((k % 256) - 128), so decoded statistics
+# (duration, RMS energy) are predictable in closed form by the
+# oracle — the audio twin of the PNG path above.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_width", T.IntegerType()),
+        T.StructField("frame_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def wav_params(doc_id: int) -> tuple[int, int]:
+    """Deterministic (n_frames, amplitude) for a doc id."""
+    return (doc_id % 20 + 1) * 160, doc_id % 8 + 1
+
+
+def _encode_wav_bytes(doc_id: int) -> bytes:
+    """Render a valid 16-bit mono PCM WAV for one doc id."""
+    import io
+    import wave
+
+    import numpy as np
+
+    n, amp = wav_params(doc_id)
+    samples = (
+        amp * ((np.arange(n, dtype=np.int64) % 256) - 128)
+    ).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav_bytes(buf: bytes) -> tuple[int, int, int, int, float]:
+    """Parse one WAV (RIFF container walk via the stdlib codec) and
+    return (n_channels, sample_width, frame_rate, n_frames, rms)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        nch, width, rate, n = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(n)
+    if width != 2 or nch != 1:
+        raise ValueError("only 16-bit mono supported by this decoder")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    return nch, width, rate, n, float(np.sqrt((x * x).mean()))
+
+
+def encode_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Render a WAV per row via ``mapInPandas`` (same streaming-batch
+    contract as :func:`encode_png`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "wav": [
+                        _encode_wav_bytes(int(i)) for i in pdf[id_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        run, "doc_id long, wav binary"
+    )
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads to typed audio stats via ``mapInPandas`` —
+    real RIFF parsing + PCM extraction; raw samples die inside the
+    kernel, only the stats leave (the same never-shuffle-pixels rule
+    as :func:`decode_png`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_decode_wav_bytes(b) for b in pdf["wav"]]
+            res = pd.DataFrame(
+                out,
+                columns=[
+                    "n_channels", "sample_width", "frame_rate",
+                    "n_frames", "rms",
+                ],
+            )
+            res.insert(0, "doc_id", pdf["doc_id"].values)
+            yield res
+
+    return df.mapInPandas(run, WAV_STATS_SCHEMA)

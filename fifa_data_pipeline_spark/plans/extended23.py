@@ -35,7 +35,9 @@ from fifa_data_pipeline_spark.operators.mv import (
 )
 from fifa_data_pipeline_spark.operators.multimodal import (
     decode_png,
+    decode_wav,
     encode_png,
+    encode_wav,
 )
 from fifa_data_pipeline_spark.operators.pandas_ops import cogroup_asof_merge
 from fifa_data_pipeline_spark.operators.relational import (
@@ -174,8 +176,23 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV encode → decode round-trip (stdlib RIFF/PCM codec): the
+    decoded frame count and RMS energy must equal the closed-form
+    prediction from the sample formula amp * ((k % 256) - 128) —
+    the audio twin of q_png_decode."""
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_wav(encode_wav(docs)).select(
+        "doc_id",
+        "frame_rate",
+        "n_frames",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 QUERIES = {
     "q_png_decode": q_png_decode,
+    "q_wav_decode": q_wav_decode,
     "q_dense_ids": q_dense_ids,
     "q_mv_rollup": q_mv_rollup,
     "q_sql_inference": q_sql_inference,
@@ -190,7 +207,27 @@ _CHECKSUM_FOLD = (
     "AS BIGINT)), (a, b) -> a * 16 + b)"
 )
 
+#: Σ_{j=0}^{r-1} (j-128)² in closed form (see test for derivation).
+_SSQ = "((r - 1) * r * (2 * r - 1) // 6 - 128 * r * (r - 1) + 16384 * r)"
+
 ORACLES = {
+    "q_wav_decode": f"""
+        WITH params AS (
+          SELECT doc_id,
+                 CAST((doc_id % 20 + 1) * 160 AS BIGINT) AS n,
+                 CAST(doc_id % 8 + 1 AS BIGINT) AS amp
+          FROM documents),
+        split AS (
+          SELECT *, n // 256 AS q, n % 256 AS rem FROM params),
+        sums AS (
+          SELECT *,
+                 q * (SELECT {_SSQ} FROM (SELECT 256 AS r))
+                 + (SELECT {_SSQ} FROM (SELECT split.rem AS r)) AS total
+          FROM split)
+        SELECT doc_id, 8000 AS frame_rate, n AS n_frames,
+               ROUND(amp * sqrt(CAST(total AS DOUBLE) / n), 6) AS rms
+        FROM sums
+    """,
     "q_sql_inference": """
         WITH scored AS (
           SELECT CASE WHEN l_discount <= 0.05 THEN
