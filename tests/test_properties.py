@@ -247,3 +247,67 @@ def test_heavy_hitters_equals_bruteforce_model(spark, toks, k):
         (t, c) for t, c in Counter(toks).items() if c * (k + 1) > n
     }
     assert got == model
+
+
+# ---- round-6 operators ------------------------------------------
+
+keys_strategy = st.lists(
+    st.integers(min_value=-1000, max_value=1000),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(keys=keys_strategy, n=st.integers(min_value=1, max_value=10))
+@settings(**SETTINGS)
+def test_keyset_pagination_walk_recovers_sorted_order(spark, keys, n):
+    """Walking pages of size n from cursor=None reconstructs exactly
+    the sorted key list, for ANY key set and page size."""
+    from fifa_data_pipeline_spark.operators.relational import keyset_page
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    walked, cursor = [], None
+    for _ in range(len(keys) // n + 2):
+        page = keyset_page(df, ["k"], cursor, n).collect()
+        if not page:
+            break
+        walked += [r.k for r in page]
+        cursor = [page[-1].k]
+    assert walked == sorted(keys)
+
+
+@given(keys=keys_strategy)
+@settings(**SETTINGS)
+def test_dense_ids_match_rank_for_any_input(spark, keys):
+    from fifa_data_pipeline_spark.operators.relational import (
+        assign_dense_ids,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = assign_dense_ids(df, ["k"], num_partitions=4).collect()
+    got = {r.k: r.row_id for r in out}
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),
+            st.one_of(st.none(), st.text(max_size=4)),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_table_checksum_is_permutation_invariant(spark, rows):
+    from fifa_data_pipeline_spark.operators.relational import (
+        table_checksum,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v string")
+    a = table_checksum(df, ["k", "v"]).collect()[0]
+    b = table_checksum(df.repartition(3), ["k", "v"]).collect()[0]
+    assert (a.checksum, a.n_rows) == (b.checksum, b.n_rows)
