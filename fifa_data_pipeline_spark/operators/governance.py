@@ -97,13 +97,21 @@ def delete_subjects(
     Scale: deleting any number of subjects costs
     O(touched_buckets / n_buckets) of the table, not a full rewrite;
     the keys ride along as a broadcast anti-join side."""
+    if not keys:
+        return 0
+    table = spark.read.parquet(path)
+    # build the key frame with the TABLE's key type (hardcoding long
+    # would hash-mismatch string/decimal subject keys — same class of
+    # bug as ADVICE r1 on grouped_zscore)
+    key_type = table.schema[key_col].dataType
+    from pyspark.sql import types as _T
+
+    key_schema = _T.StructType([_T.StructField(key_col, key_type)])
+    key_frame = spark.createDataFrame([(k,) for k in keys], key_schema)
     buckets = sorted(
         {
             r["__bucket"]
-            for r in spark.createDataFrame(
-                [(k,) for k in keys], f"{key_col} long"
-            )
-            .select(
+            for r in key_frame.select(
                 F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias(
                     "__bucket"
                 )
@@ -112,15 +120,10 @@ def delete_subjects(
             .collect()
         }
     )
-    if not buckets:
-        return 0
     key_df = F.broadcast(
-        spark.createDataFrame([(k,) for k in keys], f"{key_col} long")
-        .withColumnRenamed(key_col, "__del_key")
+        key_frame.withColumnRenamed(key_col, "__del_key")
     )
-    touched = spark.read.parquet(path).filter(
-        F.col("__bucket").isin(buckets)
-    )
+    touched = table.filter(F.col("__bucket").isin(buckets))
     kept = touched.join(
         key_df, F.col(key_col) == F.col("__del_key"), "left_anti"
     )

@@ -929,6 +929,11 @@ def assign_dense_ids(
     ``order_cols`` must be a unique key: range-partition bounds may
     split ties across partitions, which would make ids of tied rows
     depend on placement.
+
+    Lifecycle: the pin stays cached until the caller materializes the
+    result and calls ``spark.catalog.clearCache()`` (or unpersists) —
+    unpersisting before the final action would recompute the layout
+    and break id/offset agreement.
     """
     part = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in order_cols]
@@ -981,13 +986,16 @@ def table_checksum(
     partitions, files, or clusters for free; a count rides along
     because XOR alone cannot see row multiplicity changes of even
     degree). Engine-portable: the DuckDB twin reproduces the fold
-    bit-exactly (see extended23 oracle). NULLs are canonicalized
-    before hashing — ``concat_ws`` silently skips them, which would
-    collide ('a', NULL) with ('a',)."""
-    canon = [
-        F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols
-    ]
-    concat = F.concat_ws("|", *canon)
+    bit-exactly (see extended23 oracle). Canonicalization is
+    injective: NULLs get a sentinel (``concat_ws`` silently skips
+    them, which would collide ('a', NULL) with ('a',)) and every
+    field is LENGTH-PREFIXED — a bare separator would collide
+    ('a|b', 'c') with ('a', 'b|c')."""
+    canon = []
+    for c in cols:
+        v = F.coalesce(F.col(c).cast("string"), F.lit("␀"))
+        canon += [F.length(v).cast("string"), F.lit(":"), v, F.lit("|")]
+    concat = F.concat(*canon)
     row_hash = F.expr(
         "CAST(conv(substring(md5(__c), 1, 15), 16, 10) AS BIGINT)"
     )

@@ -265,11 +265,15 @@ ORACLES = {
     "q_table_checksum": f"""
         SELECT bit_xor({_CHECKSUM_FOLD}) AS checksum,
                COUNT(*) AS n_rows
-        FROM (SELECT concat_ws('|',
-                COALESCE(CAST(l_orderkey AS VARCHAR), '\u2400'),
-                COALESCE(CAST(l_linenumber AS VARCHAR), '\u2400'),
-                COALESCE(CAST(l_returnflag AS VARCHAR), '\u2400')) AS c
-              FROM lineitem)
+        FROM (
+          SELECT list_reduce(
+                   list_transform(
+                     [COALESCE(CAST(l_orderkey AS VARCHAR), '\u2400'),
+                      COALESCE(CAST(l_linenumber AS VARCHAR), '\u2400'),
+                      COALESCE(CAST(l_returnflag AS VARCHAR), '\u2400')],
+                     v -> CAST(length(v) AS VARCHAR) || ':' || v || '|'),
+                   (a, b) -> a || b) AS c
+          FROM lineitem)
     """,
     "q_cogroup_asof": """
         WITH clicks AS (

@@ -584,9 +584,18 @@ def cached_result(
     atomic-by-rename per partition file plus parquet's _SUCCESS
     marker; concurrent misses of the same key both compute and one
     wins the rename — wasteful, never wrong."""
+    import hashlib
     import os
 
-    key = f"{df.semanticHash() & 0xFFFFFFFF:08x}"
+    # semanticHash alone is 32-bit — a collision would silently serve
+    # the WRONG cached result. Pair it with a digest of the
+    # canonicalized plan (exprIds normalized, so semantically-equal
+    # rebuilt plans still agree) for a collision-free key.
+    canonical = (
+        df._jdf.queryExecution().analyzed().canonicalized().toString()
+    )
+    digest = hashlib.md5(canonical.encode()).hexdigest()[:16]
+    key = f"{df.semanticHash() & 0xFFFFFFFF:08x}-{digest}"
     slot = os.path.join(cache_root, key)
     if os.path.exists(os.path.join(slot, "_SUCCESS")):
         return spark.read.parquet(slot), True

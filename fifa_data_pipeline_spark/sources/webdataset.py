@@ -22,6 +22,12 @@ so ``samples_per_shard × payload`` must fit an executor's batch
 budget — the same sizing rule as the loader side. Tar members are
 stored uncompressed (USTAR): codec choices stay per-payload (the
 PNG/WAV members are already compressed formats).
+
+``path`` must be a filesystem every EXECUTOR can write (shared FS,
+fuse-mounted bucket, or local mode) — tasks write shards directly.
+For plain object stores, route the same tar bytes through a
+committing sink instead (the JSONL Python Data Source in
+``pydatasource.py`` shows the manifest-commit pattern to copy).
 """
 
 from __future__ import annotations
@@ -57,24 +63,32 @@ def write_webdataset(
     ) -> Iterator[pd.DataFrame]:
         import os as _os
 
+        _os.makedirs(path, exist_ok=True)  # executors ≠ driver node
+        # Accumulate the WHOLE partition before writing: Arrow slices
+        # a partition into multiple pandas batches, and a shard whose
+        # rows straddle a batch boundary would otherwise be written
+        # twice — the second tar replacing (and losing) the first.
+        # Memory bound = the task's shards in full, i.e. the same
+        # samples_per_shard × payload budget as the read side.
+        by_shard: dict[int, list] = {}
         for pdf in batches:
             for shard_id, grp in pdf.groupby("__shard"):
-                name = _os.path.join(
-                    path, f"shard-{int(shard_id):05d}.tar"
-                )
-                grp = grp.sort_values(key_col, kind="mergesort")
-                with tarfile.open(name, "w") as tar:
-                    for _, row in grp.iterrows():
-                        for col in payload_cols:
-                            data = bytes(row[col])
-                            info = tarfile.TarInfo(
-                                f"{int(row[key_col]):09d}.{col}"
-                            )
-                            info.size = len(data)
-                            tar.addfile(info, io.BytesIO(data))
-                yield pd.DataFrame(
-                    {"shard": [int(shard_id)], "n": [len(grp)]}
-                )
+                by_shard.setdefault(int(shard_id), []).append(grp)
+        for shard_id in sorted(by_shard):
+            grp = pd.concat(by_shard[shard_id]).sort_values(
+                key_col, kind="mergesort"
+            )
+            name = _os.path.join(path, f"shard-{shard_id:05d}.tar")
+            with tarfile.open(name, "w") as tar:
+                for _, row in grp.iterrows():
+                    for col in payload_cols:
+                        data = bytes(row[col])
+                        info = tarfile.TarInfo(
+                            f"{int(row[key_col]):09d}.{col}"
+                        )
+                        info.size = len(data)
+                        tar.addfile(info, io.BytesIO(data))
+            yield pd.DataFrame({"shard": [shard_id], "n": [len(grp)]})
 
     (
         df.withColumn("__shard", shard_of)

@@ -152,3 +152,33 @@ def test_webdataset_tar_shard_roundtrip(spark, sf_dir, tmp_path):
     assert all(
         (r.width, r.height) == M.png_dims(r.doc_id) for r in stats
     )
+
+
+def test_webdataset_shard_survives_arrow_batch_straddle(spark, tmp_path):
+    """A shard whose rows straddle an Arrow batch boundary must still
+    be written ONCE with all rows (the per-batch write would emit the
+    tar twice, the second replacing the first)."""
+    from fifa_data_pipeline_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        import pyspark.sql.functions as F_
+
+        df = spark.range(0, 100).select(
+            F_.col("id").alias("doc_id"),
+            F_.encode(F_.concat(F_.lit("p-"), F_.col("id")), "utf-8").alias(
+                "blob"
+            ),
+        )
+        out = str(tmp_path / "wds")
+        write_webdataset(df, out, ["blob"], samples_per_shard=40)
+        back = read_webdataset(spark, out, ["blob"])
+        assert back.count() == 100
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
