@@ -286,3 +286,31 @@ def test_forest_to_column_adds_members(spark):
         forest_to_column([stump(2, 1, 10), stump(4, 100, 1000)]).alias("s")
     ).collect()
     assert [r.s for r in out] == [101.0, 1010.0]
+
+
+def test_delete_subjects_with_string_keys(spark, tmp_path):
+    """The key frame must adopt the TABLE's key type — string subject
+    ids (emails, UUIDs) are the common real-world case."""
+    from fifa_data_pipeline_spark.operators.governance import (
+        delete_subjects,
+        write_user_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(f"user-{i}@x.io", i * 1.5) for i in range(40)],
+        "email string, v double",
+    )
+    path = str(tmp_path / "str_users")
+    write_user_bucketed(df, path, "email", n_buckets=4)
+    n = delete_subjects(
+        spark, path, "email", ["user-3@x.io", "user-17@x.io"], n_buckets=4
+    )
+    assert n >= 1
+    back = spark.read.parquet(path)
+    assert back.count() == 38
+    assert (
+        back.filter(
+            F.col("email").isin("user-3@x.io", "user-17@x.io")
+        ).count()
+        == 0
+    )
