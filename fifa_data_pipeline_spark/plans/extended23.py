@@ -190,9 +190,38 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wds_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset round-trip, oracle-checked end-to-end: render PNGs,
+    pack them into tar shards (stdlib tarfile), read the shards back
+    via binaryFile + untar, DECODE the extracted members, and emit
+    the same stats as q_png_decode — sharing its closed-form oracle,
+    so a hash match proves the tar container preserved every byte."""
+    import tempfile as _tf
+
+    from fifa_data_pipeline_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = _tf.mkdtemp(prefix="spark_graft_wds_") + "/shards"
+    write_webdataset(encode_png(docs), out, ["png"], samples_per_shard=128)
+    back = read_webdataset(spark, out, ["png"]).select(
+        F.col("key").alias("doc_id"), "png"
+    )
+    return decode_png(back).select(
+        "doc_id",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 QUERIES = {
     "q_png_decode": q_png_decode,
     "q_wav_decode": q_wav_decode,
+    "q_wds_decode": q_wds_decode,
     "q_dense_ids": q_dense_ids,
     "q_mv_rollup": q_mv_rollup,
     "q_sql_inference": q_sql_inference,
@@ -324,3 +353,6 @@ ORACLES = {
         FROM sums
     """,
 }
+
+# the tar round-trip must reproduce the PNG stats bit-for-bit
+ORACLES["q_wds_decode"] = ORACLES["q_png_decode"]
