@@ -1,4 +1,18 @@
-"""Round-6 batch 1: real PNG codec, cogrouped as-of, keyset pages.
+"""Round-6: warehouse engineering + real-codec multimodal queries.
+
+- ``q_dense_ids`` — gap-free global row ids without the 1-task
+  global-window collapse (range shuffle + local indices + broadcast
+  offsets); oracle = ``row_number() OVER (ORDER BY …)``.
+- ``q_table_checksum`` — anti-entropy fingerprint (length-prefixed
+  md5 fold, XOR-combined); DuckDB reproduces it bit-exactly.
+- ``q_mv_rollup`` — materialized-view rollup rewrite; oracle runs
+  the equivalent query on the BASE table.
+- ``q_sql_inference`` — tree + logistic models compiled to pure
+  Catalyst expressions (zero Python in the plan).
+- ``q_wav_decode`` — stdlib WAV codec round-trip; RMS predicted in
+  closed form.
+- ``q_wds_decode`` — WebDataset tar-shard round-trip, sharing the
+  PNG oracle (container fidelity is hash-proven).
 
 - ``q_cogroup_asof`` — per-user as-of merge (last purchase value at
   or before each click) through COGROUPED ``applyInPandas``
