@@ -578,3 +578,51 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "step int, a string, b string, merged string, pair_count long"
     )
+
+
+def canonicalize_text(
+    df: DataFrame, text_col: str = "text", alias: str = "canon"
+) -> DataFrame:
+    """Unicode canonicalization for dedup keys: NFKC normalize →
+    casefold → strip combining marks (accent folding via NFD) →
+    collapse whitespace runs → trim. 'Café  au lait' and
+    'cafe au lait' canonicalize identically, which is the point —
+    exact-dedup fingerprints (``fingerprint``/``incremental_dedup``)
+    over raw bytes silently miss visually-identical duplicates that
+    differ only in normalization form, case mapping, or exotic
+    spaces (the normal state of web-scraped corpora).
+
+    Python is unavoidable here (Spark has no builtin Unicode
+    normalizer), so the kernel is an Arrow-batched ``mapInPandas``
+    over stdlib ``unicodedata`` — vectorized at the batch level,
+    never row-at-a-time UDF. Cross-engine agreement with DuckDB's
+    ``nfc_normalize``/``strip_accents``/``lower`` is pinned on real
+    Unicode inputs in test_corpus_etl."""
+    import unicodedata
+
+    from collections.abc import Iterator as _Iter
+
+    import pandas as pd
+
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def canon_one(t: str | None) -> str | None:
+        if t is None:
+            return None
+        t = unicodedata.normalize("NFKC", t).casefold()
+        t = "".join(
+            c
+            for c in unicodedata.normalize("NFD", t)
+            if not unicodedata.combining(c)
+        )
+        return " ".join(t.split())
+
+    def run(batches: _Iter[pd.DataFrame]):
+        for pdf in batches:
+            out = pdf.copy()
+            out[alias] = [canon_one(t) for t in pdf[text_col]]
+            yield out
+
+    return df.mapInPandas(run, f"{in_fields}, {alias} string")

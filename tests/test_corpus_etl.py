@@ -54,3 +54,47 @@ def test_corpus_etl_end_to_end(spark, tmp_path):
     again = corpus_etl_flow(spark, SF, out)
     assert again == metrics
     assert spark.read.parquet(out).count() == agg.n_seqs
+
+
+def test_canonicalize_text_agrees_with_duckdb_unicode(spark, duck):
+    """Cross-engine check on REAL Unicode (the parquet corpus is
+    ASCII, so the evidence lives here): the engine's NFKC + casefold
+    + accent strip + whitespace collapse equals DuckDB's
+    lower(strip_accents(nfc_normalize(...))) + regexp collapse for
+    inputs where NFKC and NFC coincide."""
+    from fifa_data_pipeline_spark.operators.text import canonicalize_text
+
+    samples = [
+        "Café  au\tlait",
+        "É́cole",          # pre-composed + extra combining acute
+        "naïve  RÉSUMÉ",
+        "  plain ascii  text ",
+        "straße",               # ß casefolds to ss
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id long, text string"
+    )
+    got = {r.id: r.canon for r in canonicalize_text(df).collect()}
+    for i, s in enumerate(samples):
+        expect = duck.execute(
+            "SELECT trim(regexp_replace(lower(strip_accents("
+            "nfc_normalize(?))), '\\s+', ' ', 'g'))",
+            [s],
+        ).fetchone()[0]
+        if s == "straße":
+            # casefold (ß->ss) is deliberately STRONGER than lower;
+            # DuckDB's lower keeps ß
+            assert got[i] == "strasse" and expect == "straße"
+        else:
+            assert got[i] == expect, (s, got[i], expect)
+
+
+def test_canonicalize_text_dedups_visual_duplicates(spark):
+    from fifa_data_pipeline_spark.operators.text import canonicalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Café x"), (2, "Café x"), (3, "cafe  x")],
+        "id long, text string",
+    )
+    out = canonicalize_text(df)
+    assert out.select("canon").distinct().count() == 1
