@@ -176,6 +176,26 @@ def q_sql_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup accounting on CANONICALIZED text (the
+    Unicode-safe fingerprint): doc count vs distinct canonical forms.
+    The corpus is ASCII, so the oracle's lower + whitespace-collapse
+    is provably identical to NFKC casefold + accent strip there —
+    the Unicode-divergent cases are pinned separately in
+    test_corpus_etl on literal inputs."""
+    from fifa_data_pipeline_spark.operators.text import canonicalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        canonicalize_text(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canon").alias("n_canonical"),
+        )
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG encode → decode round-trip over the documents table; the
     decoded width/height/pixel-mean must equal what the generator
@@ -236,6 +256,7 @@ QUERIES = {
     "q_png_decode": q_png_decode,
     "q_wav_decode": q_wav_decode,
     "q_wds_decode": q_wds_decode,
+    "q_canon_dedup": q_canon_dedup,
     "q_dense_ids": q_dense_ids,
     "q_mv_rollup": q_mv_rollup,
     "q_sql_inference": q_sql_inference,
@@ -254,6 +275,12 @@ _CHECKSUM_FOLD = (
 _SSQ = "((r - 1) * r * (2 * r - 1) // 6 - 128 * r * (r - 1) + 16384 * r)"
 
 ORACLES = {
+    "q_canon_dedup": """
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT trim(regexp_replace(lower(text),
+                     '\s+', ' ', 'g'))) AS n_canonical
+        FROM documents GROUP BY source
+    """,
     "q_wav_decode": f"""
         WITH params AS (
           SELECT doc_id,
