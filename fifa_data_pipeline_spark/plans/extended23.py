@@ -196,6 +196,25 @@ def q_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OFFSET form of the keyset page (SQL ``LIMIT n OFFSET m``,
+    Spark ≥3.4's ``DataFrame.offset``): provided for surface
+    completeness and as the documented ANTI-pattern — the plan must
+    fetch and discard ``offset`` rows on every page, so page cost
+    grows linearly with page number (O(total) to walk a table) where
+    :func:`~...relational.keyset_page` stays O(page). Same ordering,
+    same page contents as a keyset walk."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    return (
+        orders.orderBy("o_orderdate", "o_orderkey")
+        .offset(200)
+        .limit(50)
+    )
+
+
 def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG encode → decode round-trip over the documents table; the
     decoded width/height/pixel-mean must equal what the generator
@@ -257,6 +276,7 @@ QUERIES = {
     "q_wav_decode": q_wav_decode,
     "q_wds_decode": q_wds_decode,
     "q_canon_dedup": q_canon_dedup,
+    "q_offset_page": q_offset_page,
     "q_dense_ids": q_dense_ids,
     "q_mv_rollup": q_mv_rollup,
     "q_sql_inference": q_sql_inference,
@@ -275,6 +295,13 @@ _CHECKSUM_FOLD = (
 _SSQ = "((r - 1) * r * (2 * r - 1) // 6 - 128 * r * (r - 1) + 16384 * r)"
 
 ORACLES = {
+    "q_offset_page": """
+        SELECT o_orderkey, o_orderdate,
+               ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_orderdate, o_orderkey
+        LIMIT 50 OFFSET 200
+    """,
     "q_canon_dedup": """
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT trim(regexp_replace(lower(text),
