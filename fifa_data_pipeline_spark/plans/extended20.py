@@ -11,6 +11,10 @@ SQL, dynamic-gap session windows).
 - ``q_session_dynamic_gap`` — ``session_window`` with a PER-EVENT gap
   expression (clicks time out faster than errors), oracle-checked
   against the running-max-end sessionization rewrite in SQL.
+- ``q_sql_script`` — SQL scripting (Spark ≥4.0 compound statements):
+  DECLARE/SET a session variable from one query, use it in the next —
+  the migration surface for stored-procedure-style warehouse code;
+  the oracle computes the same share with a scalar subquery.
 """
 
 from __future__ import annotations
@@ -102,15 +106,45 @@ def q_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound SQL script: a DECLAREd variable carries the global
+    total into the per-priority share query (BEGIN … END executes
+    statement-by-statement; the script's value is the LAST
+    statement's result). The variable is a driver-side scalar — at
+    any scale this is two queries, not a cross-statement shuffle."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total DOUBLE;
+          SET total = (SELECT SUM(o_totalprice) FROM orders);
+          SELECT o_orderpriority,
+                 ROUND(SUM(o_totalprice) / total, 6) AS share
+          FROM orders
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
 QUERIES = {
     "q_pipe_syntax": q_pipe_syntax,
     "q_param_sql": q_param_sql,
     "q_session_dynamic_gap": q_session_dynamic_gap,
+    "q_sql_script": q_sql_script,
 }
 
 _FAST_LIST = ", ".join(f"'{t}'" for t in FAST_TYPES)
 
 ORACLES = {
+    "q_sql_script": """
+        SELECT o_orderpriority,
+               ROUND(SUM(o_totalprice)
+                     / (SELECT SUM(o_totalprice) FROM orders), 6)
+                 AS share
+        FROM orders GROUP BY o_orderpriority
+    """,
     "q_pipe_syntax": """
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS sum_qty,
