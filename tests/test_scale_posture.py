@@ -310,3 +310,53 @@ def test_nested_struct_column_pruning_reaches_scan(spark, sf_dir, tmp_path):
     # siblings pruned: neither the binary payload nor other struct
     # leaves reach the scan
     assert "payload" not in schema and "media_format" not in schema
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling actually fires on a skewed key: the
+    final adaptive plan's shuffle read marks the split partition
+    (``skew``). Instructive detail baked into the fixture: the pad
+    column must be INCOMPRESSIBLE (md5, not a constant) — skew
+    detection measures compressed shuffle bytes, so a compressible
+    hot key can hide below the threshold while still dominating
+    task runtime."""
+    import io
+    from contextlib import redirect_stdout
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400000).select(
+            F.when(F.col("id") % 4 == 0, 7)
+            .otherwise(F.col("id") % 5000)
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 5000).select(
+            F.col("id").alias("k"), F.rand(2).alias("w")
+        )
+        j = left.join(right, "k").select(
+            F.sum(F.length("pad")).alias("s")
+        )
+        j.collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        assert "skew" in buf.getvalue().lower()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
