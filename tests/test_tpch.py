@@ -88,3 +88,22 @@ def test_q4_semi_join_with_range_predicate(spark, sf_dir):
     assert "LeftSemi" in plan
     # the equality drives the join; the date lag rides as a filter
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q7_q8_star_joins_stay_broadcast(spark, sf_dir):
+    for q in [tpch2.q_tpch_q7, tpch2.q_tpch_q8]:
+        plan = _plan(q(spark, sf_dir))
+        assert "SortMergeJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+        # exactly one wide shuffle: the final aggregate grain
+        import re as _re
+
+        assert len(_re.findall(r"Exchange hash", plan)) == 1
+
+
+def test_q15_ties_preserved(spark, sf_dir):
+    # the max-revenue equality join keeps ALL tied suppliers — pin
+    # that the implementation does not row_number-truncate
+    rows = tpch2.q_tpch_q15(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert len({r.total_revenue for r in rows}) == 1
