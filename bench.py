@@ -219,18 +219,43 @@ def main() -> None:
             cold[name] = round(runs[0], 4)
             timings[name] = round(min(runs), 4)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cold_total": round(sum(cold.values()), 4),
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cold_total": round(sum(cold.values()), 4),
+        "cold": cold,
+        "n_queries": len(timings),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f)
+    # The driver captures only the LAST 2000 chars of stdout; a
+    # 143-query dict overflows that and the line becomes unparseable
+    # (BENCH_r03 "parsed": null). Emit a compact line: summary fields
+    # plus as many per-query timings as fit (slowest first — the ones
+    # that matter for the perf read), full detail in BENCH_FULL.json.
+    compact = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cold_total": full["cold_total"],
+        "n_queries": len(timings),
+        "queries_full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    for name in sorted(timings, key=timings.get, reverse=True):
+        compact["queries"][name] = timings[name]
+        if len(json.dumps(compact, separators=(",", ":"))) > 1800:
+            del compact["queries"][name]
+            break
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

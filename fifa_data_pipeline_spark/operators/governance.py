@@ -127,10 +127,44 @@ def delete_subjects(
     kept = touched.join(
         key_df, F.col(key_col) == F.col("__del_key"), "left_anti"
     )
+    # Dynamic partition overwrite only replaces partitions PRESENT in
+    # the written output.  A bucket whose every row belongs to the
+    # victim keys yields zero output rows, so its directory would
+    # never be rewritten and the subjects' data would silently remain
+    # on disk (ADVICE r3, high).  Detect those buckets up front and
+    # remove their partition directories explicitly via the Hadoop
+    # FileSystem API (works on local FS and object stores alike).
+    surviving = {
+        r["__bucket"]
+        for r in kept.select("__bucket").distinct().collect()
+    }
+    emptied = [b for b in buckets if b not in surviving]
     (
         kept.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("__bucket")
         .parquet(path)
     )
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        conf = jsc.hadoopConfiguration()
+        for b in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/__bucket={b}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)
+    # Post-verify: the operator's contract is "the data is gone";
+    # fail loudly rather than return success over surviving rows.
+    remaining = (
+        spark.read.parquet(path)
+        .join(key_df, F.col(key_col) == F.col("__del_key"), "left_semi")
+        .limit(1)
+        .count()
+    )
+    if remaining:
+        raise RuntimeError(
+            f"delete_subjects: victim rows remain in {path} after "
+            "rewrite — partition overwrite did not take effect"
+        )
     return len(buckets)

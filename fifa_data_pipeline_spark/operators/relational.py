@@ -987,14 +987,18 @@ def table_checksum(
     because XOR alone cannot see row multiplicity changes of even
     degree). Engine-portable: the DuckDB twin reproduces the fold
     bit-exactly (see extended23 oracle). Canonicalization is
-    injective: NULLs get a sentinel (``concat_ws`` silently skips
-    them, which would collide ('a', NULL) with ('a',)) and every
-    field is LENGTH-PREFIXED — a bare separator would collide
-    ('a|b', 'c') with ('a', 'b|c')."""
+    injective: every field carries an out-of-band 0/1 NULL flag
+    (an in-band sentinel like '␀' would collide with a real
+    one-character '␀' string — ADVICE r3) and is LENGTH-PREFIXED —
+    a bare separator would collide ('a|b', 'c') with ('a', 'b|c')."""
     canon = []
     for c in cols:
-        v = F.coalesce(F.col(c).cast("string"), F.lit("␀"))
-        canon += [F.length(v).cast("string"), F.lit(":"), v, F.lit("|")]
+        s = F.col(c).cast("string")
+        flag = F.when(s.isNull(), F.lit("0")).otherwise(F.lit("1"))
+        v = F.coalesce(s, F.lit(""))
+        canon += [
+            flag, F.length(v).cast("string"), F.lit(":"), v, F.lit("|")
+        ]
     concat = F.concat(*canon)
     row_hash = F.expr(
         "CAST(conv(substring(md5(__c), 1, 15), 16, 10) AS BIGINT)"

@@ -189,23 +189,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     not its first). One window over the component key computes both
     the winner and the member count."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    # pair generation: brute-force cross join, faster than the
-    # lossless prefix-filter join (D.jaccard_prefix_join) BELOW ~1K
-    # docs (measured 1.1s vs 2.3s at 200 docs — the prefix join's
-    # extra stages cost more than the n² they save); above that
-    # crossover, swap the two lines — the pair set is identical
-    sets = docs.select("doc_id", X.shingles("text", 3).alias("s"))
-    a = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    b = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
-        F.array_union("sa", "sb")
-    )
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(jac, 6) >= 0.5)
-        .select("id_a", "id_b")
-    )
+    # size-adaptive pair generation (dedup.all_pairs_jaccard):
+    # brute-force n² below ~1K docs (measured faster there), lossless
+    # prefix-filter AllPairs above — identical pair set either way
+    pairs = D.all_pairs_jaccard(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
     cc = D.connected_components(pairs)
     labeled = (
         docs.select("doc_id", "n_chars")

@@ -112,20 +112,30 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement-by-statement; the script's value is the LAST
     statement's result). The variable is a driver-side scalar — at
     any scale this is two queries, not a cross-statement shuffle."""
-    spark.conf.set("spark.sql.scripting.enabled", "true")
     register_views(spark, sf_dir, ["orders"])
-    return spark.sql(
-        """
-        BEGIN
-          DECLARE total DOUBLE;
-          SET total = (SELECT SUM(o_totalprice) FROM orders);
-          SELECT o_orderpriority,
-                 ROUND(SUM(o_totalprice) / total, 6) AS share
-          FROM orders
-          GROUP BY o_orderpriority;
-        END
-        """
-    )
+    # scripting.enabled is only consulted at parse time; restore the
+    # session's prior value so the flag doesn't leak into every later
+    # query on the shared session (ADVICE r3)
+    prior = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE total DOUBLE;
+              SET total = (SELECT SUM(o_totalprice) FROM orders);
+              SELECT o_orderpriority,
+                     ROUND(SUM(o_totalprice) / total, 6) AS share
+              FROM orders
+              GROUP BY o_orderpriority;
+            END
+            """
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prior)
 
 
 QUERIES = {

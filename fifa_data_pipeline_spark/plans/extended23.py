@@ -365,10 +365,12 @@ ORACLES = {
         FROM (
           SELECT list_reduce(
                    list_transform(
-                     [COALESCE(CAST(l_orderkey AS VARCHAR), '\u2400'),
-                      COALESCE(CAST(l_linenumber AS VARCHAR), '\u2400'),
-                      COALESCE(CAST(l_returnflag AS VARCHAR), '\u2400')],
-                     v -> CAST(length(v) AS VARCHAR) || ':' || v || '|'),
+                     [CAST(l_orderkey AS VARCHAR),
+                      CAST(l_linenumber AS VARCHAR),
+                      CAST(l_returnflag AS VARCHAR)],
+                     v -> CASE WHEN v IS NULL THEN '00:|'
+                          ELSE '1' || CAST(length(v) AS VARCHAR)
+                               || ':' || v || '|' END),
                    (a, b) -> a || b) AS c
           FROM lineitem)
     """,

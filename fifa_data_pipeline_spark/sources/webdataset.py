@@ -56,7 +56,16 @@ def write_webdataset(
     import os
 
     os.makedirs(path, exist_ok=True)
-    shard_of = (F.col(key_col) / samples_per_shard).cast("long")
+    # exact long floor division (documented `key // samples_per_shard`):
+    # subtracting pmod makes the dividend exactly divisible, so `div`
+    # is exact for negative keys and keys beyond 2^53 alike — a double
+    # intermediate (`/` then cast) truncates toward zero and loses
+    # precision (ADVICE r3)
+    shard_of = F.expr(
+        f"(CAST(`{key_col}` AS BIGINT) - "
+        f"pmod(CAST(`{key_col}` AS BIGINT), {samples_per_shard})) "
+        f"div {samples_per_shard}"
+    )
 
     def write_shards(
         batches: Iterator[pd.DataFrame],

@@ -619,10 +619,14 @@ def stream_near_dedup(
 
     Scale: per batch, the history contributes ONLY its (band_id,
     band_hash) pairs — a narrow semi-join probe, never the corpus
-    text; state grows O(accepted docs × bands). The band table is a
-    plain parquet append per batch; lead with a checkpointed source
-    so replays re-append identically (the semi-join makes replayed
-    appends no-ops for acceptance decisions)."""
+    text; state grows O(accepted docs × bands). Both sinks are
+    partitioned by ``batch_id`` and written with dynamic partition
+    overwrite, and the band probe only reads bands from STRICTLY
+    EARLIER batches — so a replay after a crash at ANY point
+    (between the two writes, or after both but before the
+    checkpoint commit) recomputes the same decisions and overwrites
+    its own partitions instead of appending duplicates (ADVICE r3,
+    medium: two non-atomic appends were replay-unsafe)."""
     from fifa_data_pipeline_spark.operators.dedup import (
         connected_components,
         minhash_buckets,
@@ -644,6 +648,10 @@ def stream_near_dedup(
             if os.path.exists(bands_path)
             else None
         )
+        if seen is not None:
+            # a replayed batch must not probe its OWN bands (written
+            # before a failed checkpoint commit) — only history
+            seen = seen.filter(F.col("batch_id") < F.lit(batch_id))
         if seen is not None:
             hit = (
                 buckets.join(
@@ -693,12 +701,21 @@ def stream_near_dedup(
         accepted = batch_df.join(
             F.broadcast(winners), "doc_id", "left_semi"
         )
-        accepted.write.mode("append").parquet(accepted_path)
+        (
+            accepted.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(accepted_path)
+        )
         (
             fresh_buckets.join(F.broadcast(winners), "doc_id", "left_semi")
             .select("band_id", "band_hash")
             .distinct()
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(bands_path)
         )
         fresh_buckets.unpersist()

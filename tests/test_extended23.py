@@ -314,3 +314,40 @@ def test_delete_subjects_with_string_keys(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_delete_subjects_fully_emptied_bucket_is_removed(spark, tmp_path):
+    """ADVICE r3 (high): when every row of a bucket belongs to the
+    victim keys, dynamic partition overwrite writes no rows for that
+    bucket and would leave its files on disk. The fix must remove the
+    emptied partition directory so the subjects' data is physically
+    gone."""
+    import os
+
+    from fifa_data_pipeline_spark.operators.governance import (
+        delete_subjects,
+        write_user_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 41)], "user_id long, v double"
+    )
+    path = str(tmp_path / "empty_bucket")
+    write_user_bucketed(df, path, "user_id", n_buckets=4)
+    # victims = EVERY subject in one bucket -> that bucket must vanish
+    bucketed = df.select(
+        "user_id",
+        F.pmod(F.xxhash64("user_id"), F.lit(4)).alias("b"),
+    )
+    target = bucketed.groupBy("b").count().orderBy("count").first()["b"]
+    victims = [
+        r.user_id for r in bucketed.filter(F.col("b") == target).collect()
+    ]
+    assert victims
+    n = delete_subjects(spark, path, "user_id", victims, n_buckets=4)
+    assert n == 1
+    # the partition directory itself is gone, not just unread
+    assert not os.path.exists(os.path.join(path, f"__bucket={target}"))
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id").isin(victims)).count() == 0
+    assert back.count() == 40 - len(victims)

@@ -182,3 +182,30 @@ def test_webdataset_shard_survives_arrow_batch_straddle(spark, tmp_path):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", old
         )
+
+
+def test_webdataset_negative_keys_floor_shard_assignment(spark, tmp_path):
+    """ADVICE r3: shard id must be floor division (key //
+    samples_per_shard) on longs — float division + cast('long')
+    truncated toward zero, collapsing keys -n..n-1 into shard 0."""
+    import os
+
+    from fifa_data_pipeline_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    df = spark.createDataFrame(
+        [(k, bytes([k % 251])) for k in range(-5, 5)],
+        "doc_id long, blob binary",
+    )
+    out = str(tmp_path / "wds_neg")
+    write_webdataset(df, out, ["blob"], samples_per_shard=5)
+    shards = sorted(
+        f for f in os.listdir(out) if f.endswith(".tar")
+    )
+    # floor: -5..-1 -> shard -1, 0..4 -> shard 0 (truncation would
+    # have put -4..4 all in shard 0)
+    assert shards == ["shard--0001.tar", "shard-00000.tar"]
+    back = read_webdataset(spark, out, ["blob"])
+    assert back.count() == 10

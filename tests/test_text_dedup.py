@@ -172,3 +172,23 @@ def test_minhash_pairs_cross_validated_against_pyspark_ml(spark, sf_dir):
     assert set(ours) == set(ml_pairs)
     for pair, jac in ours.items():
         assert abs(jac - ml_pairs[pair]) < 0.05
+
+
+def test_all_pairs_jaccard_paths_agree(spark, sf_dir):
+    """The size-adaptive all-pairs join must yield the IDENTICAL pair
+    set on both physical paths: brute-force n² (below crossover) and
+    prefix-filter AllPairs (above crossover)."""
+    from fifa_data_pipeline_spark.operators.dedup import all_pairs_jaccard
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    brute = all_pairs_jaccard(docs, crossover=10**9)
+    prefix = all_pairs_jaccard(docs, crossover=0)
+    rows_b = sorted(map(tuple, brute.collect()))
+    rows_p = sorted(map(tuple, prefix.collect()))
+    assert rows_b == rows_p
+    assert rows_b  # non-vacuous: the fixture has near-dup pairs
