@@ -166,6 +166,9 @@ HEADLINE = [
     "q_sql_inference",
     "q_dense_ids",
     "q_table_checksum",
+    # round-7 anti-entropy / cardinality-sketch operators
+    "q_column_checksums",
+    "q_kmv_distinct",
     # q_png_decode / q_cogroup_asof stay OUT of the headline with
     # the other Python-eval paths (oracle-checked in the registry)
     "q_pipe_syntax",

@@ -1003,11 +1003,64 @@ def table_checksum(
     row_hash = F.expr(
         "CAST(conv(substring(md5(__c), 1, 15), 16, 10) AS BIGINT)"
     )
+    from fifa_data_pipeline_spark.sources.io import spread
+
+    # project-then-spread: a single-split local file would serialize
+    # the md5 work onto one core (XOR is order-insensitive, so the
+    # repartition cannot change the result; at production split
+    # counts spread() is a no-op)
     return (
-        df.select(concat.alias("__c"))
+        spread(df.select(concat.alias("__c")))
         .select(row_hash.alias("__h"))
         .agg(
             F.expr("bit_xor(__h)").alias(alias),
             F.count(F.lit(1)).alias("n_rows"),
         )
+    )
+
+
+def column_checksums(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-COLUMN anti-entropy fingerprints, all computed in ONE scan:
+    for each column, ``bit_xor`` over ``md5(canonical(field))`` plus a
+    shared row count. The data-diff companion to
+    :func:`table_checksum` — when two copies of a 100 TB table
+    disagree, the per-column checksums locate WHICH column diverged
+    (a stuck default, a lossy type migration, a re-encoded string)
+    without moving or re-reading data twice; each side computes its
+    column vector independently and the comparison is bytes.
+
+    Same engine-portable canonicalization as ``table_checksum``
+    (0/1 null flag + length prefix, md5 folded to BIGINT, XOR
+    combine — commutative/associative so partial checksums merge
+    across partitions/files/clusters), so the DuckDB twin reproduces
+    every column's value bit-exactly. One projection + one aggregate:
+    the N columns share the scan and the map-side partials, so the
+    cost is N md5 evaluations per row in a single pass — not N
+    passes."""
+
+    def canon(c: str) -> Column:
+        s = F.col(c).cast("string")
+        flag = F.when(s.isNull(), F.lit("0")).otherwise(F.lit("1"))
+        v = F.coalesce(s, F.lit(""))
+        return F.concat(flag, F.length(v).cast("string"), F.lit(":"), v)
+
+    from fifa_data_pipeline_spark.sources.io import spread
+
+    # project-then-spread (see table_checksum): N md5 folds per row
+    # would otherwise run serially on a single-split local file
+    proj = spread(
+        df.select(
+            *[canon(c).alias(f"__canon_{i}") for i, c in enumerate(cols)]
+        )
+    )
+    fold = (
+        "bit_xor(CAST(conv(substring(md5(__canon_{i}), 1, 15), 16, 10)"
+        " AS BIGINT))"
+    )
+    return proj.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.expr(fold.format(i=i)).alias(f"{c}_checksum")
+            for i, c in enumerate(cols)
+        ],
     )

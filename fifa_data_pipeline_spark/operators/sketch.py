@@ -225,3 +225,67 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    mergeable cardinality sketch whose state is just the ``k``
+    smallest hash values seen (Bar-Yossef et al. RANDOM'02; the
+    order-statistics cousin of HLL). With values hashed uniformly
+    into [0, 2^60), the k-th smallest hash ``h_k`` estimates density:
+    ``distinct ≈ (k-1) · 2^60 / h_k``; groups with fewer than ``k``
+    distinct hashes report their EXACT distinct count.
+
+    Engine-portable by construction: the hash is the same md5→BIGINT
+    fold as the CMS/checksum family, so the DuckDB twin reproduces
+    every sketch — and therefore every estimate — bit-exactly (the
+    estimate arithmetic is ordered to be IEEE-identical across
+    engines: (2^60 / h_k) · (k-1), both factors exact doubles).
+
+    Plan shape: distinct (group, hash) → one window rank per group →
+    per-group max/count over the ≤ k survivors. The shuffle carries
+    distinct hashes only; at 100 TB the sketch property that matters
+    is MERGEABILITY — per-partition min-k sets union and re-take
+    min-k, which is exactly what the rank-then-aggregate computes,
+    and partial aggregation keeps map outputs at O(k · groups).
+
+    Returns ``(group, k_eff, kth_min_hash, distinct_est)``.
+    """
+    from pyspark.sql import Window
+
+    h = F.expr(
+        f"CAST(conv(substring(md5(CAST(`{value_col}` AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+    hashed = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), h.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    space = float(2**60)  # exact double (power of two)
+    return (
+        topk.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.max("__h").alias("kth_min_hash"),
+        )
+        .withColumn(
+            "distinct_est",
+            F.when(F.col("k_eff") < k, F.col("k_eff")).otherwise(
+                F.floor(
+                    F.lit(space)
+                    / F.col("kth_min_hash").cast("double")
+                    * F.lit(float(k - 1))
+                )
+            ).cast("bigint"),
+        )
+    )

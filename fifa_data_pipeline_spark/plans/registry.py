@@ -55,6 +55,7 @@ def _load() -> None:
         extended21,
         extended22,
         extended23,
+        extended24,
         northstar,
         parity,
         tpch,
@@ -87,6 +88,7 @@ def _load() -> None:
     _merge(extended21)
     _merge(extended22)
     _merge(extended23)
+    _merge(extended24)
     _merge(tpch)
     _merge(tpch2)
     _merge(streaming_queries)
@@ -97,46 +99,35 @@ def _load() -> None:
 #: therefore curated: one representative of every operator family,
 #: strongest (oracle-hash-checked) first, twins/demos/streaming after.
 _WINDOW = [
-    # flagship + core relational
-    "q_flagship", "q_project", "q_agg_multi", "q_join_fact_dim",
-    "q_join_latest", "q_latest_window", "q_topk", "q_heavy_hitters",
-    # join surface + set ops (q_join_anti/q_union_all are checked by
-    # the local gate but rotated out of the driver window: a 0-row
-    # anti-join result and a concat are weak evidence vs round-3b ops)
-    "q_pit_join", "q_lateral_topn",
-    "q_asof", "q_range_join",
-    # OLAP aggregates (q_cube/q_grouping_sets are siblings of
-    # q_rollup — one Expand-based representative suffices here)
-    "q_rollup", "q_percentiles",
-    "q_stats_agg", "q_gini",
-    # windows / time series (q_ewma rotated out r6 for the TPC-H Q1
-    # map-side-combine representative; still locally gated)
-    "q_window_funcs", "q_window_tumbling",
-    "q_sessionize", "q_tpch_q1",
-    # warehouse patterns
-    "q_scd2", "q_cohort_retention", "q_dq_checks",
-    # analytics / experimentation (round 4)
-    "q_cdc_apply", "q_ab_welch",
-    # training-data curation (round 3)
-    "q_train_test_split", "q_decontaminate", "q_seq_pack",
-    "q_dedup_incremental",
-    # text analysis + corpus preparation (q_fingerprint folded into
-    # the dedup checks; q_doc_chunks superseded by q_chunk_dedup)
-    "q_token_count", "q_text_quality", "q_lang_confusion",
-    "q_tfidf", "q_chunk_dedup", "q_repetition_score", "q_pii_scrub",
-    # dedup family (incl. exact prefix-filter join + recursive-CTE
-    # chain closure)
-    "q_dedup_exact", "q_clean_corpus", "q_doc_similarity",
-    "q_minhash_pairs", "q_near_dedup", "q_dedup_cc",
-    "q_jaccard_prefix", "q_dup_chains",
-    # vectors / interop (q_label_moments rotated out r6 — q_zscore
-    # already covers grouped-map interop; still locally gated)
-    "q_zscore", "q_knn_exact", "q_knn_lsh", "q_embed_near_dup",
-    # model scoring compiled to pure Catalyst expressions (r6)
-    "q_sql_inference",
-    # multimodal: the REAL codec path replaces the fake-kernel demo
-    # (q_frame_sample still locally gated)
-    "q_multimodal_features", "q_png_decode",
+    # Round-4 rotation: the driver hash-checks a ~50-query window per
+    # round, and 159 registry queries had never received a driver-side
+    # CORRECTNESS row after r3 (VERDICT r3 "what's missing" #1). This
+    # window front-loads never-checked queries — the full TPC-H suite,
+    # the warehouse layer, and the r3-r6 analytics/curation operators —
+    # plus the two new round-7 operators. Everything rotated out stays
+    # green under the local mimic (tools/check_oracle.py, all 244).
+    # ---- new this round (anti-entropy + cardinality sketch) ----
+    "q_column_checksums", "q_kmv_distinct",
+    # ---- TPC-H suite (never driver-checked except Q1) ----
+    "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q11",
+    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19",
+    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    # ---- warehouse-engineering layer (extended23) ----
+    "q_dense_ids", "q_table_checksum", "q_mv_rollup", "q_keyset_page",
+    "q_offset_page", "q_canon_dedup", "q_cogroup_asof",
+    # ---- SQL-surface twins (extended20-22) ----
+    "q_pipe_syntax", "q_param_sql", "q_sql_script",
+    "q_session_dynamic_gap", "q_bigram_lm", "q_ivm_delta",
+    "q_quality_fusion",
+    # ---- analytics / curation operators never driver-checked ----
+    "q_mad_outliers", "q_ewma", "q_interp_linear", "q_corpus_pipeline",
+    "q_basket_pairs", "q_sample_stratified", "q_attribution",
+    "q_dedup_keep_best", "q_rrf_fusion", "q_spatial_join",
+    "q_cms_counts", "q_kl_drift", "q_assoc_rules", "q_survival_km",
+    "q_percentile_disc", "q_entropy", "q_auc", "q_funnel",
+    "q_gap_islands", "q_merge_upsert", "q_pivot",
 ]
 
 

@@ -351,3 +351,68 @@ def test_delete_subjects_fully_emptied_bucket_is_removed(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.filter(F.col("user_id").isin(victims)).count() == 0
     assert back.count() == 40 - len(victims)
+
+
+def test_column_checksums_locate_the_divergent_column(spark):
+    """The data-diff use case: two copies differing in ONE column must
+    agree on every other column's checksum and disagree on that one;
+    n_rows rides along."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        column_checksums,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"u{i}", i % 3) for i in range(100)],
+        "id long, name string, grp int",
+    )
+    b = a.withColumn(
+        "grp", F.when(F.col("id") == 57, F.lit(99)).otherwise(F.col("grp"))
+    )
+    ca = column_checksums(a, ["id", "name", "grp"]).collect()[0]
+    cb = column_checksums(b, ["id", "name", "grp"]).collect()[0]
+    assert ca.n_rows == cb.n_rows == 100
+    assert ca.id_checksum == cb.id_checksum
+    assert ca.name_checksum == cb.name_checksum
+    assert ca.grp_checksum != cb.grp_checksum
+    # NULL vs literal-empty must not collide (out-of-band null flag)
+    c = a.withColumn(
+        "name", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("name"))
+    )
+    d = a.withColumn(
+        "name", F.when(F.col("id") == 3, F.lit("")).otherwise(F.col("name"))
+    )
+    assert (
+        column_checksums(c, ["name"]).collect()[0].name_checksum
+        != column_checksums(d, ["name"]).collect()[0].name_checksum
+    )
+
+
+def test_kmv_distinct_estimates_within_sketch_error(spark, sf_dir):
+    """KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 13%;
+    the estimate must land within 4 sigma of the true distinct count,
+    and groups under k distinct values must be EXACT."""
+    from fifa_data_pipeline_spark.operators.sketch import kmv_distinct
+
+    ev = read_table(spark, sf_dir, "events")
+    est = {
+        r.event_type: r.distinct_est
+        for r in kmv_distinct(ev, "event_type", "user_id", k=64).collect()
+    }
+    true = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(true)
+    for g, t in true.items():
+        if t < 64:
+            assert est[g] == t
+        else:
+            assert abs(est[g] - t) / t < 0.52  # 4 sigma at k=64
+    # exactness path: tiny groups
+    tiny = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", 7)], "g string, v long"
+    )
+    out = {r.g: r.distinct_est for r in kmv_distinct(tiny, "g", "v").collect()}
+    assert out == {"a": 10, "b": 1}
