@@ -102,3 +102,176 @@ ORACLES = {
         FROM s
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Label-quality evaluation operators: agreement + calibration. A
+# curation pipeline that auto-labels (lang-id, quality classifiers)
+# needs to QUANTIFY how much to trust those labels before filtering
+# 100 TB on them; kappa and binned calibration are the two standard
+# audits. Both are integer-count aggregates until the final division,
+# so the DuckDB twins land on bit-identical doubles.
+# ---------------------------------------------------------------------------
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the declared ``lang`` label and the
+    stopword-heuristic ``lang_id`` guess — chance-corrected agreement
+    (kappa = (p_o − p_e)/(1 − p_e)), the one-number summary of
+    q_lang_confusion's matrix. Three tiny aggregates over the cell
+    counts (grand total, diagonal, Σ row_k·col_k); the corpus crosses
+    one shuffle at the (lang, guess) grain."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.text import lang_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    cells = (
+        lang_id(docs)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        # the cell matrix (|langs|² rows) feeds THREE aggregates;
+        # without the pin each would re-scan and re-tokenize the
+        # whole corpus — at 100 TB that is 3 passes instead of 1
+        .localCheckpoint(eager=False)
+    )
+    rows_m = cells.groupBy(F.col("lang").alias("k")).agg(
+        F.sum("n").alias("r")
+    )
+    cols_m = cells.groupBy(F.col("lang_guess").alias("k")).agg(
+        F.sum("n").alias("c")
+    )
+    pe_num = (
+        rows_m.join(cols_m, "k")
+        .agg(F.sum(F.col("r") * F.col("c")).alias("pe_num"))
+    )
+    base = cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("lang_guess"), F.col("n"))
+            .otherwise(F.lit(0))
+        ).alias("agree"),
+    )
+    po = F.col("agree").cast("double") / F.col("n_docs")
+    pe = (
+        F.col("pe_num").cast("double")
+        / F.col("n_docs")
+        / F.col("n_docs")
+    )
+    return (
+        base.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("agree").cast("long").alias("agree"),
+            F.round(po, 9).alias("p_observed"),
+            F.round(pe, 9).alias("p_expected"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 9).alias("kappa"),
+        )
+    )
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned calibration audit of the stopword-ratio score as a
+    P(lang='en') proxy: decile bins by score, each reporting its doc
+    count, empirical 'en' fraction (accuracy), nominal bin-center
+    confidence, and the |gap| — the per-bin decomposition of expected
+    calibration error. Bin assignment and accuracy derive from
+    integer counts only (the per-row score is an int/int division,
+    IEEE-identical across engines), so the twin matches bit-exactly;
+    the cross-bin ECE sum is deliberately left to the reader to keep
+    the result free of order-dependent float accumulation."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.text import STOPWORDS, tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("bigint")
+    ratio = stop_hits / F.size(toks).cast("bigint")
+    binned = docs.select(
+        F.least(F.floor(ratio * 10), F.lit(9)).cast("long").alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_en").alias("n_en"),
+        )
+        .select(
+            "bin",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_en").cast("long").alias("n_en"),
+            F.round(
+                F.col("n_en").cast("double") / F.col("n_docs"), 9
+            ).alias("accuracy"),
+            F.round((F.col("bin") + F.lit(0.5)) / 10.0, 9).alias(
+                "confidence"
+            ),
+            F.round(
+                F.abs(
+                    F.col("n_en").cast("double") / F.col("n_docs")
+                    - (F.col("bin") + F.lit(0.5)) / 10.0
+                ),
+                9,
+            ).alias("gap"),
+        )
+    )
+
+
+QUERIES["q_cohens_kappa"] = q_cohens_kappa
+QUERIES["q_calibration_bins"] = q_calibration_bins
+
+from fifa_data_pipeline_spark.plans.extended13 import _STOP_PRED  # noqa: E402
+
+_TOKS24 = "string_split_regex(trim(text), '\\s+')"
+_RATIO24 = (
+    f"len(list_filter({_TOKS24}, t -> {_STOP_PRED}))"
+    f" / len({_TOKS24})"
+)
+
+ORACLES["q_cohens_kappa"] = f"""
+    WITH g AS (
+      SELECT lang,
+             CASE WHEN {_RATIO24} >= 0.08
+                  THEN 'en' ELSE 'unk' END AS lang_guess
+      FROM documents
+    ), cells AS (
+      SELECT lang, lang_guess, COUNT(*) AS n FROM g GROUP BY 1, 2
+    ), rm AS (SELECT lang AS k, SUM(n) AS r FROM cells GROUP BY 1),
+    cm AS (SELECT lang_guess AS k, SUM(n) AS c FROM cells GROUP BY 1),
+    pe AS (SELECT SUM(r * c) AS pe_num FROM rm JOIN cm USING (k)),
+    base AS (
+      SELECT SUM(n) AS n_docs,
+             SUM(CASE WHEN lang = lang_guess THEN n ELSE 0 END) AS agree
+      FROM cells
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(agree AS BIGINT) AS agree,
+           ROUND(CAST(agree AS DOUBLE) / n_docs, 9) AS p_observed,
+           ROUND(CAST(pe_num AS DOUBLE) / n_docs / n_docs, 9)
+             AS p_expected,
+           ROUND((CAST(agree AS DOUBLE) / n_docs
+                  - CAST(pe_num AS DOUBLE) / n_docs / n_docs)
+                 / (1.0 - CAST(pe_num AS DOUBLE) / n_docs / n_docs), 9)
+             AS kappa
+    FROM base, pe
+"""
+
+ORACLES["q_calibration_bins"] = f"""
+    WITH b AS (
+      SELECT CAST(LEAST(FLOOR(({_RATIO24}) * 10), 9) AS BIGINT) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+      FROM documents
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_en) AS BIGINT) AS n_en,
+           ROUND(CAST(SUM(is_en) AS DOUBLE) / COUNT(*), 9) AS accuracy,
+           ROUND((bin + 0.5) / 10.0, 9) AS confidence,
+           ROUND(ABS(CAST(SUM(is_en) AS DOUBLE) / COUNT(*)
+                     - (bin + 0.5) / 10.0), 9) AS gap
+    FROM b GROUP BY bin
+"""

@@ -112,3 +112,21 @@ def test_round4_ops_on_empty(spark):
     fwd = R.as_of_join_forward(left, right, "k", "ts", "rts", ["tag"])
     assert fwd.count() == 0
     assert "next_tag" in fwd.columns
+
+
+def test_round7_ops_on_empty(spark):
+    from fifa_data_pipeline_spark.operators.sketch import kmv_distinct
+
+    df = _empty(spark, "g string, v long")
+    assert kmv_distinct(df, "g", "v").count() == 0
+    # checksums of an empty table: n_rows=0, checksum NULL (bit_xor
+    # over zero rows) — one row, defined schema, no throw
+    row = R.column_checksums(_empty(spark, "a int, b string"), ["a", "b"]).collect()[0]
+    assert row.n_rows == 0
+    assert row.a_checksum is None and row.b_checksum is None
+    row2 = R.table_checksum(_empty(spark, "a int"), ["a"]).collect()[0]
+    assert row2.n_rows == 0
+    # all-pairs jaccard on empty corpus: empty pair set on both paths
+    docs = _empty(spark, "doc_id long, text string")
+    assert D.all_pairs_jaccard(docs, crossover=0).count() == 0
+    assert D.all_pairs_jaccard(docs, crossover=10).count() == 0

