@@ -14,6 +14,7 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.sources.io import read_table
 from fifa_data_pipeline_spark.streaming import stream_events as S
@@ -214,6 +215,44 @@ def q_stream_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry-ready.
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct maintenance end-to-end: events arrive in
+    micro-batches, each merges into the persisted per-group min-k
+    state; the FINAL estimates are returned. The oracle is the BATCH
+    KMV sketch over all data — the KMV merge is associative and
+    deterministic, so batch boundaries cannot change the state, and a
+    streaming operator gets a full value-hash oracle (not the weaker
+    rows-only check)."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="spark_graft_kmv_")
+    src, state, out, ckpt = (
+        f"{base}/src", f"{base}/state", f"{base}/out", f"{base}/ckpt"
+    )
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.stream_kmv_distinct(stream, state, out, ckpt, "event_type", "user_id")
+    final = spark.read.parquet(out)
+    last = final.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    return (
+        final.filter(F.col("batch_id") == last)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("k_eff").cast("long").alias("k_eff"),
+            "kth_min_hash",
+            "distinct_est",
+        )
+    )
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_ewma": q_stream_ewma,
@@ -225,6 +264,14 @@ QUERIES = {
     "q_stream_distinct": q_stream_distinct,
     "q_stream_cdc": q_stream_cdc,
     "q_stream_neardedup": q_stream_neardedup,
+    "q_stream_kmv": q_stream_kmv,
 }
 
-ORACLES: dict[str, str] = {}
+# q_stream_kmv gets a FULL oracle: the associative KMV merge makes
+# the streamed state equal the batch sketch over all data, so the
+# batch twin (extended24's q_kmv_distinct SQL) is the exact oracle.
+from fifa_data_pipeline_spark.plans import extended24 as _e24  # noqa: E402
+
+ORACLES: dict[str, str] = {
+    "q_stream_kmv": _e24.ORACLES["q_kmv_distinct"],
+}

@@ -727,3 +727,118 @@ def stream_near_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_kmv_distinct(
+    events_stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> None:
+    """Streaming KMV distinct-count maintenance: each micro-batch
+    hashes its values, merges them into the persisted per-group
+    min-k set (union → re-rank → keep k — the KMV merge, associative
+    and deterministic, so the final state EQUALS the batch sketch
+    over all data regardless of batch boundaries; pinned by test),
+    and emits the refreshed estimates.
+
+    Idempotency (same contract as :func:`stream_near_dedup`): the
+    state snapshot AND the estimate output are partitioned by
+    ``batch_id`` with dynamic partition overwrite, and each batch
+    merges from the latest snapshot with a STRICTLY smaller
+    batch_id — a replayed batch rebuilds its own partitions
+    identically instead of double-merging.
+
+    Scale: state is ``groups × k`` rows (a sketch — KBs at any corpus
+    size), so the full-snapshot-per-batch write is deliberate; the
+    batch side reduces to per-group distinct hashes before touching
+    state. This is the streaming face of ``sketch.kmv_distinct`` —
+    the same md5→BIGINT hash, so a DuckDB batch run cross-checks the
+    streamed state bit-exactly."""
+    from pyspark.sql import Window
+
+    from fifa_data_pipeline_spark.operators.sketch import kmv_distinct
+
+    h = F.expr(
+        f"CAST(conv(substring(md5(CAST(`{value_col}` AS STRING)), 1, 15),"
+        " 16, 10) AS BIGINT)"
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        batch_hashes = (
+            batch_df.filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("g"), h.alias("__h"))
+            .distinct()
+        )
+        prev = None
+        if os.path.exists(state_path):
+            snap = spark.read.parquet(state_path).filter(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+            latest = snap.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+            if latest is not None:
+                prev = snap.filter(F.col("batch_id") == latest).select(
+                    "g", "__h"
+                )
+        merged = (
+            batch_hashes.unionByName(prev).distinct()
+            if prev is not None
+            else batch_hashes
+        )
+        w = Window.partitionBy("g").orderBy("__h")
+        state = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select("g", "__h")
+            .localCheckpoint(eager=True)  # one computation feeds both sinks
+        )
+        (
+            state.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_path)
+        )
+        space = float(2**60)
+        est = (
+            state.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("k_eff"),
+                F.max("__h").alias("kth_min_hash"),
+            )
+            .withColumn(
+                "distinct_est",
+                F.when(F.col("k_eff") < k, F.col("k_eff"))
+                .otherwise(
+                    F.floor(
+                        F.lit(space)
+                        / F.col("kth_min_hash").cast("double")
+                        * F.lit(float(k - 1))
+                    )
+                )
+                .cast("bigint"),
+            )
+        )
+        (
+            est.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -740,3 +740,85 @@ def test_stream_near_dedup_replay_after_partial_write_is_idempotent(
     )
     assert rows1 == rows0  # no duplicates, same corpus
     assert len(rows1) == len({d for d, _ in rows1})
+
+
+def test_stream_kmv_replay_and_batch_equivalence(spark, tmp_path):
+    """(a) The streamed KMV state after all batches equals the BATCH
+    sketch over all data (merge associativity); (b) replaying the last
+    batch after a simulated crash (state written, output+commit lost)
+    rebuilds identical output with no duplicate partitions."""
+    import os
+    import shutil
+
+    from fifa_data_pipeline_spark.operators.sketch import kmv_distinct
+
+    base = tmp_path / "kmv"
+    src = str(base / "src")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", i % 40) for i in range(200)],
+        "event_id long, event_type string, user_id long",
+    )
+    df.filter("event_id < 100").coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter("event_id >= 100").coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    state, out, ckpt = (
+        str(base / "state"), str(base / "out"), str(base / "ckpt")
+    )
+
+    def run():
+        S.stream_kmv_distinct(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            state, out, ckpt, "event_type", "user_id", k=16,
+        )
+
+    run()
+    last = max(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("batch_id=")
+    )
+    streamed = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .filter(F.col("batch_id") == last)
+            .select("g", "k_eff", "kth_min_hash", "distinct_est")
+            .collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            kmv_distinct(df, "event_type", "user_id", k=16).collect(),
+        )
+    )
+    assert streamed == batch
+    # crash simulation: drop the last batch's OUTPUT partition and its
+    # checkpoint commit (state partition survives), then restart
+    for sub in ("commits",):
+        commits = sorted(
+            c for c in os.listdir(os.path.join(ckpt, sub))
+            if not c.startswith(".")
+        )
+        os.remove(os.path.join(ckpt, sub, commits[-1]))
+        crc = os.path.join(ckpt, sub, f".{commits[-1]}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+    shutil.rmtree(os.path.join(out, f"batch_id={last}"))
+    run()
+    streamed2 = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .filter(F.col("batch_id") == last)
+            .select("g", "k_eff", "kth_min_hash", "distinct_est")
+            .collect(),
+        )
+    )
+    assert streamed2 == streamed
+    # no duplicate batch partitions appeared anywhere
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    ) == [f"batch_id={b}" for b in range(last + 1)]
