@@ -36,6 +36,7 @@ HEADLINE = [
     "q_text_quality",
     "q_tfidf",
     "q_knn_exact",
+    "q_mips",
     "q_knn_lsh",
     "q_minhash_pairs",
     "q_simhash_pairs",

@@ -828,3 +828,40 @@ def pca_project(
             f"{round_to}) AS pc{i + 1}"
         )
     return df.selectExpr(*cols)
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (MIPS): (qid, vec_id, score,
+    rank). The retrieval objective for embedding models trained with
+    a dot-product head (where cosine's norm division is WRONG —
+    magnitude carries learned information); the un-normalized sibling
+    of :func:`knn_bruteforce`, sharing its plan shape: broadcast
+    queries, zero-shuffle corpus scan, per-partition candidates into
+    one rank window. Scores round to 6 dp with id tie-break so the
+    ranking is stable across engines and partial-sum orders."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("__qvec"),
+        )
+    )
+    scored = (
+        spread(corpus.select(id_col, vec_col))
+        .join(q, F.col(id_col) != F.col("qid"))
+        .withColumn(
+            "score",
+            F.round(dot(F.col("__qvec"), _as_double(F.col(vec_col))), 6),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "score", "rank")
+    )

@@ -229,6 +229,16 @@ def q_knn_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.range_search(emb, _qset(emb), "vec_id", "embedding", threshold=0.2)
 
 
+def q_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-10 per query vector — the
+    retrieval objective for dot-product-head embedding models (cosine
+    normalization would discard learned magnitude). Same broadcast /
+    zero-shuffle plan as q_knn_exact; oracle via DuckDB's
+    list_inner_product on the identical DOUBLE[] casts."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.mips_topk(emb, _qset(emb), "vec_id", "embedding", k=10)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k. Oracle-checked by a DuckDB twin
     that reproduces the deterministic hyperplane buckets bit-exactly
@@ -318,6 +328,7 @@ QUERIES = {
     "q_knn_pandas": q_knn_pandas,
     "q_embed_near_dup": q_embed_near_dup,
     "q_knn_exact": q_knn_exact,
+    "q_mips": q_mips,
     "q_knn_range": q_knn_range,
     "q_knn_lsh": q_knn_lsh,
     "q_knn_ivf": q_knn_ivf,
@@ -450,6 +461,22 @@ ORACLES = {
                     len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
     """,
     # q_knn_ivf: rows-only (KMeans centroids not SQL-reproducible).
+    "q_mips": """
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 5
+        ), s AS (
+          SELECT q.qid, e.vec_id,
+                 ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS score
+          FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ), r AS (
+          SELECT qid, vec_id, score,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rank
+          FROM s
+        )
+        SELECT qid, vec_id, score, rank FROM r WHERE rank <= 10
+    """,
     "q_knn_exact": """
         WITH q AS (
           SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

@@ -224,3 +224,28 @@ def test_srp_bucket_rejects_column_argument(spark):
     planes = random_hyperplanes(2, 4)
     with pytest.raises(TypeError):
         srp_bucket(F.col("embedding"), planes)
+
+
+def test_mips_differs_from_cosine_when_magnitude_matters(spark):
+    """MIPS must rank by raw inner product: a long vector beats a
+    better-aligned short one, the exact case cosine inverts."""
+    from fifa_data_pipeline_spark.operators.vector import (
+        knn_bruteforce,
+        mips_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [10.0, 0.1]),   # long, slightly off-axis
+            (2, [0.5, 0.0]),    # short, perfectly aligned
+            (3, [0.0, 5.0]),    # orthogonal-ish
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(99, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    mips = [r.vec_id for r in mips_topk(corpus, q, k=3).orderBy("rank").collect()]
+    cos = [r.vec_id for r in knn_bruteforce(corpus, q, k=3).orderBy("rank").collect()]
+    assert mips[0] == 1      # raw dot: 10.0 wins
+    assert cos[0] == 2       # cosine: alignment wins
