@@ -173,6 +173,7 @@ HEADLINE = [
     # round-7 label-quality evaluation operators
     "q_cohens_kappa",
     "q_calibration_bins",
+    "q_fk_discovery",
     # q_png_decode / q_cogroup_asof stay OUT of the headline with
     # the other Python-eval paths (oracle-checked in the registry)
     "q_pipe_syntax",

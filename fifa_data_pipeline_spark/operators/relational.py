@@ -1064,3 +1064,64 @@ def column_checksums(df: DataFrame, cols: list[str]) -> DataFrame:
             for i, c in enumerate(cols)
         ],
     )
+
+
+def fk_containment(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    relationship: str | None = None,
+) -> DataFrame:
+    """Foreign-key discovery probe: one row reporting how much of
+    ``child[child_col]``'s distinct value set is CONTAINED in
+    ``parent[parent_col]``'s — containment 1.0 (and a parent distinct
+    count at least the child's) is the inclusion-dependency signal
+    schema-inference runs over an undocumented 100 TB dump before
+    trusting a join.
+
+    Plan shape: one distinct-aggregate per side (each a map-side-
+    combined shuffle on its own column only — never the full rows),
+    then ONE full-outer flag-join between the two distinct sets: a
+    single aggregate over the joined frame yields all three counts
+    (child distinct, parent distinct, intersection) — no per-count
+    re-aggregation, no re-scan of either input. Cost is
+    value-set-sized, not data-sized. Counts stay integers until the
+    final division, so the DuckDB twin lands on the identical
+    double."""
+    rel = relationship or f"{child_col}->{parent_col}"
+    c = (
+        child.select(F.col(child_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    p = (
+        parent.select(F.col(parent_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .distinct()
+        .withColumn("__p", F.lit(1))
+    )
+    return (
+        c.join(p, "__v", "full_outer")
+        .agg(
+            F.sum("__c").alias("n_child_distinct"),
+            F.sum("__p").alias("n_parent_distinct"),
+            F.sum(F.col("__c") * F.col("__p")).alias("n_shared"),
+        )
+        .select(
+            F.lit(rel).alias("relationship"),
+            F.coalesce("n_child_distinct", F.lit(0)).alias(
+                "n_child_distinct"
+            ),
+            F.coalesce("n_parent_distinct", F.lit(0)).alias(
+                "n_parent_distinct"
+            ),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.col("n_child_distinct"),
+                9,
+            ).alias("containment"),
+        )
+    )

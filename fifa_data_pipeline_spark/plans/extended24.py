@@ -275,3 +275,60 @@ ORACLES["q_calibration_bins"] = f"""
                      - (bin + 0.5) / 10.0), 9) AS gap
     FROM b GROUP BY bin
 """
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency audit over three candidate relationships:
+    the two REAL foreign keys (lineitem→orders, orders→customer) must
+    report containment 1.0; the deliberately-wrong candidate
+    (lineitem.l_suppkey ⊆ part.p_partkey) quantifies how far from an
+    FK it is. The schema-inference primitive for undocumented dumps."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fifa_data_pipeline_spark.operators.relational import fk_containment
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    part = read_table(spark, sf_dir, "part")
+    probes = [
+        fk_containment(li, "l_orderkey", orders, "o_orderkey"),
+        fk_containment(orders, "o_custkey", cust, "c_custkey"),
+        fk_containment(li, "l_suppkey", part, "p_partkey"),
+    ]
+    out = probes[0]
+    for pr in probes[1:]:
+        out = out.unionByName(pr)
+    return out
+
+
+QUERIES["q_fk_discovery"] = q_fk_discovery
+
+_FK_PROBE = """
+    SELECT '{rel}' AS relationship,
+           (SELECT COUNT(DISTINCT {cc}) FROM {ct} WHERE {cc} IS NOT NULL)
+             AS n_child_distinct,
+           (SELECT COUNT(DISTINCT {pc}) FROM {pt} WHERE {pc} IS NOT NULL)
+             AS n_parent_distinct,
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+              WHERE v IN (SELECT {pc} FROM {pt})) AS n_shared,
+           ROUND(
+             (SELECT COUNT(*) FROM
+                (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+                WHERE v IN (SELECT {pc} FROM {pt}))
+             / CAST((SELECT COUNT(DISTINCT {cc}) FROM {ct}
+                     WHERE {cc} IS NOT NULL) AS DOUBLE), 9) AS containment
+"""
+
+ORACLES["q_fk_discovery"] = " UNION ALL ".join(
+    _FK_PROBE.format(rel=rel, ct=ct, cc=cc, pt=pt, pc=pc)
+    for rel, ct, cc, pt, pc in [
+        ("l_orderkey->o_orderkey", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("o_custkey->c_custkey", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("l_suppkey->p_partkey", "lineitem", "l_suppkey",
+         "part", "p_partkey"),
+    ]
+)

@@ -447,3 +447,16 @@ def test_calibration_bins_partition_the_corpus(spark, sf_dir):
         assert 0 <= r.bin <= 9
         assert 0.0 <= r.accuracy <= 1.0
         assert abs(r.gap - abs(r.accuracy - r.confidence)) < 1e-9
+
+
+def test_fk_discovery_finds_the_real_keys(spark, sf_dir):
+    from fifa_data_pipeline_spark.plans.extended24 import q_fk_discovery
+
+    rows = {r.relationship: r for r in q_fk_discovery(spark, sf_dir).collect()}
+    assert rows["l_orderkey->o_orderkey"].containment == 1.0
+    assert rows["o_custkey->c_custkey"].containment == 1.0
+    fake = rows["l_suppkey->p_partkey"]
+    # overlap exists only by key-range coincidence; it must not report FK
+    assert fake.n_shared <= fake.n_child_distinct
+    r = rows["l_orderkey->o_orderkey"]
+    assert r.n_parent_distinct >= r.n_child_distinct

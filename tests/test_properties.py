@@ -311,3 +311,28 @@ def test_table_checksum_is_permutation_invariant(spark, rows):
     a = table_checksum(df, ["k", "v"]).collect()[0]
     b = table_checksum(df.repartition(3), ["k", "v"]).collect()[0]
     assert (a.checksum, a.n_rows) == (b.checksum, b.n_rows)
+
+
+@given(
+    minute=st.integers(0, 59),
+    hour=st.integers(0, 23),
+    start=st.datetimes(
+        min_value=dt.datetime(2024, 1, 1),
+        max_value=dt.datetime(2027, 1, 1),
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_cron_next_run_is_strictly_after_and_matches(minute, hour, start):
+    """next_run_after must return a time strictly after the input
+    whose fields match the cron spec, and it must be the FIRST such
+    time (nothing between input and result matches)."""
+    from fifa_data_pipeline_spark.plans.etl_flow import next_run_after
+
+    cron = f"{minute} {hour} * * *"
+    t = next_run_after(start, cron)
+    assert t > start
+    assert (t.minute, t.hour) == (minute, hour)
+    assert t.second == 0 and t.microsecond == 0
+    # firstness: the previous day's same wall-time is not in (start, t)
+    prev = t - dt.timedelta(days=1)
+    assert prev <= start
