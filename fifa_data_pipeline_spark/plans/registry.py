@@ -109,6 +109,7 @@ _WINDOW = [
     # ---- new this round (anti-entropy + cardinality sketch) ----
     "q_column_checksums", "q_kmv_distinct",
     "q_cohens_kappa", "q_calibration_bins", "q_stream_kmv", "q_mips",
+    "q_stream_checksum",
     "q_fk_discovery",
     # ---- TPC-H suite (never driver-checked except Q1) ----
     "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",

@@ -253,6 +253,37 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running table-checksum: lineitem key columns arrive
+    in micro-batches; the persisted XOR state after the last batch
+    must equal the BATCH checksum over the whole table (XOR
+    mergeability), so this streaming operator also gets a full
+    value-hash oracle — extended23's q_table_checksum SQL verbatim."""
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="spark_graft_ck_")
+    src, state, ckpt = f"{base}/src", f"{base}/state", f"{base}/ckpt"
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    li.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    S.stream_table_checksum(
+        stream, state, ckpt, ["l_orderkey", "l_linenumber", "l_returnflag"]
+    )
+    snap = spark.read.parquet(state)
+    last = snap.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+    return snap.filter(F.col("batch_id") == last).select(
+        "checksum", "n_rows"
+    )
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
     "q_stream_ewma": q_stream_ewma,
@@ -265,6 +296,7 @@ QUERIES = {
     "q_stream_cdc": q_stream_cdc,
     "q_stream_neardedup": q_stream_neardedup,
     "q_stream_kmv": q_stream_kmv,
+    "q_stream_checksum": q_stream_checksum,
 }
 
 # q_stream_kmv gets a FULL oracle: the associative KMV merge makes
@@ -272,6 +304,10 @@ QUERIES = {
 # batch twin (extended24's q_kmv_distinct SQL) is the exact oracle.
 from fifa_data_pipeline_spark.plans import extended24 as _e24  # noqa: E402
 
+from fifa_data_pipeline_spark.plans import extended23 as _e23  # noqa: E402
+
 ORACLES: dict[str, str] = {
     "q_stream_kmv": _e24.ORACLES["q_kmv_distinct"],
+    # XOR mergeability makes the streamed state equal the batch fold
+    "q_stream_checksum": _e23.ORACLES["q_table_checksum"],
 }

@@ -842,3 +842,88 @@ def stream_kmv_distinct(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_table_checksum(
+    events_stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    cols: list[str],
+) -> None:
+    """Streaming anti-entropy: maintain the running
+    :func:`~fifa_data_pipeline_spark.operators.relational.table_checksum`
+    of everything ingested so far. XOR is the whole trick — the fold
+    is commutative/associative/mergeable, so per-batch partial
+    checksums combine with the persisted state by one more XOR (and a
+    count addition), and the streamed state after N batches EQUALS
+    the batch checksum over all data regardless of batch boundaries.
+    A replica ingesting the same feed can compare one BIGINT per
+    checkpoint instead of re-scanning history.
+
+    Idempotency: state snapshots are batch_id-partitioned with
+    dynamic overwrite and each batch merges from the latest STRICTLY
+    earlier snapshot (the same replay contract as stream_near_dedup /
+    stream_kmv_distinct)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from fifa_data_pipeline_spark.operators.relational import (
+            table_checksum,
+        )
+
+        spark = batch_df.sparkSession
+        if not batch_df.head(1):
+            return
+        part = table_checksum(batch_df, cols)
+        prev = None
+        if os.path.exists(state_path):
+            snap = spark.read.parquet(state_path).filter(
+                F.col("batch_id") < F.lit(batch_id)
+            )
+            latest = snap.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+            if latest is not None:
+                prev = snap.filter(F.col("batch_id") == latest).select(
+                    "checksum", "n_rows"
+                )
+        if prev is not None:
+            merged = (
+                part.select(
+                    F.col("checksum").alias("__c1"),
+                    F.col("n_rows").alias("__n1"),
+                )
+                .crossJoin(
+                    F.broadcast(
+                        prev.select(
+                            F.col("checksum").alias("__c2"),
+                            F.col("n_rows").alias("__n2"),
+                        )
+                    )
+                )
+                .select(
+                    # NULL checksum = empty side; XOR with 0 is identity
+                    (
+                        F.coalesce("__c1", F.lit(0)).bitwiseXOR(
+                            F.coalesce("__c2", F.lit(0))
+                        )
+                    ).alias("checksum"),
+                    (F.col("__n1") + F.col("__n2")).alias("n_rows"),
+                )
+            )
+        else:
+            merged = part
+        (
+            merged.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_path)
+        )
+
+    q = (
+        events_stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

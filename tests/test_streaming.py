@@ -822,3 +822,62 @@ def test_stream_kmv_replay_and_batch_equivalence(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(out) if d.startswith("batch_id=")
     ) == [f"batch_id={b}" for b in range(last + 1)]
+
+
+def test_stream_checksum_equals_batch_and_replays_clean(spark, tmp_path):
+    """XOR mergeability: the streamed running checksum after all
+    batches equals the batch fold over all rows; replay after a lost
+    commit rebuilds the same state."""
+    import os
+
+    from fifa_data_pipeline_spark.operators.relational import table_checksum
+
+    base = tmp_path / "ck"
+    src = str(base / "src")
+    df = spark.createDataFrame(
+        [(i, i % 7, f"s{i%5}") for i in range(500)],
+        "a long, b long, c string",
+    )
+    df.filter("a < 250").coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter("a >= 250").coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    state, ckpt = str(base / "state"), str(base / "ckpt")
+
+    def run():
+        S.stream_table_checksum(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            state, ckpt, ["a", "b", "c"],
+        )
+
+    run()
+    last = max(
+        int(d.split("=")[1]) for d in os.listdir(state)
+        if d.startswith("batch_id=")
+    )
+    got = (
+        spark.read.parquet(state)
+        .filter(F.col("batch_id") == last)
+        .select("checksum", "n_rows")
+        .collect()[0]
+    )
+    want = table_checksum(df, ["a", "b", "c"]).collect()[0]
+    assert (got.checksum, got.n_rows) == (want.checksum, want.n_rows)
+    # lose the last commit; replay must rebuild identical state
+    commits = sorted(
+        c for c in os.listdir(os.path.join(ckpt, "commits"))
+        if not c.startswith(".")
+    )
+    os.remove(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    got2 = (
+        spark.read.parquet(state)
+        .filter(F.col("batch_id") == last)
+        .select("checksum", "n_rows")
+        .collect()[0]
+    )
+    assert (got2.checksum, got2.n_rows) == (want.checksum, want.n_rows)
