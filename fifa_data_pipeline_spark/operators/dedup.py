@@ -677,7 +677,12 @@ def all_pairs_jaccard(
         return jaccard_prefix_join(
             df, id_col, text_col, k=k, threshold=threshold
         )
-    sets = df.select(F.col(id_col), shingles(text_col, k).alias("__set"))
+    # materialize the shingle arrays before the cross join: projection
+    # collapse would otherwise rebuild each doc's shingles once per
+    # PAIR (n× redundant work); the checkpoint is ≤ crossover rows
+    sets = df.select(
+        F.col(id_col), shingles(text_col, k).alias("__set")
+    ).localCheckpoint(eager=False)
     a = sets.select(
         F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")
     )

@@ -360,7 +360,14 @@ def decontaminate(
             ).alias("__grams"),
         )
 
-    cg = grams_of(corpus)
+    # spread the corpus side: its gram build + md5 feeds a BROADCAST
+    # join (no downstream shuffle to parallelize it), so a single-
+    # split local file would run the whole hash stage on one core —
+    # measured −40% at sf0.1; no-op at production split counts. The
+    # benchmark side stays as-is (tiny, collapses to a broadcast set).
+    from fifa_data_pipeline_spark.sources.io import spread
+
+    cg = grams_of(spread(corpus))
     corpus_grams = exploded(
         cg,
         "__grams",

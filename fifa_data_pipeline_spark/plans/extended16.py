@@ -42,7 +42,13 @@ def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point estimates vs exact counts for the probe tokens over
     the documents token stream (depth 3 × width 1024)."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = exploded(docs, tokens("text"), "token")
+    # spread before the explode: the tokenize + per-token md5 fold is
+    # the dominant stage and runs inside the scan task — a single-
+    # split local file serializes it onto one core (measured −40% at
+    # sf0.1; no-op at production split counts)
+    from fifa_data_pipeline_spark.sources.io import spread
+
+    toks = exploded(spread(docs), tokens("text"), "token")
     cms = cms_build(toks, "token", CMS_DEPTH, CMS_WIDTH)
     probes = spark.createDataFrame([(t,) for t in CMS_PROBES], ["token"])
     est = cms_estimate(cms, probes, "token", CMS_DEPTH, CMS_WIDTH)
