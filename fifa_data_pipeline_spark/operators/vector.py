@@ -112,6 +112,79 @@ def knn_bruteforce(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact cosine top-k KNN JOIN: both sides stay distributed
+    DataFrames — no driver collect and no broadcast requirement — so
+    the query set may be as large as the corpus (the contract
+    :func:`knn_bruteforce` / :func:`knn_bruteforce_pandas` cannot
+    serve: both assume a small query batch).
+
+    Block-partitioned exact join: the corpus is hashed into
+    ``n_blocks`` disjoint blocks; each query row is replicated across
+    all blocks via an exploded ``sequence`` and equi-joined on the
+    block id, so every (query, corpus) pair meets exactly once. Top-k
+    is two-level: a per-(query, block) rank first — satisfied by the
+    join's existing hash distribution on the block id, so it adds only
+    a local sort, no exchange — then a global rank over the surviving
+    ``n_blocks × k`` candidates per query.
+
+    Scale shape: shuffle volume is |corpus| + n_blocks × |queries| in
+    (narrow rows) plus n_blocks × k × |queries| out; compute is the
+    unavoidable exact |Q| × |C| score but spread over blocks with no
+    single-task hotspot. ``n_blocks`` dials replication vs
+    parallelism: set it ≈ cluster cores / queries-per-core at 100 TB.
+    Results are bit-identical to :func:`knn_bruteforce` (same scoring
+    expression, same 6-dp rounding + id tie-break)."""
+    c = (
+        spread(corpus.select(id_col, vec_col))
+        .withColumn("__cn", norm(F.col(vec_col)))
+        .withColumn(
+            "__block",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__block"),
+    )
+    scored = (
+        c.join(q, "__block")
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
+    )
+    # Local rank: partitioning by (qid, __block) is satisfied by the
+    # join output's hashpartitioning(__block) — sort-only, no shuffle.
+    w_local = Window.partitionBy("qid", "__block").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    candidates = scored.withColumn(
+        "__lr", F.row_number().over(w_local)
+    ).filter(F.col("__lr") <= k)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", id_col, "sim", "rank")
+    )
+
+
 def range_search(
     corpus: DataFrame,
     queries: DataFrame,

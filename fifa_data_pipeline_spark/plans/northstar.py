@@ -239,6 +239,16 @@ def q_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.mips_topk(emb, _qset(emb), "vec_id", "embedding", k=10)
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN JOIN with the query set kept as a DataFrame — no
+    driver collect, no broadcast contract (VERDICT r3 #6). Block-
+    partitioned equi-join (corpus hashed into blocks, queries
+    replicated across blocks), two-level rank; bit-identical to
+    q_knn_exact, so it shares its oracle verbatim."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return V.knn_join(emb, _qset(emb), "vec_id", "embedding", k=10)
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k. Oracle-checked by a DuckDB twin
     that reproduces the deterministic hyperplane buckets bit-exactly
@@ -328,6 +338,7 @@ QUERIES = {
     "q_knn_pandas": q_knn_pandas,
     "q_embed_near_dup": q_embed_near_dup,
     "q_knn_exact": q_knn_exact,
+    "q_knn_join": q_knn_join,
     "q_mips": q_mips,
     "q_knn_range": q_knn_range,
     "q_knn_lsh": q_knn_lsh,
@@ -572,6 +583,9 @@ ORACLES = {
 # The Arrow/BLAS scorer rounds to the same 6 dp as the HOF scorer, so
 # it shares q_knn_exact's oracle verbatim.
 ORACLES["q_knn_pandas"] = ORACLES["q_knn_exact"]
+# The block-partitioned KNN join uses the same scoring expression and
+# 6-dp rounding as the broadcast form — oracle shared verbatim.
+ORACLES["q_knn_join"] = ORACLES["q_knn_exact"]
 
 
 # ---------------------------------------------------------------------------
