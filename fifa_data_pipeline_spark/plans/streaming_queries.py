@@ -1,7 +1,12 @@
-"""Streaming-backed registry queries (rows-only: streaming execution
-isn't SQL-expressible for the DuckDB oracle; the underlying
-aggregation/sessionization logic is oracle-checked via the batch
-twins q_window_tumbling / q_sessionize).
+"""Streaming-backed registry queries.
+
+Most get a FULL DuckDB value-hash oracle: an availableNow drain is
+deterministic, and append-mode emission ("end <= final watermark")
+is a plain SQL closure condition — see the ORACLES block below. The
+remaining rows-only entries (sessionize/ewma/distinct/neardedup) are
+pinned by exact batch-equivalence tests in test_streaming.py
+instead: their state transitions are not order-free SQL (stateful
+Python recurrences, HLL register merges, order-dependent accepts).
 
 Each query lands the events table into a temp directory (file stream
 sources require directories), drains the stream with an availableNow
@@ -310,4 +315,104 @@ ORACLES: dict[str, str] = {
     "q_stream_kmv": _e24.ORACLES["q_kmv_distinct"],
     # XOR mergeability makes the streamed state equal the batch fold
     "q_stream_checksum": _e23.ORACLES["q_table_checksum"],
+    # ---- availableNow drains with closed-form batch semantics ----
+    # The drains below are deterministic: a single-batch availableNow
+    # run finishes with watermark = max(ts) - delay, and append mode
+    # emits exactly the windows/sessions whose END <= that watermark
+    # (Spark's state-eviction predicate). That closure condition is
+    # plain SQL, so these streaming operators get the FULL value-hash
+    # oracle instead of the weaker rows-only check (VERDICT r3 #5).
+    # Boundary note: emission is `end <= watermark`; the testdata's
+    # max(ts) is not on a window boundary so the driver compare
+    # cannot be boundary-sensitive, and the equality form matches the
+    # engine's predicate.
+    "q_stream_tumbling": """
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events)
+        SELECT CAST(FLOOR(extract(epoch FROM date_trunc('hour', ts))) AS BIGINT) AS ws,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+        HAVING (ws + 3600) * 1000 <= (SELECT w FROM wm)
+    """,
+    "q_stream_hopping": """
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS w FROM events),
+        base AS (
+          SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS b,
+                 event_type, value
+          FROM events
+        )
+        SELECT b - o AS ws, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM base, (SELECT UNNEST([0, 3600]) AS o) offs
+        GROUP BY ws, event_type
+        HAVING (ws + 7200) * 1000 <= (SELECT w FROM wm)
+    """,
+    # Sessions close when last_event + gap falls behind the watermark;
+    # boundaries compared in µs BEFORE the second-floor projection.
+    "q_stream_session_window": """
+        WITH wm AS (SELECT epoch_us(MAX(ts)) - 3600000000 AS w FROM events),
+        e AS (
+          SELECT user_id, value, epoch_us(ts) AS us FROM events
+        ), flagged AS (
+          SELECT user_id, value, us,
+                 CASE WHEN us - LAG(us) OVER w IS NULL
+                        OR us - LAG(us) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), sess AS (
+          SELECT user_id, value, us,
+                 SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               CAST(FLOOR(MIN(us) / 1000000) AS BIGINT) AS session_start,
+               CAST(FLOOR(MAX(us) / 1000000) AS BIGINT) AS session_last,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM sess GROUP BY user_id, sid
+        HAVING MAX(us) + 1800000000 <= (SELECT w FROM wm)
+    """,
+    # The doubled landing is drained in one availableNow batch, so
+    # every duplicate pair is in-state together and the output is the
+    # single-copy table (event_id is unique in the testdata — pinned
+    # by the count/distinct assertion in test_streaming.py).
+    "q_stream_dedup": """
+        SELECT event_id, user_id, event_type FROM events
+    """,
+    # Inner stream-stream join: every match is emitted in the batch
+    # where it is found; a single-batch drain therefore emits the
+    # complete batch interval join.
+    "q_stream_interval_join": """
+        SELECT p.user_id, p.event_id AS l_event_id, v.event_id AS r_event_id,
+               CAST(FLOOR(extract(epoch FROM p.ts)) AS BIGINT) AS l_epoch,
+               CAST(FLOOR(extract(epoch FROM v.ts)) AS BIGINT) AS r_epoch
+        FROM events p JOIN events v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    # The bucket-merge CDC sink converges to last-writer-wins per key
+    # regardless of batch boundaries (merge is by (ep, event_id)
+    # recency) — the batch twin q_cdc_apply's ranking, re-aliased to
+    # the live store's column names.
+    "q_stream_cdc": """
+        WITH feed AS (
+          SELECT user_id,
+                 CASE event_type WHEN 'signup' THEN 'I'
+                                 WHEN 'error' THEN 'D'
+                                 ELSE 'U' END AS op,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep,
+                 event_id, value
+          FROM events
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ep DESC, event_id DESC) AS rn
+          FROM feed
+        )
+        SELECT user_id, op, ep, ROUND(value, 6) AS value_r
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
 }

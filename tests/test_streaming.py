@@ -116,6 +116,20 @@ def test_stream_dedup_drops_duplicates(spark, tmp_path):
     assert {r.event_id: r.c for r in got} == {1: 1, 2: 1}
 
 
+def test_events_event_id_unique_in_testdata(spark):
+    """q_stream_dedup's DuckDB oracle is the plain single-copy select,
+    which is only valid while event_id is unique in the events table —
+    pin that invariant here so a testdata change fails loudly instead
+    of silently weakening the oracle."""
+    from tests.conftest import SF_DIR
+
+    ev = read_table(spark, SF_DIR, "events")
+    n, d = ev.agg(
+        F.count(F.lit(1)), F.countDistinct("event_id")
+    ).first()
+    assert n == d
+
+
 def test_sessionize_state_carries_across_batches(spark, tmp_path):
     import datetime as dt
 
