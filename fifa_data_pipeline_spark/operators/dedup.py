@@ -701,3 +701,98 @@ def all_pairs_jaccard(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+) -> DataFrame:
+    """Exact cross-document repeated-span detection: every position
+    whose ``w``-token n-gram also occurs in at least one OTHER
+    document — the primitive behind exact substring deduplication
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better": repeated spans are memorization fuel; production
+    pipelines cut or down-weight them). Returns
+    ``(doc_id, pos, gram)`` with 1-based token positions.
+
+    Plan shape: position n-grams are a pure per-row explode
+    (``sequence`` + ``slice`` — JVM-side, no UDF); the ONLY wide
+    stage is the gram groupBy that counts distinct source docs, and
+    the gram key is the shuffle key — uniform by construction, so
+    the stage scales like any hash aggregate. A 100 TB corpus
+    shuffles one row per token occurrence with a w-token payload;
+    to cut payload 10×, substitute ``md5(gram)`` as the join key and
+    recover the text from one side only."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    # guard: Spark's sequence(1, n) DESCENDS when n < 1 (a doc
+    # shorter than w tokens would yield [1, 0] and slice(…, 0)
+    # throws) — emit an empty position list for short docs instead
+    positions = F.when(
+        F.size("__t") >= w, F.sequence(F.lit(1), F.size("__t") - w + 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = toks.select(
+        id_col,
+        F.explode(
+            F.transform(
+                positions,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice("__t", i, w)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    multi = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("gram")
+    )
+    return grams.join(multi, "gram").select(id_col, "pos", "gram")
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+) -> DataFrame:
+    """Per-document repeated-span exposure: total w-gram positions,
+    positions whose gram recurs in another doc, and the duplicated
+    fraction — the per-doc score a curation pipeline thresholds on
+    (drop or trim docs past e.g. 30% duplicated spans). Documents
+    shorter than ``w`` tokens have zero positions and are reported
+    with ``dup_ratio`` 0. Same single-wide-stage shape as
+    :func:`repeated_ngram_spans` plus one doc-key aggregate."""
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    totals = toks.select(
+        id_col,
+        F.greatest(F.size("__t") - w + 1, F.lit(0)).alias("n_spans"),
+    )
+    dup = (
+        repeated_ngram_spans(df, id_col, text_col, w)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        totals.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.when(F.col("n_spans") > 0,
+                       F.coalesce("n_dup_spans", F.lit(0))
+                       / F.col("n_spans")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

@@ -273,3 +273,36 @@ def run_scheduled(
         _json.dump({"last_fire": fire.isoformat()}, fh)
     os.replace(tmp, state_path)
     return {"ran": True, "fire_time": fire.isoformat(), "attempts": attempts}
+
+
+# ---------------------------------------------------------------------------
+# Registry surface (VERDICT r3 #7): the lifecycle twin as a driver-
+# checked query. The flow's CSV-landing → typed materialize →
+# flagship chain must reproduce the flagship result EXACTLY — the
+# CSV hop is value-roundtrip-safe (Spark writes doubles at shortest
+# roundtrip precision; timestamps re-cast from ISO strings) and the
+# quality filters are no-ops on key-complete testdata, so the
+# flagship's own DuckDB oracle is the oracle for the whole flow.
+# ---------------------------------------------------------------------------
+
+
+def q_etl_flow(spark: SparkSession, sf_dir: str):
+    """Run the full reference-shaped ETL flow (land → materialize →
+    flagship → sink) into a temp workspace and return the sunk
+    result."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="spark_graft_etl_")
+    return etl_flow(
+        spark,
+        sf_dir,
+        os.path.join(base, "landing"),
+        os.path.join(base, "warehouse"),
+        os.path.join(base, "result"),
+    )
+
+
+from fifa_data_pipeline_spark.plans.flagship import FLAGSHIP_ORACLE  # noqa: E402
+
+QUERIES = {"q_etl_flow": q_etl_flow}
+ORACLES = {"q_etl_flow": FLAGSHIP_ORACLE}

@@ -56,11 +56,13 @@ def _load() -> None:
         extended22,
         extended23,
         extended24,
+        extended25,
         northstar,
         parity,
         tpch,
         tpch2,
         streaming_queries,
+        etl_flow,
     )
 
     _merge(parity)
@@ -89,9 +91,11 @@ def _load() -> None:
     _merge(extended22)
     _merge(extended23)
     _merge(extended24)
+    _merge(extended25)
     _merge(tpch)
     _merge(tpch2)
     _merge(streaming_queries)
+    _merge(etl_flow)
 
 
 #: The correctness driver checks queries in registry order with a

@@ -192,3 +192,51 @@ def test_all_pairs_jaccard_paths_agree(spark, sf_dir):
     rows_p = sorted(map(tuple, prefix.collect()))
     assert rows_b == rows_p
     assert rows_b  # non-vacuous: the fixture has near-dup pairs
+
+
+def test_repeated_ngram_spans_finds_cross_doc_span(spark):
+    """Two docs share an exact 4-token run; a third is unique. Only
+    the shared positions are reported, with correct 1-based offsets."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z w"),          # "a b c d" at pos 1
+            (2, "q q a b c d t u"),          # "a b c d" at pos 3
+            (3, "entirely different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.pos, r.gram)
+        for r in D.repeated_ngram_spans(docs, w=4).collect()
+    }
+    assert out == {(1, 1, "a b c d"), (2, 3, "a b c d")}
+
+
+def test_dup_span_stats_ratio_and_short_doc(spark):
+    """Per-doc exposure: doc 1 has 5 positions (8 tokens, w=4), one
+    duplicated; a doc shorter than w reports zero positions and
+    ratio 0 (no division blowup)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z w"),
+            (2, "q q a b c d t u"),
+            (3, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in D.dup_span_stats(docs, w=4).collect()}
+    assert rows[1].n_spans == 5 and rows[1].n_dup_spans == 1
+    assert rows[1].dup_ratio == 0.2
+    assert rows[3].n_spans == 0 and rows[3].dup_ratio == 0.0
+
+
+def test_repeated_spans_within_single_doc_not_flagged(spark):
+    """A span repeated only WITHIN one document is not cross-doc
+    duplication (countDistinct doc >= 2 is the predicate) — the
+    operator targets inter-document memorization fuel, and intra-doc
+    repetition is already scored by q_repetition_score."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "other words entirely here")],
+        ["doc_id", "text"],
+    )
+    assert D.repeated_ngram_spans(docs, w=4).count() == 0

@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "q_mixture_sample",  # hash threshold vs broadcast per-domain rates
     # genuine non-equi join against a bounded broadcast query batch
     "q_knn_exact",       # corpus x broadcast query vectors
+    "q_mips",            # same shape, dot-product objective
     # TPC-H scalar-subquery shapes: the HAVING/threshold comparison
     # is pushed into a BNLJ whose broadcast side is a ONE-ROW
     # aggregate (global total / avg) — bounded by construction
