@@ -18,6 +18,17 @@ from fifa_data_pipeline_spark.sources.io import read_table
 _W = 8
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint candidate pairs: docs sharing >= 2
+    window-min gram-hash fingerprints, fingerprint-bucketed (never
+    all-pairs) with the band-guard discipline on degenerate
+    boilerplate fingerprints. The DuckDB twin reproduces the 60-bit
+    md5 fold and the window-min selection bit-exactly."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.winnow_pairs(docs, "doc_id", "text", k=5, window=4,
+                          min_shared=2, max_bucket=50)
+
+
 def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-span exposure at w=8 tokens: how much of
     each document consists of spans that recur verbatim in OTHER
@@ -27,9 +38,45 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_span_stats(docs, "doc_id", "text", w=_W)
 
 
-QUERIES = {"q_repeated_spans": q_repeated_spans}
+QUERIES = {
+    "q_repeated_spans": q_repeated_spans,
+    "q_winnow_pairs": q_winnow_pairs,
+}
+
+_FOLD = (
+    "list_reduce(list_transform(range(1, 16), "
+    "j -> CAST(strpos('0123456789abcdef', substr(md5({x}), j, 1)) - 1 "
+    "AS BIGINT)), (a, b) -> a * 16 + b)"
+)
 
 ORACLES = {
+    "q_winnow_pairs": rf"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(t) - 5 + 1, 0) + 1),
+                   i -> {_FOLD.format(x="array_to_string(t[i : i + 4], ' ')")}
+                 ) AS h
+          FROM toks
+        ), f AS (
+          SELECT DISTINCT doc_id, u.fp
+          FROM g, UNNEST(
+            list_distinct(list_transform(
+              range(1, greatest(len(h) - 4 + 1, 0) + 1),
+              j -> list_min(h[j : j + 3])))) AS u(fp)
+        ), sized AS (
+          SELECT fp FROM f GROUP BY fp
+          HAVING COUNT(*) BETWEEN 2 AND 50
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM f a JOIN sized s ON a.fp = s.fp
+                 JOIN f b ON b.fp = a.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    """,
     "q_repeated_spans": rf"""
         WITH toks AS (
           SELECT doc_id,

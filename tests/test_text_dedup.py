@@ -240,3 +240,69 @@ def test_repeated_spans_within_single_doc_not_flagged(spark):
         ["doc_id", "text"],
     )
     assert D.repeated_ngram_spans(docs, w=4).count() == 0
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """Winnowing's defining property: any shared token run of length
+    >= k + window - 1 (here 5+4-1 = 8) yields at least one shared
+    fingerprint between the two documents — regardless of where the
+    run sits in each doc."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 y1 " + shared + " z1 w1"),
+            (2, shared + " completely different tail words"),
+            (3, "no overlap with anything else at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    from fifa_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    by_doc = {
+        r.doc_id: set(r.f)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("f")).collect()
+    }
+    assert by_doc[1] & by_doc[2]           # shared run detected
+    assert not (by_doc[1] & by_doc[3])     # no false overlap
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_pairs_counts_shared_fingerprints(spark):
+    """Pair report: two near-copies share >= min_shared fingerprints;
+    the unrelated doc appears in no pair."""
+    base = ("one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " with a small appended suffix"),
+            (3, "totally unrelated content that shares nothing at all "
+                "with the others in any span of tokens"),
+        ],
+        ["doc_id", "text"],
+    )
+    from fifa_data_pipeline_spark.operators.dedup import winnow_pairs
+
+    rows = winnow_pairs(docs, min_shared=2).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+    assert rows[0].n_shared >= 2
+
+
+def test_winnow_pairs_bucket_guard_drops_boilerplate(spark):
+    """A fingerprint shared by more than max_bucket docs is dropped
+    before pair generation (quadratic-bucket protection): with
+    max_bucket=2 a 3-way clique of identical docs yields no pairs,
+    while max_bucket=3 reports all three pairs."""
+    txt = "same words repeated across every doc in this tiny corpus"
+    docs = spark.createDataFrame(
+        [(i, txt) for i in (1, 2, 3)], ["doc_id", "text"]
+    )
+    from fifa_data_pipeline_spark.operators.dedup import winnow_pairs
+
+    guarded = winnow_pairs(docs, max_bucket=2).count()
+    open_ = winnow_pairs(docs, max_bucket=3)
+    assert guarded == 0
+    assert {(r.id_a, r.id_b) for r in open_.collect()} == {
+        (1, 2), (1, 3), (2, 3)
+    }
