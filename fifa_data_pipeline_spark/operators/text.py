@@ -633,3 +633,90 @@ def canonicalize_text(
             yield out
 
     return df.mapInPandas(run, f"{in_fields}, {alias} string")
+
+
+#: the 8 "required words" of the Gopher quality filter (Rae et al.
+#: 2021, "Scaling Language Models: ... Gopher", Appendix A1.1)
+GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    Appendix A1.1 — the filter set MassiveWeb/MassiveText shipped
+    with, reused by RedPajama/Dolma-style pipelines), each as a
+    boolean column plus the conjunction ``passes_gopher``:
+
+    - ``r_word_count``: word count in [min_words, max_words]
+    - ``r_mean_word_len``: mean word length in [3, 10]
+    - ``r_symbol_ratio``: symbol-to-word ratio (# or …/...) < 0.1
+    - ``r_bullet_lines``: < 90% of lines start with a bullet
+    - ``r_ellipsis_lines``: < 30% of lines end with an ellipsis
+    - ``r_alpha_words``: > 80% of words contain a letter
+    - ``r_required_words``: ≥ 2 distinct of the 8 required English
+      function words present
+
+    Everything is a closed-form per-row expression (split + filter +
+    size) — no shuffle, no UDF; at 100 TB this is a map-only stage
+    fused into the scan, and the SQL twin reproduces each rule
+    exactly (IEEE-double ratios, same tokenizations)."""
+    toks = tokens(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    nw = F.size(toks)
+    nl = F.size(lines)
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    n_symbols = F.size(
+        F.filter(toks, lambda t: t.contains("#") | t.contains("...") | t.contains("…"))
+    )
+    n_bullets = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("-")
+            | F.trim(l).startswith("*")
+            | F.trim(l).startswith("•"),
+        )
+    )
+    n_ellipsis_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_required = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED]),
+        )
+    )
+    out = (
+        df.withColumn("__nw", nw)
+        .withColumn(
+            "r_word_count",
+            (F.col("__nw") >= min_words) & (F.col("__nw") <= max_words),
+        )
+        .withColumn(
+            "r_mean_word_len",
+            (tok_chars / F.col("__nw") >= 3) & (tok_chars / F.col("__nw") <= 10),
+        )
+        .withColumn("r_symbol_ratio", n_symbols / F.col("__nw") < 0.1)
+        .withColumn("r_bullet_lines", n_bullets / nl < 0.9)
+        .withColumn("r_ellipsis_lines", n_ellipsis_end / nl < 0.3)
+        .withColumn("r_alpha_words", n_alpha / F.col("__nw") > 0.8)
+        .withColumn("r_required_words", n_required >= 2)
+    )
+    rules = [
+        "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+        "r_required_words",
+    ]
+    acc = F.col(rules[0])
+    for r in rules[1:]:
+        acc = acc & F.col(r)
+    return out.withColumn("passes_gopher", acc).drop("__nw")

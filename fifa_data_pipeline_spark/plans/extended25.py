@@ -107,3 +107,77 @@ ORACLES = {
         FROM spans s LEFT JOIN dup d USING (doc_id)
     """,
 }
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-filter report (min_words=20 to fit the
+    synthetic docs' length range): docs passing the full conjunction
+    and per-rule failure counts — the audit table a curation run
+    publishes alongside the filtered corpus."""
+    from fifa_data_pipeline_spark.operators import text as X
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    r = X.gopher_rules(docs, min_words=20)
+    cnt = lambda c: F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(f"fail_{c[2:]}")  # noqa: E731
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("passes_gopher"), 1).otherwise(0)).alias("n_pass"),
+        cnt("r_word_count"),
+        cnt("r_mean_word_len"),
+        cnt("r_symbol_ratio"),
+        cnt("r_bullet_lines"),
+        cnt("r_ellipsis_lines"),
+        cnt("r_alpha_words"),
+        cnt("r_required_words"),
+    )
+
+
+QUERIES["q_gopher_rules"] = q_gopher_rules
+
+ORACLES["q_gopher_rules"] = r"""
+    WITH t AS (
+      SELECT source,
+             string_split_regex(trim(text), '\s+') AS w,
+             string_split(text, chr(10)) AS l
+      FROM documents
+    ), r AS (
+      SELECT source,
+             len(w) AS nw,
+             (len(w) BETWEEN 20 AND 100000) AS r_word_count,
+             (list_sum(list_transform(w, x -> len(x))) / len(w)
+                BETWEEN 3 AND 10) AS r_mean_word_len,
+             (len(list_filter(w, x -> contains(x, '#')
+                OR contains(x, '...') OR contains(x, '…'))) / len(w)
+                < 0.1) AS r_symbol_ratio,
+             (len(list_filter(l, x -> starts_with(trim(x), '-')
+                OR starts_with(trim(x), '*')
+                OR starts_with(trim(x), '•'))) / len(l)
+                < 0.9) AS r_bullet_lines,
+             (len(list_filter(l, x -> ends_with(trim(x), '...')
+                OR ends_with(trim(x), '…'))) / len(l)
+                < 0.3) AS r_ellipsis_lines,
+             (len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                / len(w) > 0.8) AS r_alpha_words,
+             (len(list_intersect(list_distinct(list_transform(w,
+                x -> lower(x))),
+                ['the','be','to','of','and','that','have','with']))
+                >= 2) AS r_required_words
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r_word_count AND r_mean_word_len
+                          AND r_symbol_ratio AND r_bullet_lines
+                          AND r_ellipsis_lines AND r_alpha_words
+                          AND r_required_words
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN NOT r_word_count THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+           CAST(SUM(CASE WHEN NOT r_mean_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(CASE WHEN NOT r_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol_ratio,
+           CAST(SUM(CASE WHEN NOT r_bullet_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_bullet_lines,
+           CAST(SUM(CASE WHEN NOT r_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis_lines,
+           CAST(SUM(CASE WHEN NOT r_alpha_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha_words,
+           CAST(SUM(CASE WHEN NOT r_required_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_required_words
+    FROM r GROUP BY source
+"""

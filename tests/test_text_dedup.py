@@ -306,3 +306,30 @@ def test_winnow_pairs_bucket_guard_drops_boilerplate(spark):
     assert {(r.id_a, r.id_b) for r in open_.collect()} == {
         (1, 2), (1, 3), (2, 3)
     }
+
+
+def test_gopher_rules_individual_rule_triggers(spark):
+    """Each constructed pathology fails exactly its targeted rule."""
+    from fifa_data_pipeline_spark.operators.text import gopher_rules
+
+    good = ("the cat and the dog went to the house of a friend that "
+            "we have known for years with many fine words here more "
+            "words to clear twenty tokens easily done now")
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short text"),                       # word count
+            (3, " ".join(["####"] * 30)),            # symbol ratio (+required)
+            (4, "\n".join(["- bullet point here"] * 10)
+                + "\nthe be to of and that have with filler words "
+                + " ".join(["pad"] * 15)),           # bullet lines
+            (5, " ".join(["12345"] * 30)),           # alpha words (+required)
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs, min_words=20).collect()}
+    assert rows[1].passes_gopher
+    assert not rows[2].r_word_count
+    assert not rows[3].r_symbol_ratio and not rows[3].passes_gopher
+    assert not rows[4].r_bullet_lines
+    assert not rows[5].r_alpha_words
