@@ -720,3 +720,105 @@ def gopher_rules(
     for r in rules[1:]:
         acc = acc & F.col(r)
     return out.withColumn("passes_gopher", acc).drop("__nw")
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "__is_target",
+    n_buckets: int = 256,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): represent each doc
+    as hashed word-bigram counts over ``n_buckets`` buckets, fit
+    per-bucket unigram probabilities for the TARGET subset (rows with
+    ``target_col`` true) and the RAW corpus (all rows) with additive
+    smoothing, and score every doc by its log-likelihood ratio
+    Σ count_b · ln(p_target(b) / p_raw(b)) — the weight importance
+    resampling then samples by (high score = looks like the target
+    distribution).
+
+    Engine-portability: bucket = the 60-bit md5 fold mod n_buckets
+    (bit-identical in SQL); each bucket's log-ratio is rounded to
+    integer MICRO-units first, and the per-doc score is a BIGINT sum
+    of count × micro-units — integer addition is order-free, so the
+    score is reproducible across engines, partitionings and reruns
+    (a raw double Σ would depend on partial-sum order). ``score`` is
+    the micro-unit total divided back out, rounded to 6 dp.
+
+    Plan shape: one bigram explode + two tiny bucket aggregates
+    (n_buckets rows, broadcast back) + one per-doc sum — the fact
+    table shuffles once on (doc, bucket); at 100 TB the bucket
+    distributions are a metadata-sized side input, exactly the
+    streaming-friendly structure the paper exploits."""
+    toks = tokens(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    base = df.select(
+        F.col(id_col),
+        F.col(target_col).alias("__t"),
+        F.explode(bigrams).alias("__g"),
+    ).withColumn(
+        "__b",
+        F.pmod(
+            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("bigint"),
+            F.lit(n_buckets),
+        ),
+    )
+    doc_counts = base.groupBy(id_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    bucket = (
+        base.groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__raw"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__tgt"),
+        )
+    )
+    totals = bucket.agg(
+        F.sum("__raw").alias("__nraw"), F.sum("__tgt").alias("__ntgt")
+    )
+    weights = bucket.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            (
+                F.log(
+                    (F.col("__tgt") + smoothing)
+                    / (F.col("__ntgt") + smoothing * n_buckets)
+                )
+                - F.log(
+                    (F.col("__raw") + smoothing)
+                    / (F.col("__nraw") + smoothing * n_buckets)
+                )
+            )
+            * 1_000_000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("__w"),
+    )
+    scored = (
+        doc_counts.join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_bigrams"),
+            F.sum(F.col("__c") * F.col("__w")).alias("score_micro"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "score_micro",
+        F.round(F.col("score_micro") / 1_000_000.0 / F.col("n_bigrams"), 6).alias(
+            "score"
+        ),
+    )

@@ -181,3 +181,60 @@ ORACLES["q_gopher_rules"] = r"""
            CAST(SUM(CASE WHEN NOT r_required_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_required_words
     FROM r GROUP BY source
 """
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores with target = the 'en'-labeled docs:
+    per-doc hashed-bigram log-likelihood ratio (micro-unit integer
+    sums — order-free, engine-portable)."""
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "__is_target", F.col("lang") == "en"
+    )
+    from fifa_data_pipeline_spark.operators import text as X
+
+    # integer columns only: score_micro/n_bigrams are exact BIGINTs in
+    # both engines, while the convenience double `score` can land on
+    # an exact .5 micro-average where Spark's BigDecimal HALF_UP and
+    # DuckDB's float rounding disagree (observed at sf0.1, doc 4326)
+    return X.dsir_scores(docs, "doc_id", "text", "__is_target").select(
+        "doc_id", "n_bigrams", "score_micro"
+    )
+
+
+QUERIES["q_dsir_scores"] = q_dsir_scores
+
+ORACLES["q_dsir_scores"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS t_,
+             string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, t_,
+             {_FOLD.format(x="u.g")} % 256 AS b
+      FROM toks, UNNEST(
+        CASE WHEN len(w) >= 2 THEN
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        ELSE [] END) AS u(g)
+    ), doc_counts AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ), bucket AS (
+      SELECT b, COUNT(*) AS raw,
+             SUM(CASE WHEN t_ THEN 1 ELSE 0 END) AS tgt
+      FROM base GROUP BY b
+    ), totals AS (
+      SELECT SUM(raw) AS nraw, SUM(tgt) AS ntgt FROM bucket
+    ), wts AS (
+      SELECT b,
+             CAST(ROUND((ln((tgt + 0.5) / (ntgt + 0.5 * 256))
+                       - ln((raw + 0.5) / (nraw + 0.5 * 256)))
+                  * 1000000, 0) AS BIGINT) AS wt
+      FROM bucket, totals
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(c * wt) AS BIGINT) AS score_micro
+    FROM doc_counts JOIN wts USING (b)
+    GROUP BY doc_id
+"""

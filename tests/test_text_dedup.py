@@ -333,3 +333,25 @@ def test_gopher_rules_individual_rule_triggers(spark):
     assert not rows[3].r_symbol_ratio and not rows[3].passes_gopher
     assert not rows[4].r_bullet_lines
     assert not rows[5].r_alpha_words
+
+
+def test_dsir_scores_prefer_target_like_docs(spark):
+    """DSIR sanity: docs whose bigrams match the target subset's
+    distribution score higher than docs matching the off-target
+    distribution; scores are exact integers (micro-units)."""
+    from fifa_data_pipeline_spark.operators.text import dsir_scores
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    o = "uno dos tres cuatro cinco seis siete ocho nueve diez once doce"
+    docs = spark.createDataFrame(
+        [
+            (1, t, True), (2, t, True), (3, o, False), (4, o, False),
+            (5, t + " with a small tail", False),   # target-LIKE, unlabeled
+            (6, o + " y mas palabras aqui", False), # off-target-like
+        ],
+        ["doc_id", "text", "__is_target"],
+    )
+    rows = {r.doc_id: r for r in dsir_scores(docs).collect()}
+    per = {k: v.score_micro / v.n_bigrams for k, v in rows.items()}
+    assert per[5] > per[6]
+    assert all(isinstance(v.score_micro, int) for v in rows.values())
