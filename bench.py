@@ -182,6 +182,12 @@ HEADLINE = [
     "q_bigram_lm",
     "q_ivm_delta",
     "q_quality_fusion",
+    # round-4 closing additions (all JVM-path, oracle-checked)
+    "q_knn_join",
+    "q_repeated_spans",
+    "q_winnow_pairs",
+    "q_gopher_rules",
+    "q_dsir_scores",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the

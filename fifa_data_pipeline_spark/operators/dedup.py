@@ -864,7 +864,14 @@ def winnow_pairs(
     shared by more than ``max_bucket`` docs (the LSH band-guard
     discipline — a stopword-run fingerprint would otherwise go
     quadratic at corpus scale)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, window).distinct()
+    # checkpoint the narrow (doc, fp) table: it feeds three consumers
+    # (bucket sizing + both join sides) and the md5-per-gram
+    # fingerprint pipeline would otherwise be recomputed per consumer
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k, window)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     sized = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__n"))
