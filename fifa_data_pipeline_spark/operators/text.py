@@ -774,15 +774,26 @@ def dsir_scores(
             F.lit(n_buckets),
         ),
     )
-    doc_counts = base.groupBy(id_col, "__b").agg(
-        F.count(F.lit(1)).alias("__c")
+    # ONE pass over the md5 explode: per-(doc, bucket) counts carry
+    # the doc's target flag, and the per-bucket distributions are a
+    # rollup of that table — without this the explode pipeline is
+    # re-evaluated for every downstream consumer (measured 7× wall
+    # at the 10× scale-up before the restructure). The checkpoints
+    # are narrow: ≤ docs × n_buckets and n_buckets rows.
+    doc_counts = (
+        base.groupBy(id_col, "__t", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
     bucket = (
-        base.groupBy("__b")
+        doc_counts.groupBy("__b")
         .agg(
-            F.count(F.lit(1)).alias("__raw"),
-            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__tgt"),
+            F.sum("__c").alias("__raw"),
+            F.sum(F.when(F.col("__t"), F.col("__c")).otherwise(0)).alias(
+                "__tgt"
+            ),
         )
+        .localCheckpoint(eager=False)
     )
     totals = bucket.agg(
         F.sum("__raw").alias("__nraw"), F.sum("__tgt").alias("__ntgt")

@@ -110,6 +110,13 @@ _WINDOW = [
     # the warehouse layer, and the r3-r6 analytics/curation operators —
     # plus the two new round-7 operators. Everything rotated out stays
     # green under the local mimic (tools/check_oracle.py, all 244).
+    # R5 ROTATION NOTE: next round, rotate in (a) the remaining
+    # never-driver-checked names (extended10-22 analytics not listed
+    # below) and (b) this round's new oracle-checked queries —
+    # q_knn_join, q_etl_flow, q_repeated_spans, q_winnow_pairs,
+    # q_gopher_rules, q_dsir_scores, and the six streaming drains
+    # that now carry full SQL oracles (q_stream_tumbling/_hopping/
+    # _session_window/_dedup/_interval_join/_cdc).
     # ---- new this round (anti-entropy + cardinality sketch) ----
     "q_column_checksums", "q_kmv_distinct",
     "q_cohens_kappa", "q_calibration_bins", "q_stream_kmv", "q_mips",
