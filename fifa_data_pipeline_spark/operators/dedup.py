@@ -725,28 +725,17 @@ def repeated_ngram_spans(
     shuffles one row per token occurrence with a w-token payload;
     to cut payload 10×, substitute ``md5(gram)`` as the join key and
     recover the text from one side only."""
-    toks = df.select(
+    from fifa_data_pipeline_spark.operators.text import position_ngrams
+
+    # posexplode over the zip_with gram build (see position_ngrams:
+    # a slice-inside-transform lambda would re-evaluate the split per
+    # position — O(tokens²)); pos is the 1-based token offset
+    grams = df.select(
         F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
-    )
-    # guard: Spark's sequence(1, n) DESCENDS when n < 1 (a doc
-    # shorter than w tokens would yield [1, 0] and slice(…, 0)
-    # throws) — emit an empty position list for short docs instead
-    positions = F.when(
-        F.size("__t") >= w, F.sequence(F.lit(1), F.size("__t") - w + 1)
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    grams = toks.select(
-        id_col,
-        F.explode(
-            F.transform(
-                positions,
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.concat_ws(" ", F.slice("__t", i, w)).alias("gram"),
-                ),
-            )
-        ).alias("g"),
-    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        F.posexplode(
+            position_ngrams(F.split(F.trim(F.col(text_col)), r"\s+"), w)
+        ).alias("__p", "gram"),
+    ).select(id_col, (F.col("__p") + 1).alias("pos"), "gram")
     multi = (
         grams.groupBy("gram")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -819,31 +808,37 @@ def winnow_fingerprints(
     60-bit md5 fold (bit-identical in the DuckDB twin). Everything up
     to the explode is per-row higher-order functions — no UDF, no
     shuffle; a 100 TB corpus emits ~2·tokens/(window+1) narrow rows."""
-    toks = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+    from fifa_data_pipeline_spark.operators.text import position_ngrams
+
+    # gram hashes: the fold's lambda argument is the gram itself, so
+    # per-element work is O(1); the gram array comes from the
+    # zip_with build (a slice-inside-transform form would re-split
+    # the text per position — see position_ngrams)
+    hashes = F.transform(
+        position_ngrams(F.split(F.trim(F.col(text_col)), r"\s+"), k),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
     )
-    m = F.size("__t") - k + 1  # gram count
-    gram_hash = lambda i: (  # noqa: E731
-        F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice("__t", i, k))), 1, 15),
-            16,
-            10,
-        ).cast("bigint")
-    )
-    hashes = F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), gram_hash)).otherwise(
-        F.expr("array()").cast("array<bigint>")
-    )
-    with_h = toks.select(id_col, hashes.alias("__h"))
-    nw = F.size("__h") - window + 1  # window count
-    fps = F.when(
-        nw >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), nw),
-                lambda j: F.array_min(F.slice("__h", j, window)),
-            )
+    with_h = df.select(F.col(id_col), hashes.alias("__h"))
+    # sliding window-min under a let binding (transform over a
+    # single-element array materializes __h once as lambda var h;
+    # slicing the raw column inside the inner lambda would re-run
+    # the whole gram-hash pipeline per window position — see
+    # text.position_ngrams)
+    fps = F.element_at(
+        F.transform(
+            F.array(F.col("__h")),
+            lambda h: F.when(
+                F.size(h) >= window,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(h) - window + 1),
+                        lambda j: F.array_min(F.slice(h, j, window)),
+                    )
+                ),
+            ).otherwise(F.expr("array()").cast("array<bigint>")),
         ),
-    ).otherwise(F.expr("array()").cast("array<bigint>"))
+        1,
+    )
     return with_h.select(id_col, F.explode(fps).alias("fp"))
 
 
