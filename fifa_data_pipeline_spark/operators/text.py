@@ -262,10 +262,7 @@ def repetition_score(
     df = df.withColumn("__toks", toks)
     n = F.size("__toks")
     n_grams = n - k + 1
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, k)),
-    )
+    grams = position_ngrams(F.col("__toks"), k)  # let-bound: no re-split
     dup_gram = F.when(
         n_grams >= 1,
         F.round(
@@ -341,14 +338,10 @@ def ngrams_of_tokens(toks: Column, n: int) -> Column:
     because decontamination must not match short docs on partial
     grams.
 
-    Pass a NAMED column: higher-order lambdas are not subject to
-    common-subexpression elimination, so an inline ``split`` here is
-    re-evaluated once per gram (measured 6× slower at sf0.1)."""
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
+    Built on :func:`position_ngrams` (let-bound), so the token-array
+    expression is evaluated once regardless of gram count — the
+    previous slice-in-lambda form re-evaluated it per gram."""
+    return F.when(F.size(toks) >= n, position_ngrams(toks, n)).otherwise(
         F.array().cast("array<string>")
     )
 
