@@ -883,3 +883,58 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def trim_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 10,
+) -> DataFrame:
+    """The CLEANING step of exact substring dedup (the action behind
+    :func:`dup_span_stats`'s score): drop every token covered by a
+    cross-document repeated ``w``-gram span and re-join the
+    survivors. Returns ``(id, n_tokens, n_removed, cleaned_text)``.
+
+    Shape: the span detection is :func:`repeated_ngram_spans` (one
+    gram-keyed wide stage); per-doc span starts come back as ONE
+    array column via collect_set, so the coverage mask is a per-row
+    higher-order filter — `exists(starts, s -> s <= p < s+w)` per
+    token position, O(tokens × spans) with the starts array a bound
+    attribute (no re-evaluation). Token re-assembly runs under the
+    let binding (see text.position_ngrams). Docs with no duplicated
+    spans pass through unchanged via the left join."""
+    spans = repeated_ngram_spans(df, id_col, text_col, w)
+    starts = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("pos")).alias("__starts")
+    )
+    joined = df.join(starts, id_col, "left").withColumn(
+        "__starts",
+        F.coalesce("__starts", F.expr("array()").cast("array<int>")),
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t)),
+                    lambda p: F.when(
+                        ~F.exists(
+                            F.col("__starts"),
+                            lambda s: (s <= p) & (p < s + w),
+                        ),
+                        F.element_at(t, p),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        ),
+        1,
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

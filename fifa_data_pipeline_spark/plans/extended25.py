@@ -238,3 +238,46 @@ ORACLES["q_dsir_scores"] = rf"""
     FROM doc_counts JOIN wts USING (b)
     GROUP BY doc_id
 """
+
+
+def q_trim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup CLEANING at w=8: tokens covered by a
+    cross-document repeated span are removed and the survivors
+    re-joined — the action q_repeated_spans scores."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.trim_repeated_spans(docs, "doc_id", "text", w=_W)
+
+
+QUERIES["q_trim_spans"] = q_trim_spans
+
+ORACLES["q_trim_spans"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, i.i AS pos,
+             array_to_string(t[i.i : i.i + {_W} - 1], ' ') AS gram
+      FROM toks, UNNEST(range(1, greatest(len(t) - {_W} + 1, 0) + 1)) AS i(i)
+    ), multi AS (
+      SELECT gram FROM grams
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), starts AS (
+      SELECT doc_id, list(DISTINCT pos) AS st
+      FROM grams JOIN multi USING (gram) GROUP BY doc_id
+    ), masked AS (
+      SELECT k.doc_id, k.t,
+             list_filter(
+               list_transform(range(1, len(k.t) + 1),
+                 p -> CASE WHEN len(list_filter(
+                        CASE WHEN s.st IS NULL THEN [] ELSE s.st END,
+                        x -> x <= p AND p < x + {_W})) = 0
+                      THEN k.t[p] END),
+               v -> v IS NOT NULL) AS kept
+      FROM toks k LEFT JOIN starts s USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM masked
+"""

@@ -355,3 +355,53 @@ def test_dsir_scores_prefer_target_like_docs(spark):
     per = {k: v.score_micro / v.n_bigrams for k, v in rows.items()}
     assert per[5] > per[6]
     assert all(isinstance(v.score_micro, int) for v in rows.values())
+
+
+def test_trim_repeated_spans_removes_only_covered_tokens(spark):
+    """Doc 1 and 2 share a 4-token run; trimming at w=4 removes
+    exactly those tokens (span coverage, not whole docs), leaves the
+    unrelated doc untouched, and reports counts."""
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 y1 " + shared + " z1"),
+            (2, shared + " tail words here"),
+            (3, "unrelated text entirely here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    from fifa_data_pipeline_spark.operators.dedup import trim_repeated_spans
+
+    rows = {r.doc_id: r for r in trim_repeated_spans(docs, w=4).collect()}
+    assert rows[1].cleaned_text == "x1 y1 z1" and rows[1].n_removed == 4
+    assert rows[2].cleaned_text == "tail words here"
+    assert rows[3].n_removed == 0
+    assert rows[3].cleaned_text == "unrelated text entirely here now"
+
+
+def test_trim_repeated_spans_full_removal_yields_empty_string(spark):
+    """Two identical docs are fully covered: cleaned_text is the
+    empty string (not NULL), n_removed == n_tokens."""
+    t = "a b c d"
+    docs = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    from fifa_data_pipeline_spark.operators.dedup import trim_repeated_spans
+
+    rows = {r.doc_id: r for r in trim_repeated_spans(docs, w=4).collect()}
+    for r in rows.values():
+        assert r.cleaned_text == "" and r.n_removed == r.n_tokens == 4
+
+
+def test_trim_repeated_spans_overlapping_spans_merge(spark):
+    """Overlapping duplicated spans cover the union of their token
+    ranges — an 8-token shared run at w=4 removes all 8 tokens, not
+    just the first window."""
+    run = "t1 t2 t3 t4 t5 t6 t7 t8"
+    docs = spark.createDataFrame(
+        [(1, run + " unique1 unique2"), (2, "pre1 pre2 " + run)],
+        ["doc_id", "text"],
+    )
+    from fifa_data_pipeline_spark.operators.dedup import trim_repeated_spans
+
+    rows = {r.doc_id: r for r in trim_repeated_spans(docs, w=4).collect()}
+    assert rows[1].cleaned_text == "unique1 unique2"
+    assert rows[2].cleaned_text == "pre1 pre2"
