@@ -188,6 +188,7 @@ HEADLINE = [
     "q_winnow_pairs",
     "q_gopher_rules",
     "q_dsir_scores",
+    "q_trim_spans",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the

@@ -130,3 +130,17 @@ def test_round7_ops_on_empty(spark):
     docs = _empty(spark, "doc_id long, text string")
     assert D.all_pairs_jaccard(docs, crossover=0).count() == 0
     assert D.all_pairs_jaccard(docs, crossover=10).count() == 0
+
+
+def test_round4_closing_ops_on_empty(spark):
+    docs = _empty(spark, "doc_id long, text string")
+    assert D.repeated_ngram_spans(docs).count() == 0
+    assert D.dup_span_stats(docs).count() == 0
+    assert D.winnow_fingerprints(docs).count() == 0
+    assert D.winnow_pairs(docs).count() == 0
+    assert D.trim_repeated_spans(docs).count() == 0
+    assert X.gopher_rules(docs).count() == 0
+    tgt = docs.withColumn("__is_target", F.lit(True))
+    assert X.dsir_scores(tgt).count() == 0
+    emb = _empty(spark, "vec_id long, embedding array<float>")
+    assert V.knn_join(emb, emb).count() == 0
