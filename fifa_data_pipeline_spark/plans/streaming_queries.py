@@ -3,10 +3,13 @@
 Most get a FULL DuckDB value-hash oracle: an availableNow drain is
 deterministic, and append-mode emission ("end <= final watermark")
 is a plain SQL closure condition — see the ORACLES block below. The
-remaining rows-only entries (sessionize/ewma/distinct/neardedup) are
-pinned by exact batch-equivalence tests in test_streaming.py
-instead: their state transitions are not order-free SQL (stateful
-Python recurrences, HLL register merges, order-dependent accepts).
+remaining rows-only entries (distinct/neardedup) are pinned by
+exact batch-equivalence tests in test_streaming.py instead: HLL
+register state and order-dependent accepts are not reproducible in
+SQL. Even the stateful Python recurrences ARE: the EWMA oracle is a
+recursive CTE replaying the identical double ops in the identical
+order (bit-exact), and the sessionizer drain equals batch
+sessionization.
 
 Each query lands the events table into a temp directory (file stream
 sources require directories), drains the stream with an availableNow
@@ -393,6 +396,56 @@ ORACLES: dict[str, str] = {
           ON p.user_id = v.user_id
          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    # Stateful sessionize: a single-batch drain emits exactly one
+    # update row per completed-or-open session, which equals plain
+    # batch sessionization (gap STRICTLY > 1800 s, second-grain
+    # epochs, 1-based per-user index in time order).
+    "q_stream_sessionize": """
+        WITH e AS (
+          SELECT user_id, CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ep,
+                 CASE WHEN ep - LAG(ep) OVER w IS NULL
+                        OR ep - LAG(ep) OVER w > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+        ), sess AS (
+          SELECT user_id, ep,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ep
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+               MIN(ep) AS session_start, MAX(ep) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+    # Stateful EWMA: the drain applies the recurrence prev = 0.3·v +
+    # (1-0.3)·prev per key in (epoch, event_id) order; a recursive
+    # CTE replays the IDENTICAL double operations in the identical
+    # order, so the match is bit-exact (note (1.0 - 0.3), not 0.7 —
+    # they are different doubles). O(rows·keys) recursion: fine at
+    # the sf0.01 gate, excluded from the sf0.1 bench pairing.
+    "q_stream_ewma": """
+        WITH RECURSIVE e AS (
+          SELECT event_id, event_type,
+                 CAST(value AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT),
+                            event_id) AS rn
+          FROM events
+        ), r AS (
+          SELECT event_id, event_type, v, v AS ewma, rn FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.event_id, e.event_type, e.v,
+                 0.3 * e.v + (1.0 - 0.3) * r.ewma, e.rn
+          FROM e JOIN r ON e.event_type = r.event_type AND e.rn = r.rn + 1
+        )
+        SELECT event_id, event_type,
+               ROUND(v, 6) AS value, ROUND(ewma, 6) AS ewma
+        FROM r
     """,
     # The bucket-merge CDC sink converges to last-writer-wins per key
     # regardless of batch boundaries (merge is by (ep, event_id)

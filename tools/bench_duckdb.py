@@ -24,7 +24,14 @@ import duckdb
 #: operators they check. Excluded from the default min-of-3 loop;
 #: pass the name explicitly to measure one (single run each is
 #: reported in BASELINE.md as the LSH-vs-SQL story).
-QUADRATIC_ORACLES = {"q_minhash_pairs", "q_near_dedup", "q_simhash_pairs"}
+QUADRATIC_ORACLES = {
+    "q_minhash_pairs",
+    "q_near_dedup",
+    "q_simhash_pairs",
+    # O(rows × keys) recursive-CTE replay of the sequential EWMA
+    # recurrence — the right correctness oracle, not a benchmark
+    "q_stream_ewma",
+}
 
 
 def main() -> int:
