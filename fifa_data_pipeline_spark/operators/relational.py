@@ -17,6 +17,7 @@ Scale notes are attached per function; the common themes:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1124,4 +1125,94 @@ def fk_containment(
                 9,
             ).alias("containment"),
         )
+    )
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_replicates: int = 40,
+    alpha: float = 0.05,
+    scale: int = 100,
+) -> DataFrame:
+    """Deterministic subsampling-bootstrap confidence interval for
+    the mean of ``value_col``: ``n_replicates`` half-sample
+    replicates drawn by a content-addressed coin (md5 of the row key
+    and the replicate index — the :func:`hash_split` construction),
+    replicate means ranked, and the (alpha/2, 1-alpha/2) order
+    statistics reported around the full-sample mean. No RNG anywhere:
+    the same rows produce the same interval on any engine, partition
+    count, or rerun — the property an A/B readout pipeline needs for
+    reproducible reports (a ``rand()``-based bootstrap cannot give a
+    driver-hashable answer at all).
+
+    Portability: values are fixed-point at ``scale`` (100 for 2-dp
+    money), per-replicate sums are BIGINTs (order-free addition), and
+    every emitted statistic is integer MICRO-units via ``round(x, 0)``
+    of an identically-computed double — both engines round the same
+    double away from zero at 0 dp, unlike fractional rounds where
+    their internal scaling differs (see q_dsir_scores). Replicates
+    are ranked by (micro-mean, replicate id): fully deterministic.
+
+    Plan shape: one explode by n_replicates (fact × B narrow rows),
+    one hash aggregate on the replicate id, and a B-row rank — at
+    100 TB the only data-sized cost is the B× scan-side multiply,
+    and B is a dial."""
+    rep = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias(
+        "__rep"
+    )
+    keyed = df.select(
+        F.round(F.col(value_col) * scale, 0).cast("bigint").alias("__v"),
+        F.concat_ws("-", *[F.col(c) for c in key_cols]).alias("__k"),
+        rep,
+    )
+    coin = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("__k"), F.col("__rep"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    micro = 1_000_000 // scale  # value-units → micro-units multiplier
+    reps = (
+        keyed.filter(coin == 0)
+        .groupBy("__rep")
+        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__rep",
+            F.round(F.col("__s") * float(micro) / F.col("__n"), 0)
+            .cast("bigint")
+            .alias("__mean_micro"),
+        )
+    )
+    w = Window.orderBy(F.asc("__mean_micro"), F.asc("__rep"))
+    lo_idx = max(1, int(math.ceil(alpha / 2 * n_replicates)))
+    hi_idx = min(n_replicates, int(math.ceil((1 - alpha / 2) * n_replicates)))
+    ranked = reps.withColumn("__r", F.row_number().over(w))
+    bounds = ranked.agg(
+        F.max(
+            F.when(F.col("__r") == lo_idx, F.col("__mean_micro"))
+        ).alias("ci_lo_micro"),
+        F.max(
+            F.when(F.col("__r") == hi_idx, F.col("__mean_micro"))
+        ).alias("ci_hi_micro"),
+    )
+    full = df.agg(
+        F.round(
+            F.sum(F.round(F.col(value_col) * scale, 0).cast("bigint"))
+            * float(micro)
+            / F.count(F.lit(1)),
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return full.crossJoin(F.broadcast(bounds)).select(
+        "mean_micro", "ci_lo_micro", "ci_hi_micro", "n_rows",
+        F.lit(n_replicates).cast("bigint").alias("n_replicates"),
     )

@@ -281,3 +281,54 @@ ORACLES["q_trim_spans"] = rf"""
            COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
     FROM masked
 """
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 95% subsampling-bootstrap CI for the mean
+    lineitem extended price (2-dp fixed point, 40 replicates) —
+    reproducible across engines because the resampling coin is
+    content-addressed and every statistic is an integer micro-unit."""
+    from fifa_data_pipeline_spark.operators import relational as R
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return R.bootstrap_ci(
+        li, ["l_orderkey", "l_linenumber"], "l_extendedprice",
+        n_replicates=40, alpha=0.05, scale=100,
+    )
+
+
+QUERIES["q_bootstrap_ci"] = q_bootstrap_ci
+
+ORACLES["q_bootstrap_ci"] = rf"""
+    WITH keyed AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(l_orderkey AS VARCHAR) || '-' ||
+               CAST(l_linenumber AS VARCHAR) AS k,
+             i.b AS rep
+      FROM lineitem, UNNEST(range(0, 40)) AS i(b)
+    ), flt AS (
+      SELECT rep, v FROM keyed
+      WHERE {_FOLD.format(x="k || ':' || CAST(rep AS VARCHAR)")} % 2 = 0
+    ), reps AS (
+      SELECT rep,
+             CAST(ROUND(SUM(v) * 10000.0 / COUNT(*), 0) AS BIGINT)
+               AS mean_micro
+      FROM flt GROUP BY rep
+    ), ranked AS (
+      SELECT mean_micro,
+             ROW_NUMBER() OVER (ORDER BY mean_micro, rep) AS r
+      FROM reps
+    ), bounds AS (
+      SELECT MAX(CASE WHEN r = 1 THEN mean_micro END) AS ci_lo_micro,
+             MAX(CASE WHEN r = 39 THEN mean_micro END) AS ci_hi_micro
+      FROM ranked
+    ), whole AS (
+      SELECT CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                        * 10000.0 / COUNT(*), 0) AS BIGINT) AS mean_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+    )
+    SELECT f.mean_micro, b.ci_lo_micro, b.ci_hi_micro, f.n_rows,
+           CAST(40 AS BIGINT) AS n_replicates
+    FROM whole f, bounds b
+"""

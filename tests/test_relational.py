@@ -118,3 +118,19 @@ def test_equi_join_broadcast_hint(spark, sf_dir):
     out = R.equi_join(cust, nation, [("c_nationkey", "n_nationkey")], broadcast_right=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bootstrap_ci_deterministic_and_ordered(spark):
+    """The content-addressed bootstrap must return identical results
+    across reruns and repartitionings, with lo <= mean <= hi and the
+    interval tightening as data grows is not asserted (sampling), but
+    the bounds must straddle the full mean on this fixture."""
+    from fifa_data_pipeline_spark.operators.relational import bootstrap_ci
+
+    rows = [(i, 1, float(100 + (i * 7) % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["k1", "k2", "v"])
+    a = bootstrap_ci(df, ["k1", "k2"], "v").collect()[0]
+    b = bootstrap_ci(df.repartition(13), ["k1", "k2"], "v").collect()[0]
+    assert a == b
+    assert a.ci_lo_micro <= a.mean_micro <= a.ci_hi_micro
+    assert a.n_rows == 400 and a.n_replicates == 40
