@@ -332,3 +332,66 @@ ORACLES["q_bootstrap_ci"] = rf"""
            CAST(40 AS BIGINT) AS n_replicates
     FROM whole f, bounds b
 """
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Spark-4 ``WITH RECURSIVE``: bounded transitive closure
+    (<= 3 hops) over the ordered duplicate-fingerprint edge DAG —
+    previously this repo expressed iteration only via driver loops
+    (connected_components) while recursive CTEs lived solely in the
+    DuckDB oracles; Spark 4.1 runs the recursion natively, so the
+    SQL-surface parity gap closes. Edges are id_a < id_b (a DAG), so
+    the recursion terminates structurally; the hop guard bounds work
+    per iteration — the same discipline a 100 TB closure needs
+    (each recursive step is one distributed join)."""
+    from fifa_data_pipeline_spark.sources.io import register_views
+
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(r"""
+      WITH RECURSIVE edges AS (
+        SELECT f1.doc_id AS src, f2.doc_id AS dst
+        FROM (SELECT doc_id,
+                     md5(concat_ws(' ',
+                       slice(split(trim(text), '\\s+'), 1, 8))) AS fp
+              FROM documents) f1
+        JOIN (SELECT doc_id,
+                     md5(concat_ws(' ',
+                       slice(split(trim(text), '\\s+'), 1, 8))) AS fp
+              FROM documents) f2
+          ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+      ), reach(src, dst, hops) AS (
+        SELECT src, dst, 1 FROM edges
+        UNION ALL
+        SELECT r.src, e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON r.dst = e.src
+        WHERE r.hops < 3
+      )
+      SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops
+      FROM reach GROUP BY src, dst
+    """)
+
+
+QUERIES["q_recursive_cte"] = q_recursive_cte
+
+ORACLES["q_recursive_cte"] = r"""
+    WITH RECURSIVE edges AS (
+      SELECT f1.doc_id AS src, f2.doc_id AS dst
+      FROM (SELECT doc_id,
+                   md5(array_to_string(
+                     string_split_regex(trim(text), '\s+')[1:8], ' ')) AS fp
+            FROM documents) f1
+      JOIN (SELECT doc_id,
+                   md5(array_to_string(
+                     string_split_regex(trim(text), '\s+')[1:8], ' ')) AS fp
+            FROM documents) f2
+        ON f1.fp = f2.fp AND f1.doc_id < f2.doc_id
+    ), reach(src, dst, hops) AS (
+      SELECT src, dst, 1 FROM edges
+      UNION ALL
+      SELECT r.src, e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON r.dst = e.src
+      WHERE r.hops < 3
+    )
+    SELECT src, dst, CAST(MIN(hops) AS BIGINT) AS min_hops
+    FROM reach GROUP BY src, dst
+"""
