@@ -130,6 +130,18 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming Holt (level+trend) smoothing per event_type;
+    oracle = a recursive CTE replaying the identical double
+    recurrences in the identical order (see ORACLES)."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_hw_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_holt_winters(stream), name, "append")
+    return spark.table(name)
+
+
 def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-window distinct-user reach (approx HLL state —
     O(KB)/window instead of per-id sets; hash-deterministic, so the
@@ -305,6 +317,7 @@ QUERIES = {
     "q_stream_neardedup": q_stream_neardedup,
     "q_stream_kmv": q_stream_kmv,
     "q_stream_checksum": q_stream_checksum,
+    "q_stream_holt_winters": q_stream_holt_winters,
 }
 
 # q_stream_kmv gets a FULL oracle: the associative KMV merge makes
@@ -451,6 +464,35 @@ ORACLES: dict[str, str] = {
     # regardless of batch boundaries (merge is by (ep, event_id)
     # recency) — the batch twin q_cdc_apply's ranking, re-aliased to
     # the live store's column names.
+    # Holt smoothing: same recursive-replay contract as q_stream_ewma;
+    # level_new must be SPELLED TWICE in the trend term (SQL cannot
+    # reference a same-SELECT alias) — identical double expression,
+    # identical result.
+    "q_stream_holt_winters": """
+        WITH RECURSIVE e AS (
+          SELECT event_id, event_type,
+                 CAST(value AS DOUBLE) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT),
+                            event_id) AS rn
+          FROM events
+        ), r AS (
+          SELECT event_id, event_type, v, rn,
+                 v AS level, CAST(0.0 AS DOUBLE) AS trend
+          FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.event_id, e.event_type, e.v, e.rn,
+                 0.3 * e.v + (1.0 - 0.3) * (r.level + r.trend),
+                 0.1 * ((0.3 * e.v + (1.0 - 0.3) * (r.level + r.trend))
+                        - r.level)
+                   + (1.0 - 0.1) * r.trend
+          FROM e JOIN r ON e.event_type = r.event_type AND e.rn = r.rn + 1
+        )
+        SELECT event_id, event_type, ROUND(v, 6) AS value,
+               ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+               ROUND(level, 6) + ROUND(trend, 6) AS forecast
+        FROM r
+    """,
     "q_stream_cdc": """
         WITH feed AS (
           SELECT user_id,

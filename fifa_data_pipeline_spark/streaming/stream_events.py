@@ -384,6 +384,94 @@ def stream_ewma(events: DataFrame) -> DataFrame:
     )
 
 
+HW_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("forecast", T.DoubleType()),
+    ]
+)
+
+HW_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+    ]
+)
+
+
+def _holt_winters_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key double-exponential (Holt) smoothing: level and trend
+    recurrences carried across micro-batches. The operation ORDER is
+    the oracle contract (plans/streaming_queries.py replays the same
+    double arithmetic in a recursive CTE), so keep the expressions
+    exactly as written — including ``(1.0 - alpha)`` instead of the
+    different double 0.7."""
+    alpha, beta = 0.3, 0.1
+    (etype,) = key
+    if state.exists:
+        level, trend = state.get
+    else:
+        level, trend = None, 0.0
+    rows: list[tuple[int, str, float, float, float, float]] = []
+    parts = [p for p in pdfs if len(p)]
+    if parts:
+        batch = pd.concat(parts, ignore_index=True)
+        batch = batch.sort_values(["epoch", "event_id"])
+        for eid, val in zip(batch["event_id"], batch["value"]):
+            val = float(val)
+            if level is None:
+                level, trend = val, 0.0
+            else:
+                prev = level
+                level = alpha * val + (1.0 - alpha) * (level + trend)
+                trend = beta * (level - prev) + (1.0 - beta) * trend
+            # forecast = rounded level + rounded trend, NO outer
+            # round: the sum of two 6-dp decimals is a 6-dp decimal,
+            # while round(level+trend, 6) of the raw doubles can
+            # straddle a boundary differently per engine (observed
+            # at sf0.01, event 18)
+            rl, rt = round(level, 6), round(trend, 6)
+            rows.append(
+                (int(eid), etype, round(val, 6), rl, rt, rl + rt)
+            )
+    if level is not None:
+        state.update((level, trend))
+    yield pd.DataFrame(
+        rows,
+        columns=["event_id", "event_type", "value", "level", "trend", "forecast"],
+    )
+
+
+def stream_holt_winters(events: DataFrame) -> DataFrame:
+    """Streaming double-exponential (Holt) smoothing per event_type:
+    the one-step forecast ``level + trend`` for every event, exact
+    unbounded recurrences at O(2 doubles) state per key — the
+    trend-aware sibling of :func:`stream_ewma` (an EWMA lags any
+    trending series; the trend term corrects it). Append mode: each
+    event emitted exactly once with its updated smoothing state."""
+    prepared = events.select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("epoch"),
+        F.col("value").cast("double").alias("value"),
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _holt_winters_group,
+        outputStructType=HW_OUTPUT_SCHEMA,
+        stateStructType=HW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_distinct_counts(
     events: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
 ) -> DataFrame:

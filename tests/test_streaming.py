@@ -904,3 +904,26 @@ def test_stream_checksum_equals_batch_and_replays_clean(spark, tmp_path):
         .collect()[0]
     )
     assert (got2.checksum, got2.n_rows) == (want.checksum, want.n_rows)
+
+
+def test_stream_holt_winters_tracks_linear_trend(spark, tmp_path):
+    """On a noiseless linear series the trend estimate converges
+    toward the true slope and the one-step forecast leads the level."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), "a", float(10 + 5 * i))
+        for i in range(30)
+    ]
+    d = str(tmp_path / "hw_events")
+    spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]).write.parquet(d)
+    schema = spark.read.parquet(d).schema
+    stream = S.read_event_stream(spark, d, schema)
+    S.run_to_memory(S.stream_holt_winters(stream), "t_hw", "append")
+    out = {r.event_id: r for r in spark.sql("SELECT * FROM t_hw").collect()}
+    assert len(out) == 30
+    last = out[29]
+    assert last.trend > 2.0           # converging toward slope 5
+    assert last.forecast > last.level  # positive trend leads
+    assert out[0].level == 10.0 and out[0].trend == 0.0

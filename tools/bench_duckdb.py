@@ -31,6 +31,7 @@ QUADRATIC_ORACLES = {
     # O(rows × keys) recursive-CTE replay of the sequential EWMA
     # recurrence — the right correctness oracle, not a benchmark
     "q_stream_ewma",
+    "q_stream_holt_winters",
 }
 
 
