@@ -142,6 +142,42 @@ def q_stream_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store introspection via Spark 4's
+    ``statestore`` data source: drain the watermarked tumbling
+    aggregate with a durable checkpoint, then read the checkpoint's
+    RETAINED state as a DataFrame — the windows still open at the
+    final watermark. This is the ops/debugging surface for stateful
+    streaming (what is my state, how big, which keys), and its
+    contents are exactly the complement of q_stream_tumbling's
+    append-mode output, so the oracle is the same closure condition
+    negated — emitted ∪ retained = the full batch aggregate, both
+    halves hash-checked."""
+    import tempfile as _tf
+
+    src = _land_events(spark, sf_dir)
+    base = _tf.mkdtemp(prefix="spark_graft_state_")
+    ckpt = f"{base}/ckpt"
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    q = (
+        S.stream_tumbling_counts(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.unix_timestamp("key.window.start").cast("bigint").alias("ws"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        F.round("value.sum", 6).alias("sum_value"),
+    )
+
+
 def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-window distinct-user reach (approx HLL state —
     O(KB)/window instead of per-id sets; hash-deterministic, so the
@@ -318,6 +354,7 @@ QUERIES = {
     "q_stream_kmv": q_stream_kmv,
     "q_stream_checksum": q_stream_checksum,
     "q_stream_holt_winters": q_stream_holt_winters,
+    "q_state_inspect": q_state_inspect,
 }
 
 # q_stream_kmv gets a FULL oracle: the associative KMV merge makes
@@ -349,6 +386,16 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
         HAVING (ws + 3600) * 1000 <= (SELECT w FROM wm)
+    """,
+    # Retained state = the closure condition NEGATED (windows the
+    # final watermark has NOT passed). Emitted ∪ retained = batch agg.
+    "q_state_inspect": """
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events)
+        SELECT CAST(FLOOR(extract(epoch FROM date_trunc('hour', ts))) AS BIGINT) AS ws,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+        HAVING (ws + 3600) * 1000 > (SELECT w FROM wm)
     """,
     "q_stream_hopping": """
         WITH wm AS (SELECT epoch_ms(MAX(ts)) - 7200000 AS w FROM events),
