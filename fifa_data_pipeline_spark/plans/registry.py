@@ -114,9 +114,11 @@ _WINDOW = [
     # never-driver-checked names (extended10-22 analytics not listed
     # below) and (b) this round's new oracle-checked queries —
     # q_knn_join, q_etl_flow, q_repeated_spans, q_winnow_pairs,
-    # q_gopher_rules, q_dsir_scores, and the six streaming drains
-    # that now carry full SQL oracles (q_stream_tumbling/_hopping/
-    # _session_window/_dedup/_interval_join/_cdc).
+    # q_gopher_rules, q_dsir_scores, q_trim_spans, q_bootstrap_ci,
+    # q_recursive_cte, q_stream_holt_winters, q_state_inspect, and
+    # the eight streaming drains that now carry full SQL oracles
+    # (tumbling/hopping/session_window/dedup/interval_join/cdc plus
+    # the recursive-CTE replays for ewma/sessionize).
     # ---- new this round (anti-entropy + cardinality sketch) ----
     "q_column_checksums", "q_kmv_distinct",
     "q_cohens_kappa", "q_calibration_bins", "q_stream_kmv", "q_mips",
