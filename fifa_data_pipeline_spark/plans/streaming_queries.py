@@ -178,6 +178,31 @@ def q_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4:
+    multiple stateful ops per query): watermarked exact dedup feeding
+    the tumbling-window aggregate. Events are landed twice; the dedup
+    stage restores single copies before the agg, so the output equals
+    q_stream_tumbling's single-copy closure — one oracle covers the
+    whole two-stage stateful pipeline. Note the watermark is declared
+    ONCE upstream (redefining it between stateful ops is disallowed).
+    """
+    from fifa_data_pipeline_spark.operators.events import tumbling_window_agg
+
+    src = _land_events(spark, sf_dir)
+    ev = spark.read.parquet(src)
+    ev.write.mode("append").parquet(src)  # duplicate every event
+    schema = ev.schema
+    stream = S.read_event_stream(spark, src, schema)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = tumbling_window_agg(deduped, "ts", ["event_type"], "1 hour")
+    name = f"q_stream_dedup_agg_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, "append")
+    return spark.table(name)
+
+
 def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-window distinct-user reach (approx HLL state —
     O(KB)/window instead of per-id sets; hash-deterministic, so the
@@ -355,6 +380,7 @@ QUERIES = {
     "q_stream_checksum": q_stream_checksum,
     "q_stream_holt_winters": q_stream_holt_winters,
     "q_state_inspect": q_state_inspect,
+    "q_stream_dedup_agg": q_stream_dedup_agg,
 }
 
 # q_stream_kmv gets a FULL oracle: the associative KMV merge makes
@@ -380,6 +406,16 @@ ORACLES: dict[str, str] = {
     # cannot be boundary-sensitive, and the equality form matches the
     # engine's predicate.
     "q_stream_tumbling": """
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events)
+        SELECT CAST(FLOOR(extract(epoch FROM date_trunc('hour', ts))) AS BIGINT) AS ws,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS sum_value
+        FROM events GROUP BY 1, 2
+        HAVING (ws + 3600) * 1000 <= (SELECT w FROM wm)
+    """,
+    # Chained dedup→agg restores single copies before aggregating, so
+    # the two-stage stateful pipeline shares the tumbling closure SQL.
+    "q_stream_dedup_agg": """
         WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events)
         SELECT CAST(FLOOR(extract(epoch FROM date_trunc('hour', ts))) AS BIGINT) AS ws,
                event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
