@@ -189,6 +189,8 @@ HEADLINE = [
     "q_gopher_rules",
     "q_dsir_scores",
     "q_trim_spans",
+    "q_bootstrap_ci",
+    "q_recursive_cte",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the

@@ -1138,8 +1138,9 @@ def bootstrap_ci(
 ) -> DataFrame:
     """Deterministic subsampling-bootstrap confidence interval for
     the mean of ``value_col``: ``n_replicates`` half-sample
-    replicates drawn by a content-addressed coin (md5 of the row key
-    and the replicate index — the :func:`hash_split` construction),
+    replicates drawn by content-addressed coins (replicate ``r``
+    keeps a row iff bit ``r`` of the 60-bit md5 fold of its key is
+    0 — one hash per row serves every replicate),
     replicate means ranked, and the (alpha/2, 1-alpha/2) order
     statistics reported around the full-sample mean. No RNG anywhere:
     the same rows produce the same interval on any engine, partition
@@ -1155,64 +1156,83 @@ def bootstrap_ci(
     their internal scaling differs (see q_dsir_scores). Replicates
     are ranked by (micro-mean, replicate id): fully deterministic.
 
-    Plan shape: one explode by n_replicates (fact × B narrow rows),
-    one hash aggregate on the replicate id, and a B-row rank — at
-    100 TB the only data-sized cost is the B× scan-side multiply,
-    and B is a dial."""
-    rep = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias(
-        "__rep"
-    )
+    Plan shape: ONE scan, ONE md5 per row (not per row×replicate —
+    the replicate coins are the low ``n_replicates`` bits of a single
+    60-bit content hash, so B more replicates cost bit-shifts, not
+    hashes), and ONE partial-aggregating pass producing every
+    per-replicate (sum, count) pair plus the full-sample moments as a
+    single wide row; the rank/quantile step then runs on a B-row
+    in-memory frame. No shuffle touches fact-sized data — the only
+    exchange is the 1-row partial-aggregate merge. ``n_replicates``
+    is capped at 60 by the hash width."""
+    if not 1 <= n_replicates <= 60:
+        raise ValueError("n_replicates must be in [1, 60] (60-bit coin hash)")
     keyed = df.select(
         F.round(F.col(value_col) * scale, 0).cast("bigint").alias("__v"),
-        F.concat_ws("-", *[F.col(c) for c in key_cols]).alias("__k"),
-        rep,
-    )
-    coin = F.pmod(
         F.conv(
             F.substring(
-                F.md5(F.concat_ws(":", F.col("__k"), F.col("__rep"))), 1, 15
+                F.md5(F.concat_ws("-", *[F.col(c) for c in key_cols])), 1, 15
             ),
             16,
             10,
-        ).cast("bigint"),
-        F.lit(2),
+        )
+        .cast("bigint")
+        .alias("__h"),
     )
     micro = 1_000_000 // scale  # value-units → micro-units multiplier
-    reps = (
-        keyed.filter(coin == 0)
-        .groupBy("__rep")
-        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
-        .select(
-            "__rep",
-            F.round(F.col("__s") * float(micro) / F.col("__n"), 0)
-            .cast("bigint")
-            .alias("__mean_micro"),
+    rep_aggs = []
+    for r in range(n_replicates):
+        coin = F.shiftright(F.col("__h"), r).bitwiseAND(F.lit(1))
+        rep_aggs.append(
+            F.sum(F.when(coin == 0, F.col("__v"))).alias(f"__s{r}")
         )
+        rep_aggs.append(
+            F.count(F.when(coin == 0, F.lit(1))).alias(f"__n{r}")
+        )
+    wide = keyed.agg(
+        F.sum("__v").alias("__s_all"),
+        F.count(F.lit(1)).alias("__n_all"),
+        *rep_aggs,
     )
+    reps = wide.select(
+        "__s_all",
+        "__n_all",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("__rep"),
+                        F.round(
+                            F.col(f"__s{r}")
+                            * float(micro)
+                            / F.col(f"__n{r}"),
+                            0,
+                        )
+                        .cast("bigint")
+                        .alias("__mean_micro"),
+                    )
+                    for r in range(n_replicates)
+                ]
+            )
+        ).alias("__e"),
+    ).select("__s_all", "__n_all", "__e.__rep", "__e.__mean_micro")
     w = Window.orderBy(F.asc("__mean_micro"), F.asc("__rep"))
     lo_idx = max(1, int(math.ceil(alpha / 2 * n_replicates)))
     hi_idx = min(n_replicates, int(math.ceil((1 - alpha / 2) * n_replicates)))
     ranked = reps.withColumn("__r", F.row_number().over(w))
-    bounds = ranked.agg(
+    return ranked.groupBy("__s_all", "__n_all").agg(
         F.max(
             F.when(F.col("__r") == lo_idx, F.col("__mean_micro"))
         ).alias("ci_lo_micro"),
         F.max(
             F.when(F.col("__r") == hi_idx, F.col("__mean_micro"))
         ).alias("ci_hi_micro"),
-    )
-    full = df.agg(
-        F.round(
-            F.sum(F.round(F.col(value_col) * scale, 0).cast("bigint"))
-            * float(micro)
-            / F.count(F.lit(1)),
-            0,
-        )
+    ).select(
+        F.round(F.col("__s_all") * float(micro) / F.col("__n_all"), 0)
         .cast("bigint")
         .alias("mean_micro"),
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-    )
-    return full.crossJoin(F.broadcast(bounds)).select(
-        "mean_micro", "ci_lo_micro", "ci_hi_micro", "n_rows",
+        "ci_lo_micro",
+        "ci_hi_micro",
+        F.col("__n_all").cast("bigint").alias("n_rows"),
         F.lit(n_replicates).cast("bigint").alias("n_replicates"),
     )

@@ -300,15 +300,15 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_bootstrap_ci"] = q_bootstrap_ci
 
 ORACLES["q_bootstrap_ci"] = rf"""
-    WITH keyed AS (
+    WITH hashed AS (
       SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
-             CAST(l_orderkey AS VARCHAR) || '-' ||
-               CAST(l_linenumber AS VARCHAR) AS k,
-             i.b AS rep
-      FROM lineitem, UNNEST(range(0, 40)) AS i(b)
+             {_FOLD.format(
+                 x="CAST(l_orderkey AS VARCHAR) || '-' || "
+                   "CAST(l_linenumber AS VARCHAR)")} AS h
+      FROM lineitem
     ), flt AS (
-      SELECT rep, v FROM keyed
-      WHERE {_FOLD.format(x="k || ':' || CAST(rep AS VARCHAR)")} % 2 = 0
+      SELECT i.b AS rep, v FROM hashed, UNNEST(range(0, 40)) AS i(b)
+      WHERE ((h >> i.b) & 1) = 0
     ), reps AS (
       SELECT rep,
              CAST(ROUND(SUM(v) * 10000.0 / COUNT(*), 0) AS BIGINT)
