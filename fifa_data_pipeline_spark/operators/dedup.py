@@ -381,28 +381,48 @@ def simhash_pairs(
     one shuffle, no self-join — with the same degenerate-bucket size
     guard (an over-full bucket means byte-identical boilerplate;
     route those to exact dedup)."""
+    sigs = simhash_signatures(df, id_col, text_col, token_hash)
+    return hamming_pairs_64(
+        sigs, id_col, "simhash", max_hamming, max_bucket_size
+    )
+
+
+def hamming_pairs_64(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Pairs of ids whose 64-bit signatures differ in ≤ ``max_hamming``
+    bits, by pigeonhole banding (see :func:`simhash_pairs`, which this
+    generalizes): works for ANY 64-bit signature column — SimHash over
+    tokens, perceptual aHash over pixels — since the band/verify logic
+    only assumes hamming distance is the similarity. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
-    sigs = simhash_signatures(df, id_col, text_col, token_hash)
     # outer-generate: see operators.util.exploded — stops the inferred
     # pre-filter from re-evaluating the signature fold per row.
     bands = exploded(
         sigs,
         F.array(
             *[
-                F.shiftright(F.col("simhash"), i * width).bitwiseAND(
+                F.shiftright(F.col(sig_col), i * width).bitwiseAND(
                     F.lit((1 << width) - 1)
                 )
                 for i in range(n_bands)
             ]
         ),
         "band_bits",
-        keep=[id_col, "simhash"],
+        keep=[id_col, sig_col],
         pos_alias="band_id",
     )
     grouped = bands.groupBy("band_id", "band_bits").agg(
         F.sort_array(
-            F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            F.collect_set(
+                F.struct(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+            )
         ).alias("__ms")
     )
     sized = grouped.filter(
@@ -412,7 +432,7 @@ def simhash_pairs(
         "flatten(transform(__ms, (x, i) -> "
         "transform(slice(__ms, i + 2, size(__ms)), "
         "y -> struct(x.id AS id_a, y.id AS id_b, "
-        "CAST(bit_count(x.simhash ^ y.simhash) AS INT) AS hamming))))"
+        "CAST(bit_count(x.sig ^ y.sig) AS INT) AS hamming))))"
     )
     return (
         exploded(sized, combos, "__p")

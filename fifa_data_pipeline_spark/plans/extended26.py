@@ -64,6 +64,30 @@ def q_image_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup pairs: aHash hamming distance ≤ 3 via the same
+    pigeonhole banding as SimHash (4×16-bit bands — recall 1.0 for
+    the distance budget by construction), generalized through
+    ``dedup.hamming_pairs_64``. The oracle is the brute-force n²
+    hamming scan, so a hash match proves the banded plan loses no
+    pair. Scale shape: band-bucket groupBy, never a self cross-join.
+    The degenerate-bucket guard is lifted here (synthetic ramp images
+    legitimately concentrate band values, and the oracle has no cap);
+    production near-dup would keep the default cap and route over-full
+    buckets to exact dedup, as simhash_pairs documents."""
+    from fifa_data_pipeline_spark.operators.dedup import hamming_pairs_64
+
+    sigs = _ahash_frame(spark, sf_dir).select(
+        "doc_id",
+        F.shiftleft(F.col("ahash_hi"), 32)
+        .bitwiseOR(F.col("ahash_lo"))
+        .alias("sig64"),
+    )
+    return hamming_pairs_64(
+        sigs, "doc_id", "sig64", max_hamming=3, max_bucket_size=1_000_000
+    )
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed RMS + zero-crossing features from real WAV decode."""
     docs = read_table(spark, sf_dir, "documents")
@@ -80,6 +104,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_image_ahash": q_image_ahash,
     "q_image_dups": q_image_dups,
+    "q_image_near_dup": q_image_near_dup,
     "q_audio_features": q_audio_features,
 }
 
@@ -121,6 +146,16 @@ ORACLES = {
                MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         FROM ahash GROUP BY ahash_hi, ahash_lo
         HAVING COUNT(*) >= 2
+    """,
+    "q_image_near_dup": f"""
+        WITH ahash AS ({_AHASH_SQL})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.ahash_hi, b.ahash_hi))
+                    + bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INT)
+                 AS hamming
+        FROM ahash a JOIN ahash b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ahash_hi, b.ahash_hi))
+              + bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3
     """,
     # Sample k of doc_id is amp·((k % 256) − 128); the oracle
     # regenerates the PCM stream numerically and windows it in SQL —
