@@ -68,6 +68,19 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_sessions_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-TIMER sessions (transformWithStateInPandas,
+    timeMode='EventTime', handleExpiredTimer): append-final sessions
+    closed either by the next event or by the inactivity timer firing
+    at session_end + gap once the watermark passes it."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_sesstimer_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_sessionize_timers(stream), name, "append")
+    return spark.table(name)
+
+
 def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked hopping-window (2h/1h) streaming aggregate; the
     batch twin q_window_hopping is oracle-checked."""
@@ -288,12 +301,16 @@ def q_stream_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOTE: stream_events.stream_running_totals_tws (the Spark-4
-# transformWithStateInPandas form) is implemented and unit-tested,
-# but NOT registered: its state-server protocol requires the
-# `protobuf` package, absent from this container. The test skips
-# with the same guard; on a cluster with protobuf the operator is
-# registry-ready.
+# NOTE: stream_events.stream_running_totals_tws and
+# stream_sessionize_timers (the Spark-4 transformWithStateInPandas
+# forms — the latter exercises EVENT-TIME TIMERS via
+# handleExpiredTimer) are implemented and unit-tested, but NOT
+# registered: the TWS state-server protocol requires the `protobuf`
+# package, absent from this container. The tests skip with the same
+# guard; on a cluster with protobuf both operators are
+# registry-ready (q_stream_sessions_timers below is the drain, and
+# its timer-closure oracle is kept next to the other streaming
+# oracles as _TIMER_SESSIONS_ORACLE).
 
 
 def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,6 +535,44 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM sess GROUP BY user_id, sid
     """,
+}
+
+# Timer-closed sessions: every non-final session of a user is
+# closed by that user's next event (emitted in handleInputRows);
+# the FINAL session is emitted only if its inactivity timer at
+# (session_end + gap) fired, i.e. the final watermark passed it.
+# Same strict-gap (> 1800 s) sessionization as q_stream_sessionize.
+# Registry-ready oracle for q_stream_sessions_timers (protobuf gate).
+_TIMER_SESSIONS_ORACLE = """
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events),
+        e AS (
+          SELECT user_id, CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events
+        ), flagged AS (
+          SELECT user_id, ep,
+                 CASE WHEN ep - LAG(ep) OVER w IS NULL
+                        OR ep - LAG(ep) OVER w > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+        ), sess AS (
+          SELECT user_id, ep,
+                 SUM(is_new) OVER (PARTITION BY user_id ORDER BY ep
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        ), agg AS (
+          SELECT user_id, sid,
+                 MIN(ep) AS session_start, MAX(ep) AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM agg
+        WHERE sid < max_sid
+           OR (session_end + 1800) * 1000 <= (SELECT w FROM wm)
+    """
+
+ORACLES.update({
     # Stateful EWMA: the drain applies the recurrence prev = 0.3·v +
     # (1-0.3)·prev per key in (epoch, event_id) order; a recursive
     # CTE replays the IDENTICAL double operations in the identical
@@ -593,4 +648,4 @@ ORACLES: dict[str, str] = {
         SELECT user_id, op, ep, ROUND(value, 6) AS value_r
         FROM ranked WHERE rn = 1 AND op <> 'D'
     """,
-}
+})

@@ -624,6 +624,108 @@ def stream_running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_sessionize_timers(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inactivity-closed sessions via EVENT-TIME TIMERS
+    (``transformWithStateInPandas`` with ``timeMode='EventTime'`` and
+    ``handleExpiredTimer``) — the piece of the Spark-4 stateful API
+    the other session operators don't exercise: sessions are emitted
+    with APPEND (final-only) semantics, closed either by the next
+    event proving the gap elapsed, or by a registered timer firing
+    once the watermark passes session_end + gap (no event can extend
+    it anymore — watermark-correct without seeing a closing event).
+
+    Contrast: :func:`stream_sessionize` (applyInPandasWithState) must
+    emit UPDATE rows and needs an upserting sink;
+    :func:`stream_session_window` gets append semantics from the
+    built-in session_window aggregate but can't carry custom state.
+    This form gives append finality AND arbitrary per-session state.
+
+    State per user: one open session struct + one registered timer —
+    O(active users), both evicted on close. Emitted columns:
+    (user_id, session_start, session_end, n_events), epoch seconds.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap = int(gap_seconds)
+
+    class TimerSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState(
+                "open_session", "start BIGINT, last BIGINT, n BIGINT"
+            )
+
+        def _emit(self, user_id, start, last, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [int(user_id)],
+                    "session_start": [int(start)],
+                    "session_end": [int(last)],
+                    "n_events": [int(n)],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            (user_id,) = key
+            start = last = n = None
+            if self._open.exists():
+                start, last, n = self._open.get()
+            for pdf in rows:
+                for ep in sorted(int(e) for e in pdf["epoch"]):
+                    if last is not None and ep - last > gap:
+                        yield self._emit(user_id, start, last, n)
+                        start, last, n = ep, ep, 0
+                    elif last is None:
+                        start, last, n = ep, ep, 0
+                    n += 1
+                    last = max(last, ep)
+            # one timer per key: re-arm at the new inactivity deadline
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._open.update((start, last, n))
+            self._handle.registerTimer((last + gap) * 1000)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            (user_id,) = key
+            if self._open.exists():
+                start, last, n = self._open.get()
+                # the timer that fired is the one armed at last+gap;
+                # watermark >= it, so no on-time event can extend
+                if expiredTimerInfo.getExpiryTimeInMs() >= (last + gap) * 1000:
+                    yield self._emit(user_id, start, last, n)
+                    self._open.clear()
+
+        def close(self) -> None:
+            pass
+
+    with_epoch = events.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts"),
+        F.unix_timestamp("ts").cast("bigint").alias("epoch"),
+    )
+    return with_epoch.groupBy("user_id").transformWithStateInPandas(
+        TimerSessions(),
+        outputStructType=(
+            "user_id bigint, session_start bigint, "
+            "session_end bigint, n_events bigint"
+        ),
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
 def stream_quarantine_late(
     stream_df: DataFrame,
     main_path: str,

@@ -927,3 +927,48 @@ def test_stream_holt_winters_tracks_linear_trend(spark, tmp_path):
     assert last.trend > 2.0           # converging toward slope 5
     assert last.forecast > last.level  # positive trend leads
     assert out[0].level == 10.0 and out[0].trend == 0.0
+
+
+def test_stream_sessionize_timers_matches_closure(spark, sf_dir, tmp_path):
+    """Event-time-TIMER sessions (transformWithStateInPandas +
+    handleExpiredTimer) equal batch sessionization restricted to the
+    timer-closure condition: every non-final session, plus final
+    sessions whose (end + gap) the final watermark passed. Skips where
+    the TWS state protocol's protobuf dependency is absent (this
+    container); _TIMER_SESSIONS_ORACLE is the DuckDB twin kept
+    registry-ready next to the streaming oracles."""
+    pytest.importorskip("google.protobuf")
+    from fifa_data_pipeline_spark.streaming import stream_events as S
+
+    src = str(tmp_path / "events")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    S.run_to_memory(
+        S.stream_sessionize_timers(stream), "tws_timer_sessions", "append"
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("tws_timer_sessions").collect()
+    }
+    gap, delay = 1800, 3600
+    rows = sorted(
+        (r.user_id, int(r.ts.timestamp())) for r in ev.select("user_id", "ts").collect()
+    )
+    wm = max(ep for _, ep in rows) - delay
+    sessions, cur = [], {}
+    for uid, ep in rows:
+        st = cur.get(uid)
+        if st and ep - st[2] > gap:
+            sessions.append((uid, st[1], st[2], st[3], False))
+            st = None
+        if st is None:
+            cur[uid] = [uid, ep, ep, 1]
+        else:
+            st[2], st[3] = ep, st[3] + 1
+    exp = {(u, s, e, n) for u, s, e, n, _ in sessions}
+    for uid, st in cur.items():
+        if (st[2] + gap) * 1000 <= wm * 1000:
+            exp.add((uid, st[1], st[2], st[3]))
+    assert got == exp
