@@ -142,7 +142,11 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
     d1 = str(tmp_path / "ev")
     rows1 = [(1, t0), (1, t0 + dt.timedelta(minutes=5))]
     rows2 = [(1, t0 + dt.timedelta(minutes=10)), (1, t0 + dt.timedelta(hours=2))]
-    spark.createDataFrame(rows1, ["user_id", "ts"]).write.mode("overwrite").parquet(d1)
+    # one part file per wave: multi-file waves can straddle micro-
+    # batches in mod-time order, which under load delivers the 2h
+    # event BEFORE the 10-min one — a different (out-of-order) input,
+    # not the state-carry-over scenario this test pins
+    spark.createDataFrame(rows1, ["user_id", "ts"]).coalesce(1).write.mode("overwrite").parquet(d1)
     schema = spark.read.parquet(d1).schema
 
     # ONE continuous query; files arrive in two waves — per-user state
@@ -157,7 +161,7 @@ def test_sessionize_state_carries_across_batches(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        spark.createDataFrame(rows2, ["user_id", "ts"]).write.mode("append").parquet(d1)
+        spark.createDataFrame(rows2, ["user_id", "ts"]).coalesce(1).write.mode("append").parquet(d1)
         q.processAllAvailable()
     finally:
         q.stop()
