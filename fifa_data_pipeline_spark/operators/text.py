@@ -854,3 +854,46 @@ def dsir_scores(
             "score"
         ),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Zipf-law fit: OLS of ln(frequency) on ln(rank) over
+    the group's token frequency table (rank 1 = most frequent; ties
+    broken by token text so the rank is deterministic across
+    engines). Natural language keeps the slope near −1; templated or
+    machine-generated text departs sharply, making slope + r² a
+    cheap source-level quality gate before heavier curation runs.
+    Returns ``(group, n_types, n_tokens, zipf_slope, zipf_intercept,
+    r2)`` via the native ``regr_*`` aggregates (co-moments combine
+    map-side — one pass over the ranked vocabulary, no totals join).
+
+    Plan shape: explode → (group, token) hash aggregate → per-group
+    rank window → per-group regression aggregate. Only the
+    VOCABULARY — not the corpus — crosses the rank window, so the
+    sorted partition is bounded by types-per-group. At 100 TB with a
+    very large per-group vocabulary, replace ``row_number`` with the
+    sort-free two-pass rank (join each type against the group's
+    frequency histogram: rank = 1 + Σ counts of strictly-higher
+    frequencies, ties resolved within the equal-frequency bucket) to
+    keep every stage a hash aggregate."""
+    toks = df.select(
+        F.col(group_col),
+        F.explode(tokens(text_col)).alias("token"),
+    )
+    counts = toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    y, x = F.log(F.col("freq")), F.log(F.col("rank"))
+    return ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

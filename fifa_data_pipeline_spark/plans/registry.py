@@ -58,6 +58,7 @@ def _load() -> None:
         extended24,
         extended25,
         extended26,
+        extended27,
         northstar,
         parity,
         tpch,
@@ -94,6 +95,7 @@ def _load() -> None:
     _merge(extended24)
     _merge(extended25)
     _merge(extended26)
+    _merge(extended27)
     _merge(tpch)
     _merge(tpch2)
     _merge(streaming_queries)
@@ -118,7 +120,7 @@ _WINDOW = [
     # q_knn_join, q_etl_flow, q_repeated_spans, q_winnow_pairs,
     # q_gopher_rules, q_dsir_scores, q_trim_spans, q_bootstrap_ci,
     # q_recursive_cte, q_image_ahash, q_image_dups, q_image_near_dup,
-    # q_audio_features,
+    # q_audio_features, q_zipf_fit,
     # q_stream_holt_winters, q_state_inspect, and
     # the eight streaming drains that now carry full SQL oracles
     # (tumbling/hopping/session_window/dedup/interval_join/cdc plus

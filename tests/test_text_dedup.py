@@ -230,9 +230,34 @@ def test_dup_span_stats_ratio_and_short_doc(spark):
     assert rows[3].n_spans == 0 and rows[3].dup_ratio == 0.0
 
 
+def test_hashed_span_positions_match_raw_gram_path(spark):
+    """The hashed-gram fast path (`_dup_span_positions`, xxhash64
+    keys + localCheckpoint) reports the IDENTICAL (doc, pos) set as
+    the raw-gram primitive — the switch is purely physical."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z w"),
+            (2, "q q a b c d t u"),
+            (3, "entirely different words here now"),
+            (4, "x y z w a b c d"),
+        ],
+        ["doc_id", "text"],
+    )
+    raw = {
+        (r.doc_id, r.pos)
+        for r in D.repeated_ngram_spans(docs, w=4).collect()
+    }
+    hashed = {
+        tuple(r)
+        for r in D._dup_span_positions(docs, "doc_id", "text", 4).collect()
+    }
+    assert raw == hashed and raw
+
+
 def test_repeated_spans_within_single_doc_not_flagged(spark):
     """A span repeated only WITHIN one document is not cross-doc
-    duplication (countDistinct doc >= 2 is the predicate) — the
+    duplication (>= 2 distinct docs — min(doc) != max(doc) — is the
+    predicate) — the
     operator targets inter-document memorization fuel, and intra-doc
     repetition is already scored by q_repetition_score."""
     docs = spark.createDataFrame(
