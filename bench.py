@@ -192,6 +192,9 @@ HEADLINE = [
     "q_bootstrap_ci",
     "q_recursive_cte",
     "q_zipf_fit",
+    "q_heaps_fit",
+    "q_ks_test",
+    "q_mann_whitney",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the

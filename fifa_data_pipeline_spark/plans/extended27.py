@@ -12,7 +12,8 @@ source-level quality gate before heavier curation runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import zipf_fit
 from fifa_data_pipeline_spark.sources.io import read_table
@@ -55,3 +56,285 @@ ORACLES = {
         FROM ranked GROUP BY source
     """,
 }
+
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Heaps'-law fit: OLS of ln(cumulative vocabulary)
+    on ln(cumulative tokens) over the corpus in doc_id order — the
+    companion probe to :func:`q_zipf_fit` (natural text grows
+    vocabulary ~ K·N^β with β ≈ 0.4–0.6; templated text saturates,
+    β → 0). One point per document.
+
+    Plan shape: explode → (source, token) min-doc aggregate (each
+    type counted once, at its first document) → per-(source, doc)
+    new-type counts joined to per-doc token counts → one cumulative
+    window per source ordered by doc_id → per-source regression
+    aggregate. Only per-DOC rows (not tokens) cross the window. The
+    cumulative scan is inherently sequential per source; at corpus
+    scale, coarsen the curve first (bucket doc_id into fixed strides
+    and cumulate bucket subtotals) so the window sees thousands of
+    points, not billions."""
+    from fifa_data_pipeline_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    per_doc = toks.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks")
+    )
+    first_occ = toks.groupBy("source", "token").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    new_types = first_occ.groupBy(
+        "source", F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).alias("v_new"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = (
+        per_doc.join(new_types, ["source", "doc_id"], "left")
+        .withColumn("v_new", F.coalesce("v_new", F.lit(0)))
+        .withColumn("n_cum", F.sum("n_toks").over(w))
+        .withColumn("v_cum", F.sum("v_new").over(w))
+    )
+    y, x = F.log(F.col("v_cum")), F.log(F.col("n_cum"))
+    return curve.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_cum").cast("bigint").alias("n_tokens"),
+        F.max("v_cum").cast("bigint").alias("n_types"),
+        F.round(F.regr_slope(y, x), 4).alias("heaps_beta"),
+        F.round(F.regr_intercept(y, x), 4).alias("heaps_lnk"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+QUERIES["q_heaps_fit"] = q_heaps_fit
+
+ORACLES["q_heaps_fit"] = r"""
+    WITH toks AS (
+      SELECT source, doc_id, u.token
+      FROM documents,
+           UNNEST(string_split_regex(trim(text), '\s+')) AS u(token)
+    ), per_doc AS (
+      SELECT source, doc_id, COUNT(*) AS n_toks
+      FROM toks GROUP BY source, doc_id
+    ), first_occ AS (
+      SELECT source, token, MIN(doc_id) AS first_doc
+      FROM toks GROUP BY source, token
+    ), new_types AS (
+      SELECT source, first_doc AS doc_id, COUNT(*) AS v_new
+      FROM first_occ GROUP BY source, first_doc
+    ), curve AS (
+      SELECT p.source,
+             SUM(p.n_toks) OVER w AS n_cum,
+             SUM(COALESCE(n.v_new, 0)) OVER w AS v_cum
+      FROM per_doc p LEFT JOIN new_types n USING (source, doc_id)
+      WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_cum) AS BIGINT) AS n_tokens,
+           CAST(MAX(v_cum) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(v_cum), ln(n_cum)), 4) AS heaps_beta,
+           ROUND(regr_intercept(ln(v_cum), ln(n_cum)), 4) AS heaps_lnk,
+           ROUND(regr_r2(ln(v_cum), ln(n_cum)), 6) AS r2
+    FROM curve GROUP BY source
+"""
+
+
+def _lang_pair_counts(docs: DataFrame) -> DataFrame:
+    """Per-(lang pair, n_chars value) sample counts ``(lang_a,
+    lang_b, n_chars, ca, cb)`` with lang_a < lang_b — the shared
+    pooled-sample input of the KS and Mann–Whitney queries. Each doc
+    reaches its pairs through two broadcast EQUI-joins (one per pair
+    side) unioned — not an OR-condition nested-loop join — and the
+    per-value aggregate collapses the result to |pairs| × |distinct
+    values| rows before any window."""
+    langs = docs.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(F.broadcast(langs.select(F.col("lang").alias("lang_b"))))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    side_a = docs.join(
+        F.broadcast(pairs), F.col("lang") == F.col("lang_a")
+    ).select("lang_a", "lang_b", "n_chars", F.lit(1).alias("is_a"))
+    side_b = docs.join(
+        F.broadcast(pairs), F.col("lang") == F.col("lang_b")
+    ).select("lang_a", "lang_b", "n_chars", F.lit(0).alias("is_a"))
+    return side_a.unionByName(side_b).groupBy(
+        "lang_a", "lang_b", "n_chars"
+    ).agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between every
+    pair of languages on the document-length (n_chars) distribution
+    — the distribution-free drift check between corpus slices
+    (complementing the binned chi-square / KL queries, which need a
+    histogram choice; KS does not).
+
+    Everything is INTEGER arithmetic: with samples of size n and m,
+    D = max |i·m − j·n| / (n·m) over the pooled thresholds, so the
+    result ships as the exact numerator + denominators — no float
+    rounding to diverge between engines. The pooled scan evaluates
+    both ECDFs after each distinct value (ties handled by grouping
+    per value first).
+
+    Plan shape: per-(pair, value) counts → one running-sum window
+    per pair ordered by value → per-pair max. Only DISTINCT values
+    cross the window, and each doc joins the bounded lang-pair grid
+    (k·(k−1)/2 rows) as TWO broadcast equi-joins unioned (one per
+    pair side) — hash joins, no nested-loop OR-condition — so at
+    100 TB the window input is |pairs| × |distinct lengths|,
+    metadata-sized."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = _lang_pair_counts(docs)
+    w = (
+        Window.partitionBy("lang_a", "lang_b")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pw = Window.partitionBy("lang_a", "lang_b")
+    sized = (
+        counts.withColumn("ia", F.sum("ca").over(w))
+        .withColumn("ib", F.sum("cb").over(w))
+        .withColumn("n_a", F.sum("ca").over(pw))
+        .withColumn("n_b", F.sum("cb").over(pw))
+    )
+    return (
+        sized.groupBy("lang_a", "lang_b")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.max(
+                F.abs(F.col("ia") * F.col("n_b") - F.col("ib") * F.col("n_a"))
+            ).cast("bigint").alias("d_num"),
+        )
+        .withColumn(
+            # exact half-up micro-unit quotient via integer division:
+            # (2·d·10⁶ + nm) div (2·nm) — no float rounding to diverge
+            "d_stat_micro",
+            F.expr(
+                "(2 * d_num * 1000000 + n_a * n_b) div (2 * n_a * n_b)"
+            ).cast("bigint"),
+        )
+    )
+
+
+QUERIES["q_ks_test"] = q_ks_test
+
+ORACLES["q_ks_test"] = r"""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM langs a JOIN langs b ON a.lang < b.lang
+    ), tagged AS (
+      SELECT p.lang_a, p.lang_b, d.lang, d.n_chars
+      FROM documents d JOIN pairs p
+        ON d.lang = p.lang_a OR d.lang = p.lang_b
+    ), counts AS (
+      SELECT lang_a, lang_b, n_chars,
+             SUM(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN lang = lang_b THEN 1 ELSE 0 END) AS cb
+      FROM tagged GROUP BY lang_a, lang_b, n_chars
+    ), ecdf AS (
+      SELECT lang_a, lang_b,
+             SUM(ca) OVER w AS ia, SUM(cb) OVER w AS ib
+      FROM counts
+      WINDOW w AS (PARTITION BY lang_a, lang_b ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), sized AS (
+      SELECT lang_a, lang_b, ia, ib,
+             MAX(ia) OVER (PARTITION BY lang_a, lang_b) AS n_a,
+             MAX(ib) OVER (PARTITION BY lang_a, lang_b) AS n_b
+      FROM ecdf
+    )
+    SELECT lang_a, lang_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(ia * n_b - ib * n_a)) AS BIGINT) AS d_num,
+           CAST((2 * MAX(ABS(ia * n_b - ib * n_a)) * 1000000
+                 + MAX(n_a) * MAX(n_b))
+                // (2 * MAX(n_a) * MAX(n_b)) AS BIGINT) AS d_stat_micro
+    FROM sized GROUP BY lang_a, lang_b
+"""
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum U between every language pair on
+    document length — the nonparametric location test beside
+    :func:`q_ks_test`'s shape test (and q_ab_welch's parametric
+    one). Tie-averaged ranks stay INTEGER by carrying 2×rank:
+    a value preceded by ``less`` pooled observations with ``c`` ties
+    has average rank (less + (c+1)/2), so 2·rank = 2·less + c + 1
+    exactly. Ships 2·U (``u2``) plus both group sizes — all BIGINTs,
+    engine-exact. Same bounded pair-grid + per-(pair, value) count +
+    one distinct-value window shape as the KS query
+    (:func:`_lang_pair_counts`)."""
+    docs = read_table(spark, sf_dir, "documents")
+    counts = _lang_pair_counts(docs)
+    w = (
+        Window.partitionBy("lang_a", "lang_b")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        counts.withColumn("cum", F.sum(F.col("ca") + F.col("cb")).over(w))
+        .withColumn("less", F.col("cum") - F.col("ca") - F.col("cb"))
+        .withColumn(
+            "rank2", 2 * F.col("less") + F.col("ca") + F.col("cb") + 1
+        )
+    )
+    return (
+        ranked.groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum("ca").cast("bigint").alias("n_a"),
+            F.sum("cb").cast("bigint").alias("n_b"),
+            F.sum(F.col("ca") * F.col("rank2")).alias("r2_a"),
+        )
+        .select(
+            "lang_a", "lang_b", "n_a", "n_b",
+            (F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint").alias("u2"),
+        )
+    )
+
+
+QUERIES["q_mann_whitney"] = q_mann_whitney
+
+ORACLES["q_mann_whitney"] = r"""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM langs a JOIN langs b ON a.lang < b.lang
+    ), tagged AS (
+      SELECT p.lang_a, p.lang_b, d.lang, d.n_chars
+      FROM documents d JOIN pairs p
+        ON d.lang = p.lang_a OR d.lang = p.lang_b
+    ), counts AS (
+      SELECT lang_a, lang_b, n_chars,
+             SUM(CASE WHEN lang = lang_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN lang = lang_b THEN 1 ELSE 0 END) AS cb
+      FROM tagged GROUP BY lang_a, lang_b, n_chars
+    ), ranked AS (
+      SELECT lang_a, lang_b, ca, cb,
+             2 * (SUM(ca + cb) OVER w - ca - cb) + ca + cb + 1 AS rank2
+      FROM counts
+      WINDOW w AS (PARTITION BY lang_a, lang_b ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT lang_a, lang_b,
+           CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b,
+           CAST(SUM(ca * rank2) - SUM(ca) * (SUM(ca) + 1) AS BIGINT)
+             AS u2
+    FROM ranked GROUP BY lang_a, lang_b
+"""

@@ -120,7 +120,8 @@ _WINDOW = [
     # q_knn_join, q_etl_flow, q_repeated_spans, q_winnow_pairs,
     # q_gopher_rules, q_dsir_scores, q_trim_spans, q_bootstrap_ci,
     # q_recursive_cte, q_image_ahash, q_image_dups, q_image_near_dup,
-    # q_audio_features, q_zipf_fit,
+    # q_audio_features, q_zipf_fit, q_heaps_fit, q_ks_test,
+    # q_mann_whitney,
     # q_stream_holt_winters, q_state_inspect, and
     # the eight streaming drains that now carry full SQL oracles
     # (tumbling/hopping/session_window/dedup/interval_join/cdc plus

@@ -55,3 +55,78 @@ def test_query_form_runs_on_testdata(spark, sf_dir):
         # frequency is non-increasing in rank, so the fit slope
         # cannot be positive on any real token table
         assert r.zipf_slope <= 0.0
+
+
+def test_heaps_saturating_corpus_beta_near_zero(spark, sf_dir):
+    """q_heaps_fit executes on the testdata and returns sane bounds:
+    beta in [0, 1] (vocabulary can neither shrink nor outgrow
+    tokens) and cumulative maxima equal per-source totals."""
+    from fifa_data_pipeline_spark.plans.extended27 import q_heaps_fit
+
+    rows = q_heaps_fit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.heaps_beta <= 1.0
+        assert r.n_types <= r.n_tokens
+
+
+def test_ks_identical_samples_zero_and_disjoint_one(spark):
+    """KS distance is 0 for identically-distributed samples and 1
+    for samples with disjoint supports — checked through the full
+    pair-grid query path on a constructed documents frame."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.plans import extended27
+
+    rows = []
+    # en and de: identical length multisets -> D = 0
+    for i, ln in enumerate([10, 20, 20, 30]):
+        rows.append((i, "x", "en", "s", ln))
+        rows.append((100 + i, "x", "de", "s", ln))
+    # zh: all lengths strictly larger -> D = 1 vs both
+    for i, ln in enumerate([100, 110]):
+        rows.append((200 + i, "x", "zh", "s", ln))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            (r.lang_a, r.lang_b): r
+            for r in extended27.q_ks_test(spark, d).collect()
+        }
+    assert out[("de", "en")].d_num == 0
+    assert out[("de", "en")].d_stat_micro == 0
+    r = out[("en", "zh")]
+    assert r.d_num == r.n_a * r.n_b and r.d_stat_micro == 1_000_000
+
+
+def test_mann_whitney_u_known_value(spark):
+    """U for {1,2} vs {3,4} is 0 (no a-observation exceeds any b);
+    reversing gives U = n_a*n_b; a tie contributes a half count
+    (u2 odd)."""
+    from fifa_data_pipeline_spark.plans import extended27
+    import tempfile
+
+    def run(lens_a, lens_b):
+        rows = [
+            (i, "x", "aa", "s", v) for i, v in enumerate(lens_a)
+        ] + [
+            (100 + i, "x", "bb", "s", v) for i, v in enumerate(lens_b)
+        ]
+        docs = spark.createDataFrame(
+            rows, ["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        with tempfile.TemporaryDirectory() as d:
+            docs.write.parquet(f"{d}/documents.parquet")
+            (r,) = extended27.q_mann_whitney(spark, d).collect()
+        return r
+
+    r = run([1, 2], [3, 4])
+    assert (r.n_a, r.n_b, r.u2) == (2, 2, 0)
+    r = run([3, 4], [1, 2])
+    assert r.u2 == 2 * r.n_a * r.n_b  # u2 = 2U
+    r = run([1, 2], [2, 3])
+    assert r.u2 == 1  # one tie = half a win: 2U = 1

@@ -42,6 +42,11 @@ BNLJ_ALLOWED = {
     "q_tpch_q11",        # part_value > 0.0008 * one-row total
     "q_tpch_q20",        # shipped qty > one-row half-average
     "q_tpch_q22",        # acctbal > one-row positive-balance average
+    # lang-pair grid build: lang_a < lang_b over TWO copies of the
+    # distinct-languages aggregate (≤ dozens of rows each, both
+    # broadcast); the docs themselves join the grid via equi-joins
+    "q_ks_test",
+    "q_mann_whitney",
 }
 
 #: Queries allowed a CartesianProduct: none — a true cartesian on two
