@@ -84,3 +84,82 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Engine-exact PageRank: the same power iteration as
+    :func:`pagerank` carried entirely in INTEGER pico-units
+    (rank × 10¹²) with floor division, so the result is a
+    deterministic function of the edge set — independent of
+    float-summation order, partitioning, or engine — and therefore
+    value-hash oracle-able (the DuckDB twin unrolls the identical
+    recurrence). The floor divisions shed ≤ 1 pico-unit of mass per
+    node per round; that bias (~n·10⁻¹² absolute) is far below any
+    ranking use, and determinism is the point here.
+
+    Recurrence (damping 85/100 as exact integer ratio)::
+
+        r0(v)  = scale div n
+        in(v)  = Σ_{s→v} (r(s) div deg(s))
+        dang   = Σ_{deg(v)=0} r(v)
+        r'(v)  = (15·scale) div (100·n)
+                 + (85 · (in(v) + dang div n)) div 100
+
+    Same per-iteration shape and scale posture as :func:`pagerank`
+    (one join + one aggregate per round, one-row broadcast dangling
+    mass, per-round ``localCheckpoint``)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_micro", F.lit(0).cast("bigint"))
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+    base = (15 * scale) // (100 * n)
+    ranks = nodes.withColumn(
+        "rank_micro", F.lit(scale // n).cast("bigint")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(deg, "s")
+            .select(
+                F.col("d").alias("node"),
+                F.expr("rank_micro div __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["s"], "left_anti")
+            .agg(
+                F.coalesce(F.sum("rank_micro"), F.lit(0))
+                .cast("bigint")
+                .alias("__dm")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"(85 * (coalesce(__in, 0) + __dm div {n})) div 100"
+                    )
+                ).cast("bigint").alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1,13 +1,17 @@
-"""Round-4 corpus-statistics close-out: Zipf law fit per source.
+"""Round-4 corpus-statistics close-out: Zipf/Heaps law fits, exact
+nonparametric two-sample tests (KS, Mann–Whitney), and engine-exact
+integer PageRank.
 
 Reference scope note: the reference pipeline
-(``prefect/spark/fifa_spark.py``) has no text surface; this module
-belongs to the LLM-training-data extension the build brief makes
-first-class. A Zipf fit is the standard sanity probe on a text
-corpus: natural language keeps a log-rank/log-frequency slope near
-−1, while templated or machine-generated text (boilerplate, spam,
-log dumps) departs sharply — so per-source slope + r² is a cheap
-source-level quality gate before heavier curation runs.
+(``prefect/spark/fifa_spark.py``) has no text/statistics surface;
+this module belongs to the LLM-training-data extension the build
+brief makes first-class. Zipf/Heaps fits are the standard sanity
+probes on a text corpus (natural language: slope ≈ −1, β ≈ 0.4–0.6;
+templated text departs sharply); KS/Mann–Whitney are the
+distribution-free drift checks between corpus slices, carried in
+exact integer arithmetic so the oracles cannot drift; and
+q_pagerank_exact shows the repo's iterative-algorithm family is
+oracle-able when the recurrence is integerized.
 """
 
 from __future__ import annotations
@@ -338,3 +342,67 @@ ORACLES["q_mann_whitney"] = r"""
              AS u2
     FROM ranked GROUP BY lang_a, lang_b
 """
+
+
+def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact PageRank over the purchase graph (customer →
+    part → supplier), 3 power iterations in integer pico-units —
+    the fully value-hash-checkable twin of the float q_pagerank
+    (rows-only), closing the "iterative algorithms can't be
+    oracled" gap: with floor-divided integer arithmetic the whole
+    fixpoint prefix is a deterministic function of the edge set, and
+    the DuckDB oracle unrolls the identical recurrence."""
+    from fifa_data_pipeline_spark.operators.graph import pagerank_micro
+    from fifa_data_pipeline_spark.plans.extended6 import purchase_graph
+
+    return pagerank_micro(purchase_graph(spark, sf_dir), n_iter=3)
+
+
+QUERIES["q_pagerank_exact"] = q_pagerank_exact
+
+
+def _pagerank_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
+    iters = ""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters += f"""
+        , in{i} AS (
+          SELECT e.d AS node, SUM(r.rank_micro // g.deg) AS cin
+          FROM e JOIN {prev} r ON e.s = r.node
+                 JOIN deg g ON e.s = g.s
+          GROUP BY e.d
+        ), dang{i} AS (
+          SELECT COALESCE(SUM(r.rank_micro), 0) AS dm
+          FROM {prev} r LEFT JOIN deg g ON r.node = g.s
+          WHERE g.s IS NULL
+        ), r{i} AS (
+          SELECT nd.node,
+                 CAST((15 * {scale}) // (100 * nn.n)
+                      + (85 * (COALESCE(i.cin, 0) + d.dm // nn.n)) // 100
+                   AS BIGINT) AS rank_micro
+          FROM nodes nd
+          LEFT JOIN in{i} i ON nd.node = i.node
+          CROSS JOIN dang{i} d CROSS JOIN nn
+        )"""
+        prev = f"r{i}"
+    return f"""
+      WITH e AS (
+        SELECT DISTINCT s, d FROM (
+          SELECT 'c:' || o_custkey AS s, 'p:' || l_partkey AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+        )
+      ), nodes AS (
+        SELECT s AS node FROM e UNION SELECT d FROM e
+      ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+      deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+      r0 AS (
+        SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank_micro
+        FROM nodes CROSS JOIN nn
+      ){iters}
+      SELECT node, rank_micro FROM {prev}
+    """
+
+
+ORACLES["q_pagerank_exact"] = _pagerank_oracle()

@@ -4,10 +4,13 @@ PageRank over a graph derived from the purchase data.
 
 q_udtf_sentences / q_sentences_native share one DuckDB oracle (the
 identical RE2-safe split pattern runs on all three engines).
-q_pagerank is rows-only — an iterative fixpoint isn't expressible as
-one ANSI query — pinned instead by ``test_extended6.py``'s
-power-iteration reference on a hand-built graph plus mass-conservation
-invariants on the real one.
+q_pagerank is rows-only — a FLOAT iterative fixpoint isn't
+engine-portable (summation order) — pinned instead by
+``test_extended6.py``'s power-iteration reference on a hand-built
+graph plus mass-conservation invariants on the real one. Its
+integer-exact twin ``q_pagerank_exact`` (plans/extended27.py,
+``graph.pagerank_micro``) IS fully value-hash oracle-able against an
+unrolled DuckDB recurrence.
 """
 
 from __future__ import annotations

@@ -130,3 +130,28 @@ def test_mann_whitney_u_known_value(spark):
     assert r.u2 == 2 * r.n_a * r.n_b  # u2 = 2U
     r = run([1, 2], [2, 3])
     assert r.u2 == 1  # one tie = half a win: 2U = 1
+
+
+def test_pagerank_micro_tracks_float_pagerank(spark):
+    """Integer pico-unit PageRank agrees with the float operator to
+    ~1e-6 on a small graph at the same iteration count, and its
+    ranks sum to ~1 (floor division sheds at most n pico-units per
+    round)."""
+    from fifa_data_pipeline_spark.operators.graph import (
+        pagerank,
+        pagerank_micro,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        ["src", "dst"],
+    )
+    f = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    m = {
+        r.node: r.rank_micro / 1e12
+        for r in pagerank_micro(edges, n_iter=3).collect()
+    }
+    assert set(f) == set(m)
+    for node in f:
+        assert abs(f[node] - m[node]) < 1e-6
+    assert abs(sum(m.values()) - 1.0) < 1e-9
