@@ -271,7 +271,9 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unsupervised keyword extractor, composed entirely from existing
     operators (token window lag → edge list → ``graph.pagerank``).
     Top 25 tokens by rank (6-dp round, token tie-break). Rows-only:
-    the iterative fixpoint isn't single-statement SQL; the PageRank
+    the FLOAT iterative fixpoint isn't engine-portable (see
+    ``q_textrank_exact`` in plans/extended27.py for the
+    integer-exact, fully oracle-checked twin); the PageRank
     kernel itself is pinned by its numpy power-iteration reference
     test, and determinism by the fixed iteration count (6 — keyword
     ORDER stabilizes within a few rounds; each extra round is a full

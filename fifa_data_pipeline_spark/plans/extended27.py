@@ -361,7 +361,25 @@ def q_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["q_pagerank_exact"] = q_pagerank_exact
 
 
-def _pagerank_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
+_PURCHASE_EDGES = """
+        SELECT DISTINCT s, d FROM (
+          SELECT 'c:' || o_custkey AS s, 'p:' || l_partkey AS d
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          UNION ALL
+          SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
+        )
+"""
+
+
+def _pagerank_oracle(
+    edges_sql: str = _PURCHASE_EDGES,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    final_select: str = "SELECT node, rank_micro FROM {last}",
+) -> str:
+    """Unrolled integer PageRank recurrence over ``edges_sql`` (a
+    SELECT producing distinct (s, d)) — the DuckDB-side twin of
+    ``graph.pagerank_micro``."""
     iters = ""
     prev = "r0"
     for i in range(1, n_iter + 1):
@@ -386,13 +404,7 @@ def _pagerank_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
         )"""
         prev = f"r{i}"
     return f"""
-      WITH e AS (
-        SELECT DISTINCT s, d FROM (
-          SELECT 'c:' || o_custkey AS s, 'p:' || l_partkey AS d
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          UNION ALL
-          SELECT 'p:' || l_partkey, 's:' || l_suppkey FROM lineitem
-        )
+      WITH e AS ({edges_sql}
       ), nodes AS (
         SELECT s AS node FROM e UNION SELECT d FROM e
       ), nn AS (SELECT COUNT(*) AS n FROM nodes),
@@ -401,8 +413,75 @@ def _pagerank_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
         SELECT node, CAST({scale} // nn.n AS BIGINT) AS rank_micro
         FROM nodes CROSS JOIN nn
       ){iters}
-      SELECT node, rank_micro FROM {prev}
+      {final_select.format(last=prev)}
     """
 
 
 ORACLES["q_pagerank_exact"] = _pagerank_oracle()
+
+
+def q_textrank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords with the engine-exact integer PageRank
+    kernel: same token-adjacency graph as the float q_textrank
+    (rows-only), ranks in integer pico-units, top 25 by
+    (rank_micro DESC, token) — a fully value-hash-checkable keyword
+    extractor. The integer tie-break makes the LIMIT set itself
+    deterministic across engines."""
+    from fifa_data_pipeline_spark.operators.graph import pagerank_micro
+    from fifa_data_pipeline_spark.operators.text import tokens
+    from fifa_data_pipeline_spark.operators.util import exploded
+
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    ex = exploded(
+        docs, tokens("text"), "token", keep=["doc_id"], pos_alias="pos"
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    adj = (
+        ex.withColumn("next", F.lead("token").over(w))
+        .filter(F.col("next").isNotNull() & (F.col("token") != F.col("next")))
+        .select(F.col("token").alias("src"), F.col("next").alias("dst"))
+    )
+    edges = adj.union(
+        adj.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_micro(edges, "src", "dst", n_iter=3)
+    return (
+        ranks.select(F.col("node").alias("token"), "rank_micro")
+        .orderBy(F.desc("rank_micro"), "token")
+        .limit(25)
+    )
+
+
+QUERIES["q_textrank_exact"] = q_textrank_exact
+
+_TEXTRANK_EDGES = """
+        SELECT DISTINCT s, d FROM (
+          WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE doc_id < 200
+          ), ex AS (
+            SELECT doc_id, i.i AS pos, t[i.i] AS token
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS i(i)
+          ), adj AS (
+            SELECT token AS src,
+                   LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS dst
+            FROM ex
+          )
+          SELECT src AS s, dst AS d FROM adj
+          WHERE dst IS NOT NULL AND src <> dst
+          UNION ALL
+          SELECT dst, src FROM adj
+          WHERE dst IS NOT NULL AND src <> dst
+        )
+"""
+
+ORACLES["q_textrank_exact"] = _pagerank_oracle(
+    edges_sql=_TEXTRANK_EDGES,
+    final_select=(
+        "SELECT node AS token, rank_micro FROM {last} "
+        "ORDER BY rank_micro DESC, node LIMIT 25"
+    ),
+)
