@@ -77,6 +77,21 @@ PICKS = {
     "q_knn_join": "block equi-join (no BNLJ/Cartesian even with both "
     "sides unbounded); local top-k rank is sort-only on the join's "
     "hash distribution; ONE Exchange to the final per-query rank",
+    "q_repeated_spans": "hashed-slice grams (xxhash64 of the token "
+    "slice inside the lambda — no gram strings), checkpointed so the "
+    "explode runs once; min/max dup predicate in ONE single-pass "
+    "HashAggregate pair (no partial-distinct Expand)",
+    "q_zipf_fit": "explode into a (source, token) HashAggregate; "
+    "rank window sees only the vocabulary; regr_* co-moments combine "
+    "map-side in the final per-source aggregate",
+    "q_ks_test": "pair grid built once from two tiny lang "
+    "aggregates; docs reach it via broadcast EQUI-joins (no "
+    "nested-loop OR join); the running-ECDF window input is "
+    "|pairs| x |distinct lengths| — metadata-sized",
+    "q_pagerank_exact": "per-iteration: one hash join on the node "
+    "key + one HashAggregate, dangling mass as a 1-row broadcast, "
+    "lineage cut by localCheckpoint — plan size constant in "
+    "iteration count",
 }
 
 
