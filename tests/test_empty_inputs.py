@@ -144,3 +144,22 @@ def test_round4_closing_ops_on_empty(spark):
     assert X.dsir_scores(tgt).count() == 0
     emb = _empty(spark, "vec_id long, embedding array<float>")
     assert V.knn_join(emb, emb).count() == 0
+
+
+def test_round4_statistics_ops_on_empty(spark):
+    from fifa_data_pipeline_spark.operators.graph import (
+        pagerank_micro,
+    )
+    from fifa_data_pipeline_spark.plans.extended27 import (
+        _lang_pair_counts,
+    )
+
+    docs = _empty(spark, "doc_id long, text string, source string")
+    assert X.zipf_fit(docs).count() == 0
+    pooled = _empty(
+        spark, "doc_id long, lang string, n_chars long"
+    )
+    assert _lang_pair_counts(pooled).count() == 0
+    edges = _empty(spark, "src string, dst string")
+    out = pagerank_micro(edges)
+    assert out.count() == 0 and out.columns == ["node", "rank_micro"]
