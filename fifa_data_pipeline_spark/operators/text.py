@@ -868,8 +868,8 @@ def zipf_fit(
     machine-generated text departs sharply, making slope + r² a
     cheap source-level quality gate before heavier curation runs.
     Returns ``(group, n_types, n_tokens, zipf_slope, zipf_intercept,
-    r2)`` via the native ``regr_*`` aggregates (co-moments combine
-    map-side — one pass over the ranked vocabulary, no totals join).
+    r2)`` via :func:`ln_ols` — exact integer moments, one pass over
+    the ranked vocabulary, no totals join, run-order-deterministic.
 
     Plan shape: explode → (group, token) hash aggregate → per-group
     rank window → per-group regression aggregate. Only the
@@ -889,11 +889,77 @@ def zipf_fit(
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("token"))
     ranked = counts.withColumn("rank", F.row_number().over(w))
-    y, x = F.log(F.col("freq")), F.log(F.col("rank"))
-    return ranked.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_types"),
-        F.sum("freq").cast("bigint").alias("n_tokens"),
-        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
-        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    fit = ln_ols(
+        ranked, [group_col], F.log("rank"), F.log("freq"),
+        slope="zipf_slope", intercept="zipf_intercept",
+        extra_aggs=[F.sum("freq").cast("bigint").alias("n_tokens")],
+    ).withColumnRenamed("n", "n_types")
+    return fit.select(
+        group_col, "n_types", "n_tokens",
+        "zipf_slope", "zipf_intercept", "r2",
+    )
+
+
+def ln_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+    slope: str = "slope",
+    intercept: str = "intercept",
+    quantum: int = 10_000,
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Deterministic per-group OLS of ``y`` on ``x`` (both typically
+    ln() expressions): x and y are quantized to 1/``quantum`` units
+    (``round(x·quantum)`` — both engines round the same double away
+    from zero at 0 dp), the five moment sums accumulate as EXACT
+    BIGINTs (integer addition commutes, so partial-aggregation order
+    cannot perturb them — float ``regr_*`` co-moments flip rounding
+    boundaries run-to-run under 32-thread partial aggs, observed on
+    q_heaps_fit), and slope/intercept/r² derive from the integer
+    moments by double arithmetic written IDENTICALLY in the DuckDB
+    twins. Returns group cols + ``n`` + slope/intercept/r2 (4/4/6 dp).
+
+    Range: moments fit int64 while n·(quantum·|x|max)² < 2⁶³ — at
+    quantum 10⁴ and |x| ≤ ln(10⁹), about 10⁸ rows per group; lower
+    ``quantum`` to 10³ for groups beyond that."""
+    q = F.lit(quantum)
+    xm = F.round(x * q, 0).cast("bigint")
+    ym = F.round(y * q, 0).cast("bigint")
+    m = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xm).alias("__sx"),
+        F.sum(ym).alias("__sy"),
+        F.sum(xm * xm).alias("__sxx"),
+        F.sum(xm * ym).alias("__sxy"),
+        F.sum(ym * ym).alias("__syy"),
+        *(extra_aggs or []),
+    )
+    dnum = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dxx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dyy = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    s = dnum.cast("double") / dxx
+    return (
+        m.withColumn(slope, F.when(dxx > 0, F.round(s, 4)))
+        .withColumn(
+            intercept,
+            F.when(
+                dxx > 0,
+                F.round(
+                    (F.col("__sy").cast("double") - s * F.col("__sx"))
+                    / F.col("n")
+                    / quantum,
+                    4,
+                ),
+            ),
+        )
+        .withColumn(
+            "r2",
+            F.when(
+                (dxx > 0) & (dyy > 0),
+                F.round(s * (dnum.cast("double") / dyy), 6),
+            ),
+        )
+        .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
     )

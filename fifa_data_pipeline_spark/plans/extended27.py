@@ -34,8 +34,29 @@ QUERIES = {
     "q_zipf_fit": q_zipf_fit,
 }
 
+#: Integer-moment OLS tail shared by the zipf/heaps oracles — the
+#: DuckDB twin of ``text.ln_ols``: xm/ym are the quantized ln values,
+#: the moment sums are exact BIGINTs (run-order-proof), and the
+#: double arithmetic below is written token-for-token like the Spark
+#: side so both engines produce the identical IEEE result.
+_OLS_TAIL = """
+        CASE WHEN n * sxx - sx * sx > 0 THEN
+          ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (n * sxx - sx * sx), 4) END AS {slope},
+        CASE WHEN n * sxx - sx * sx > 0 THEN
+          ROUND((CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx)) * sx)
+                / n / 10000, 4) END AS {intercept},
+        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+          ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx))
+                * (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * syy - sy * sy)), 6) END AS r2
+"""
+
 ORACLES = {
-    "q_zipf_fit": r"""
+    "q_zipf_fit": rf"""
         WITH toks AS (
           SELECT source, u.token
           FROM documents,
@@ -49,15 +70,23 @@ ORACLES = {
                    PARTITION BY source ORDER BY freq DESC, token
                  ) AS rank
           FROM counts
+        ), q AS (
+          SELECT source, freq,
+                 CAST(ROUND(ln(rank) * 10000, 0) AS BIGINT) AS xm,
+                 CAST(ROUND(ln(freq) * 10000, 0) AS BIGINT) AS ym
+          FROM ranked
+        ), m AS (
+          SELECT source, COUNT(*) AS n, SUM(freq) AS n_tokens,
+                 SUM(xm) AS sx, SUM(ym) AS sy, SUM(xm * xm) AS sxx,
+                 SUM(xm * ym) AS sxy, SUM(ym * ym) AS syy
+          FROM q GROUP BY source
         )
         SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_types,
-               CAST(SUM(freq) AS BIGINT) AS n_tokens,
-               ROUND(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
-               ROUND(regr_intercept(ln(freq), ln(rank)), 4)
-                 AS zipf_intercept,
-               ROUND(regr_r2(ln(freq), ln(rank)), 6) AS r2
-        FROM ranked GROUP BY source
+               CAST(n AS BIGINT) AS n_types,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               {_OLS_TAIL.format(slope="zipf_slope",
+                                 intercept="zipf_intercept")}
+        FROM m
     """,
 }
 
@@ -72,8 +101,10 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: explode → (source, token) min-doc aggregate (each
     type counted once, at its first document) → per-(source, doc)
     new-type counts joined to per-doc token counts → one cumulative
-    window per source ordered by doc_id → per-source regression
-    aggregate. Only per-DOC rows (not tokens) cross the window. The
+    window per source ordered by doc_id → per-source integer-moment
+    OLS (``text.ln_ols`` — run-order-deterministic, unlike float
+    regr_* co-moments). Only per-DOC rows (not tokens) cross the
+    window. The
     cumulative scan is inherently sequential per source; at corpus
     scale, coarsen the curve first (bucket doc_id into fixed strides
     and cumulate bucket subtotals) so the window sees thousands of
@@ -104,20 +135,25 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_cum", F.sum("n_toks").over(w))
         .withColumn("v_cum", F.sum("v_new").over(w))
     )
-    y, x = F.log(F.col("v_cum")), F.log(F.col("n_cum"))
-    return curve.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("n_cum").cast("bigint").alias("n_tokens"),
-        F.max("v_cum").cast("bigint").alias("n_types"),
-        F.round(F.regr_slope(y, x), 4).alias("heaps_beta"),
-        F.round(F.regr_intercept(y, x), 4).alias("heaps_lnk"),
-        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    from fifa_data_pipeline_spark.operators.text import ln_ols
+
+    fit = ln_ols(
+        curve, ["source"], F.log("n_cum"), F.log("v_cum"),
+        slope="heaps_beta", intercept="heaps_lnk",
+        extra_aggs=[
+            F.max("n_cum").cast("bigint").alias("n_tokens"),
+            F.max("v_cum").cast("bigint").alias("n_types"),
+        ],
+    ).withColumnRenamed("n", "n_docs")
+    return fit.select(
+        "source", "n_docs", "n_tokens", "n_types",
+        "heaps_beta", "heaps_lnk", "r2",
     )
 
 
 QUERIES["q_heaps_fit"] = q_heaps_fit
 
-ORACLES["q_heaps_fit"] = r"""
+ORACLES["q_heaps_fit"] = rf"""
     WITH toks AS (
       SELECT source, doc_id, u.token
       FROM documents,
@@ -138,15 +174,24 @@ ORACLES["q_heaps_fit"] = r"""
       FROM per_doc p LEFT JOIN new_types n USING (source, doc_id)
       WINDOW w AS (PARTITION BY p.source ORDER BY p.doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), q AS (
+      SELECT source, n_cum, v_cum,
+             CAST(ROUND(ln(n_cum) * 10000, 0) AS BIGINT) AS xm,
+             CAST(ROUND(ln(v_cum) * 10000, 0) AS BIGINT) AS ym
+      FROM curve
+    ), m AS (
+      SELECT source, COUNT(*) AS n,
+             MAX(n_cum) AS max_n, MAX(v_cum) AS max_v,
+             SUM(xm) AS sx, SUM(ym) AS sy, SUM(xm * xm) AS sxx,
+             SUM(xm * ym) AS sxy, SUM(ym * ym) AS syy
+      FROM q GROUP BY source
     )
     SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(MAX(n_cum) AS BIGINT) AS n_tokens,
-           CAST(MAX(v_cum) AS BIGINT) AS n_types,
-           ROUND(regr_slope(ln(v_cum), ln(n_cum)), 4) AS heaps_beta,
-           ROUND(regr_intercept(ln(v_cum), ln(n_cum)), 4) AS heaps_lnk,
-           ROUND(regr_r2(ln(v_cum), ln(n_cum)), 6) AS r2
-    FROM curve GROUP BY source
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(max_n AS BIGINT) AS n_tokens,
+           CAST(max_v AS BIGINT) AS n_types,
+           {_OLS_TAIL.format(slope="heaps_beta", intercept="heaps_lnk")}
+    FROM m
 """
 
 

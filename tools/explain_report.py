@@ -82,8 +82,9 @@ PICKS = {
     "explode runs once; min/max dup predicate in ONE single-pass "
     "HashAggregate pair (no partial-distinct Expand)",
     "q_zipf_fit": "explode into a (source, token) HashAggregate; "
-    "rank window sees only the vocabulary; regr_* co-moments combine "
-    "map-side in the final per-source aggregate",
+    "rank window sees only the vocabulary; integer ln-moment sums "
+    "(run-order-proof) combine map-side in the final per-source "
+    "aggregate",
     "q_ks_test": "pair grid built once from two tiny lang "
     "aggregates; docs reach it via broadcast EQUI-joins (no "
     "nested-loop OR join); the running-ECDF window input is "
