@@ -976,3 +976,42 @@ def test_stream_sessionize_timers_matches_closure(spark, sf_dir, tmp_path):
         if (st[2] + gap) * 1000 <= wm * 1000:
             exp.add((uid, st[1], st[2], st[3]))
     assert got == exp
+
+
+def test_tumbling_drain_identical_under_rocksdb_state_store(spark, sf_dir):
+    """The production state backend (RocksDBStateStoreProvider — the
+    off-heap store a 100 TB streaming job runs, with changelog
+    checkpointing) produces identical drain results to the default
+    HDFS-backed in-memory store: the swap is pure session config, no
+    operator change. Uses the registered q_stream_tumbling drain
+    (fresh checkpoint + query name per call) under each provider."""
+    from fifa_data_pipeline_spark.plans.streaming_queries import (
+        q_stream_tumbling,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    chg = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
+    baseline = sorted(
+        map(tuple, q_stream_tumbling(spark, sf_dir).collect())
+    )
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(chg, "true")
+    try:
+        rocks = sorted(
+            map(tuple, q_stream_tumbling(spark, sf_dir).collect())
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+        spark.conf.unset(chg)
+    assert baseline and rocks == baseline
