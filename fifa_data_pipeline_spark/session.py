@@ -67,6 +67,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
+        # The recursive-CTE row guardrail defaults to 1M — three hops
+        # of a dense duplicate-fingerprint closure exceed that by
+        # sf1 (every replicated doc group contributes O(copies²)
+        # edges). Raised engine-wide: the closure queries bound DEPTH
+        # structurally (hop guard + DAG edges); the row ceiling is a
+        # runaway-recursion net, not a sizing knob.
+        .config("spark.sql.cteRecursionRowLimit", "100000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Split-size lever (the "size maxPartitionBytes" knob): 8m
