@@ -89,10 +89,11 @@ PICKS = {
     "aggregates; docs reach it via broadcast EQUI-joins (no "
     "nested-loop OR join); the running-ECDF window input is "
     "|pairs| x |distinct lengths| — metadata-sized",
-    "q_pagerank_exact": "per-iteration: one hash join on the node "
-    "key + one HashAggregate, dangling mass as a 1-row broadcast, "
-    "lineage cut by localCheckpoint — plan size constant in "
-    "iteration count",
+    "q_pagerank_exact": "per-iteration: ONE hash join (degrees "
+    "pre-joined into the checkpointed edge table) + one "
+    "HashAggregate; dangling mass is a 1-row fold over the static "
+    "sink flag (no anti-join); lineage cut by localCheckpoint — "
+    "plan size constant in iteration count",
 }
 
 
