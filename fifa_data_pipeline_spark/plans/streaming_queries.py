@@ -382,8 +382,39 @@ def q_stream_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed leaderboard: the watermark-closed tumbling
+    counts (same append drain as q_stream_tumbling) ranked per window
+    — top-3 event types by count, count desc / type asc tie-break —
+    the stream→serve composition behind a live leaderboard: streaming
+    does the stateful pre-aggregation, a batch rank runs on the
+    drained (window-grain, tiny) sink. Fully deterministic: counts
+    are integers and the tie-break is total, so the rank-3 boundary
+    is engine-exact."""
+    from pyspark.sql import Window as W
+
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    name = f"q_stream_topk_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(S.stream_tumbling_counts(stream), name, "append")
+    w = W.partitionBy("ws").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "ws", "event_type", "n_events",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
 QUERIES = {
     "q_stream_tumbling": q_stream_tumbling,
+    "q_stream_topk": q_stream_topk,
     "q_stream_ewma": q_stream_ewma,
     "q_stream_sessionize": q_stream_sessionize,
     "q_stream_session_window": q_stream_session_window,
@@ -429,6 +460,24 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
         HAVING (ws + 3600) * 1000 <= (SELECT w FROM wm)
+    """,
+    # Streamed pre-agg + batch rank: the closed-window counts are the
+    # tumbling closure SQL; the integer count + total tie-break makes
+    # the rank-3 boundary engine-exact.
+    "q_stream_topk": """
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events),
+        closed AS (
+          SELECT CAST(FLOOR(extract(epoch FROM date_trunc('hour', ts))) AS BIGINT) AS ws,
+                 event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+          HAVING (ws + 3600) * 1000 <= (SELECT w FROM wm)
+        )
+        SELECT ws, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY ws ORDER BY n_events DESC, event_type
+               ) AS BIGINT) AS rnk
+        FROM closed
+        QUALIFY rnk <= 3
     """,
     # Chained dedup→agg restores single copies before aggregating, so
     # the two-stage stateful pipeline shares the tumbling closure SQL.
