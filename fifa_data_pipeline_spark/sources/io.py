@@ -553,15 +553,20 @@ def publish_atomic(
 
 
 def read_published(
-    spark: SparkSession, root: str, name: str
+    spark: SparkSession, root: str, name: str,
+    version: int | None = None,
 ) -> DataFrame:
     """Resolve a table through the ``_CURRENT`` pointer — the read
-    half of :func:`publish_atomic`."""
+    half of :func:`publish_atomic`. Pass ``version`` for time travel
+    (the ``VERSION AS OF`` analogue: published versions are immutable
+    directories, so any past version remains readable until
+    explicitly garbage-collected); default reads the current one."""
     import json
     import os
 
-    with open(os.path.join(root, "_CURRENT")) as fh:
-        version = json.load(fh)["version"]
+    if version is None:
+        with open(os.path.join(root, "_CURRENT")) as fh:
+            version = json.load(fh)["version"]
     return spark.read.parquet(os.path.join(root, f"v{version}", name))
 
 

@@ -188,6 +188,12 @@ def test_publish_atomic_versions_and_survives_failed_publish(
     v2 = publish_atomic({"nation": nation.limit(3), "region": region}, root)
     assert v2 > v1
     assert read_published(spark, root, "nation").count() == 3
+    # time travel: the superseded version stays readable by number
+    # (immutable version directories = the VERSION AS OF analogue)
+    assert (
+        read_published(spark, root, "nation", version=v1).count()
+        == nation.count()
+    )
 
 
 def test_delete_subjects_rewrites_only_touched_buckets(
