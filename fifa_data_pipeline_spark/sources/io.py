@@ -570,6 +570,37 @@ def read_published(
     return spark.read.parquet(os.path.join(root, f"v{version}", name))
 
 
+def vacuum_published(root: str, keep_last: int = 2) -> list[int]:
+    """Garbage-collect superseded published versions: delete version
+    directories older than the newest ``keep_last`` (the _CURRENT
+    version is always kept regardless). The deletion order is oldest
+    first, and the pointer file is never touched, so a reader that
+    resolved _CURRENT before the vacuum can still finish its scan of
+    any KEPT version — the retention window is the time-travel
+    horizon, exactly like table-format VACUUM. Returns the deleted
+    version numbers."""
+    import json
+    import os
+    import re
+    import shutil
+
+    with open(os.path.join(root, "_CURRENT")) as fh:
+        current = json.load(fh)["version"]
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v(\d+)", d)) and
+        os.path.isdir(os.path.join(root, d))
+    )
+    keep = set(versions[-keep_last:]) | {current}
+    deleted = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(root, f"v{v}"))
+            deleted.append(v)
+    return deleted
+
+
 def cached_result(
     spark: SparkSession, df: DataFrame, cache_root: str
 ) -> tuple[DataFrame, bool]:

@@ -195,6 +195,22 @@ def test_publish_atomic_versions_and_survives_failed_publish(
         == nation.count()
     )
 
+    # vacuum: publish a third version, then GC to the last 2 —
+    # v1 is deleted, v2/v3 remain, _CURRENT still resolves
+    from fifa_data_pipeline_spark.sources.io import vacuum_published
+
+    v3 = publish_atomic({"nation": nation.limit(5), "region": region}, root)
+    deleted = vacuum_published(root, keep_last=2)
+    assert deleted == [v1]
+    assert read_published(spark, root, "nation").count() == 5
+    assert (
+        read_published(spark, root, "nation", version=v2).count() == 3
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        read_published(spark, root, "nation", version=v1).count()
+
 
 def test_delete_subjects_rewrites_only_touched_buckets(
     spark, sf_dir, tmp_path
