@@ -517,6 +517,10 @@ def connected_components(
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        # checkpointed: edges are read EVERY round, and the upstream
+        # pair pipeline (often a full LSH candidate generation) must
+        # not re-run per iteration
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("s").alias("node"))
