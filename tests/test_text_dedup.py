@@ -430,3 +430,46 @@ def test_trim_repeated_spans_overlapping_spans_merge(spark):
     rows = {r.doc_id: r for r in trim_repeated_spans(docs, w=4).collect()}
     assert rows[1].cleaned_text == "unique1 unique2"
     assert rows[2].cleaned_text == "pre1 pre2"
+
+
+def test_star_components_match_label_propagation(spark):
+    """connected_components_star (Kiveris alternating star rounds)
+    produces the identical (node, component-min) mapping as min-label
+    propagation on random graphs, chains (worst case for
+    propagation), cliques, and singleton edges."""
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    # random sparse graphs
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+        ]
+        cases.append([(a, b) for a, b in edges if a != b])
+    # a long chain: diameter = n (propagation needs many rounds)
+    cases.append([(i, i + 1) for i in range(50)])
+    # two cliques bridged by one edge
+    k = list(range(5)), list(range(10, 15))
+    cases.append(
+        [(a, b) for a in k[0] for b in k[0] if a < b]
+        + [(a, b) for a in k[1] for b in k[1] if a < b]
+        + [(4, 10)]
+    )
+    for pairs in cases:
+        df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        prop = {
+            (r.node, r.label)
+            for r in D.connected_components(df, max_iter=60).collect()
+        }
+        star = {
+            (r.node, r.label)
+            for r in D.connected_components_star(df).collect()
+        }
+        assert star == prop and star
+
+
+def test_star_components_empty_input(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components_star(df).count() == 0
