@@ -122,7 +122,7 @@ _WINDOW = [
     # q_recursive_cte, q_image_ahash, q_image_dups, q_image_near_dup,
     # q_audio_features, q_zipf_fit, q_heaps_fit, q_ks_test,
     # q_mann_whitney, q_pagerank_exact, q_textrank_exact,
-    # q_stream_topk, q_dedup_cc_star,
+    # q_stream_topk, q_dedup_cc_star, q_stream_distinct_exact,
     # q_stream_holt_winters, q_state_inspect, and
     # the eight streaming drains that now carry full SQL oracles
     # (tumbling/hopping/session_window/dedup/interval_join/cdc plus

@@ -231,6 +231,35 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_stream_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-window distinct-user reach in streaming: chained
+    stateful ops — watermarked dedup on (user, hour bucket) feeding a
+    tumbling count. Same-window duplicates always have event times
+    within one window of each other, i.e. within the watermark delay,
+    so ``dropDuplicatesWithinWatermark`` provably removes every one;
+    the downstream count of surviving rows IS the exact distinct
+    count. State: one row per (user, window) — heavier than the HLL
+    variant (q_stream_distinct, O(KB)/window) but exact, and fully
+    value-hash oracle-able via the closure condition."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = S.read_event_stream(spark, src, schema)
+    keyed = (
+        stream.withWatermark("ts", "1 hour")
+        .withColumn("__wb", F.date_trunc("hour", F.col("ts")))
+    )
+    dd = keyed.dropDuplicatesWithinWatermark(["user_id", "__wb"])
+    agg = dd.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.unix_timestamp(F.col("window.start")).cast("bigint").alias("ws"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
+    name = f"q_stream_distinct_exact_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(agg, name, "append")
+    return spark.table(name)
+
+
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply end-to-end: the event-derived I/U/D feed
     is drained multi-batch (maxFilesPerTrigger=1) through the
@@ -429,6 +458,7 @@ QUERIES = {
     "q_stream_holt_winters": q_stream_holt_winters,
     "q_state_inspect": q_state_inspect,
     "q_stream_dedup_agg": q_stream_dedup_agg,
+    "q_stream_distinct_exact": q_stream_distinct_exact,
 }
 
 # q_stream_kmv gets a FULL oracle: the associative KMV merge makes
@@ -478,6 +508,15 @@ ORACLES: dict[str, str] = {
                ) AS BIGINT) AS rnk
         FROM closed
         QUALIFY rnk <= 3
+    """,
+    # Exact distinct = dedup(user, window) feeding a count; closed
+    # windows carry the batch COUNT(DISTINCT) exactly.
+    "q_stream_distinct_exact": """
+        WITH wm AS (SELECT epoch_ms(MAX(ts)) - 3600000 AS w FROM events)
+        SELECT CAST(FLOOR(extract(epoch FROM date_trunc('hour', ts))) AS BIGINT) AS ws,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+        HAVING (ws + 3600) * 1000 <= (SELECT w FROM wm)
     """,
     # Chained dedup→agg restores single copies before aggregating, so
     # the two-stage stateful pipeline shares the tumbling closure SQL.
