@@ -195,6 +195,7 @@ HEADLINE = [
     "q_heaps_fit",
     "q_ks_test",
     "q_mann_whitney",
+    "q_spearman",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the

@@ -530,3 +530,92 @@ ORACLES["q_textrank_exact"] = _pagerank_oracle(
         "ORDER BY rank_micro DESC, node LIMIT 25"
     ),
 )
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price per
+    returnflag — completing the nonparametric trio (KS: shape, U:
+    location, ρ: monotonic association) with the same exactness
+    discipline: tie-averaged ranks carried as INTEGER 2·rank
+    (2·RANK() + tie_count − 1), moment sums as exact DECIMAL(38,0)
+    (int64 would overflow at Σ(2n)² beyond ~10⁶ rows per group;
+    DuckDB's HUGEINT sums are exact the same way), and the final ρ
+    from double arithmetic written token-for-token identically in
+    the oracle — deterministic across runs and engines.
+
+    Plan shape: two rank windows sharing the group partition key +
+    one hash aggregate; the quantity ranks reuse the same sorted
+    partition. Heavy ties (integer quantities) exercise the
+    tie-averaging path."""
+    li = read_table(spark, sf_dir, "lineitem")
+    g = "l_returnflag"
+    wx = Window.partitionBy(g).orderBy("l_quantity")
+    wxt = Window.partitionBy(g, "l_quantity")
+    wy = Window.partitionBy(g).orderBy("l_extendedprice")
+    wyt = Window.partitionBy(g, "l_extendedprice")
+    ranked = li.select(
+        g,
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1)
+        .cast("decimal(38,0)").alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1)
+        .cast("decimal(38,0)").alias("ry"),
+    )
+    m = ranked.groupBy(g).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return m.select(
+        g,
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("spearman_rho"),
+    )
+
+
+QUERIES["q_spearman"] = q_spearman
+
+ORACLES["q_spearman"] = """
+    WITH ranked AS (
+      SELECT l_returnflag AS g,
+             2 * RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity)
+               + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity)
+               - 1 AS rx,
+             2 * RANK() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice)
+               + COUNT(*) OVER (PARTITION BY l_returnflag,
+                                l_extendedprice)
+               - 1 AS ry
+      FROM lineitem
+    ), m AS (
+      SELECT g, COUNT(*) AS n,
+             SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * rx) AS sxx, SUM(rx * ry) AS sxy,
+             SUM(ry * ry) AS syy
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                 AND CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM m
+"""

@@ -155,3 +155,26 @@ def test_pagerank_micro_tracks_float_pagerank(spark):
     for node in f:
         assert abs(f[node] - m[node]) < 1e-6
     assert abs(sum(m.values()) - 1.0) < 1e-9
+
+
+def test_spearman_known_values(spark, sf_dir):
+    """Monotone data gives rho 1, reversed gives -1 (computed through
+    the full query path on a substituted lineitem table); the real
+    table lands in (-1, 1)."""
+    import tempfile
+
+    from fifa_data_pipeline_spark.plans.extended27 import q_spearman
+
+    rows = [("A", float(i), float(i * 2 + 1)) for i in range(1, 8)]
+    rows += [("R", float(i), float(100 - i)) for i in range(1, 8)]
+    df = spark.createDataFrame(
+        rows, ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        out = {r.l_returnflag: r for r in q_spearman(spark, d).collect()}
+    assert out["A"].spearman_rho == 1.0
+    assert out["R"].spearman_rho == -1.0
+    real = {r.l_returnflag: r for r in q_spearman(spark, sf_dir).collect()}
+    for r in real.values():
+        assert -1.0 <= r.spearman_rho <= 1.0
