@@ -637,3 +637,24 @@ def cached_result(
         return spark.read.parquet(slot), True
     df.write.mode("overwrite").parquet(slot)
     return spark.read.parquet(slot), False
+
+
+def with_file_provenance(df: DataFrame) -> DataFrame:
+    """Attach file-level provenance from the hidden ``_metadata``
+    struct every file-based scan carries (Spark ≥3.4): source file
+    path/name/size/modification time and, for parquet, the row's
+    ordinal within its file. Zero extra I/O — the values come from
+    the scan's own split bookkeeping — which makes this the cheap
+    first hop of lineage debugging ("which input file produced this
+    bad row") and of file-grain reprocessing (group by
+    ``source_file`` to find and re-ingest a bad batch).
+
+    Must be called on a DataFrame that is still a direct file scan:
+    ``_metadata`` is resolvable only before projections drop it."""
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("source_file"),
+        F.col("_metadata.file_name").alias("source_file_name"),
+        F.col("_metadata.file_size").alias("source_file_size"),
+        F.col("_metadata.row_index").alias("source_row_index"),
+    )

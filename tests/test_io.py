@@ -335,3 +335,32 @@ def test_write_tuned_codec_and_rowgroups(spark, sf_dir, tmp_path):
     )
     # content identical either way
     assert spark.read.parquet(p_zstd).count() == li.count()
+
+
+def test_file_provenance_identifies_source_files(spark, sf_dir, tmp_path):
+    """_metadata provenance: every row carries its source file, the
+    per-file row counts sum to the table count, and row_index is a
+    dense 0..n-1 sequence within each file (written as two separate
+    files to make the grouping non-trivial)."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.sources.io import (
+        read_table,
+        with_file_provenance,
+    )
+
+    nation = read_table(spark, sf_dir, "nation")
+    d = str(tmp_path / "nation2")
+    nation.repartition(2).write.parquet(d)
+    df = with_file_provenance(spark.read.parquet(d))
+    assert df.count() == nation.count()
+    per_file = df.groupBy("source_file").count().collect()
+    assert len(per_file) == 2
+    assert sum(r["count"] for r in per_file) == nation.count()
+    idx = df.groupBy("source_file").agg(
+        F.min("source_row_index").alias("lo"),
+        F.max("source_row_index").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in idx.collect():
+        assert r.lo == 0 and r.hi == r.n - 1
