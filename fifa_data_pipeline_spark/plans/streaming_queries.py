@@ -260,6 +260,41 @@ def q_stream_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct streaming enrichment against an SCD-2
+    dimension: each streamed event joins the dim row whose
+    [valid_from, valid_to) interval CONTAINS the event time — the
+    temporal-correctness upgrade over plain stream-static enrichment
+    (which reads "current" attributes and silently backdates them).
+    The dim is the engine's own SCD-2 historization (q_scd2) built in
+    batch; the join is stateless per micro-batch (equi-key on user +
+    interval post-filter on the broadcast dim), so no watermark or
+    state is involved and the availableNow drain equals the batch
+    temporal join — the full value-hash oracle below."""
+    from fifa_data_pipeline_spark.plans.extended4 import q_scd2
+
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    dim = q_scd2(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        "valid_from", "valid_to", "version",
+    )
+    stream = S.read_event_stream(spark, src, schema).select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+    )
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ep") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ep") < F.col("valid_to"))),
+    ).select("event_id", "user_id", "ep", "status", "version")
+    name = f"q_stream_scd2_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(joined, name, "append")
+    return spark.table(name)
+
+
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC apply end-to-end: the event-derived I/U/D feed
     is drained multi-batch (maxFilesPerTrigger=1) through the
@@ -459,6 +494,7 @@ QUERIES = {
     "q_state_inspect": q_state_inspect,
     "q_stream_dedup_agg": q_stream_dedup_agg,
     "q_stream_distinct_exact": q_stream_distinct_exact,
+    "q_stream_scd2_enrich": q_stream_scd2_enrich,
 }
 
 # q_stream_kmv gets a FULL oracle: the associative KMV merge makes
@@ -508,6 +544,34 @@ ORACLES: dict[str, str] = {
                ) AS BIGINT) AS rnk
         FROM closed
         QUALIFY rnk <= 3
+    """,
+    # Stateless temporal enrichment: the drain equals the batch
+    # point-in-time join against the identically-derived SCD-2 dim.
+    "q_stream_scd2_enrich": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events
+        ), flagged AS (
+          SELECT user_id, event_id, event_type, ep,
+                 LAG(event_type) OVER w AS prev
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+        ), changes AS (
+          SELECT * FROM flagged
+          WHERE prev IS NULL OR prev <> event_type
+        ), dim AS (
+          SELECT user_id AS d_user, event_type AS status,
+                 ep AS valid_from,
+                 LEAD(ep) OVER w AS valid_to,
+                 CAST(ROW_NUMBER() OVER w AS INTEGER) AS version
+          FROM changes
+          WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+        )
+        SELECT s.event_id, s.user_id, s.ep, d.status, d.version
+        FROM e s JOIN dim d
+          ON s.user_id = d.d_user
+         AND s.ep >= d.valid_from
+         AND (d.valid_to IS NULL OR s.ep < d.valid_to)
     """,
     # Exact distinct = dedup(user, window) feeding a count; closed
     # windows carry the batch COUNT(DISTINCT) exactly.
