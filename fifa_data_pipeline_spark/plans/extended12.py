@@ -264,8 +264,12 @@ ORACLES = {
           FROM daily GROUP BY event_type
         )
         SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+               -- "+ 0.0" folds IEEE -0.0 to +0.0: DuckDB's ROUND keeps
+               -- the sign of a tiny negative sum, Spark's BigDecimal
+               -- round has no signed zero — they'd stringify apart.
                ROUND(SUM(d.n - s.mu) OVER (PARTITION BY d.event_type
-                                           ORDER BY d.day), 6) AS cusum,
+                                           ORDER BY d.day), 6) + 0.0
+                 AS cusum,
                abs(SUM(d.n - s.mu) OVER (PARTITION BY d.event_type
                                          ORDER BY d.day)) > 2 * s.sd
                  AS drifted

@@ -327,12 +327,12 @@ ORACLES = {
     """,
     "q_sql_inference": """
         WITH scored AS (
-          SELECT CASE WHEN l_discount <= 0.05 THEN
+          SELECT CAST(CASE WHEN l_discount <= 0.05 THEN
                    CASE WHEN l_quantity <= 25.0 THEN 0.1 ELSE 0.4 END
                  ELSE
                    CASE WHEN l_extendedprice <= 30000.0 THEN 0.6
                         ELSE 0.9 END
-                 END AS tree_score,
+                 END AS DOUBLE) AS tree_score,
                  ROUND(1.0 / (1.0 + EXP(-(-0.5 + 0.03 * l_quantity
                                           - 8.0 * l_discount))), 6)
                    AS logit_prob

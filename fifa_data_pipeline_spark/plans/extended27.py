@@ -685,7 +685,7 @@ def _kmeans_oracle(k: int = 4, n_iter: int = 3, dim: int = 64,
       SELECT CAST(c.cid AS BIGINT) AS cluster_id,
              CAST(COALESCE(t.n_vecs, 0) AS BIGINT) AS n_vecs,
              CAST(u.j - 1 AS BIGINT) AS dim,
-             c.cv[u.j] AS centroid_q
+             CAST(c.cv[u.j] AS BIGINT) AS centroid_q
       FROM {prev} c LEFT JOIN counts t ON c.cid = t.cid,
            UNNEST(range(1, {dim + 1})) AS u(j)
     """

@@ -21,13 +21,15 @@ import duckdb
 
 
 def _norm_cell(v) -> str:
+    # Driver-faithful: the round driver stringifies values as-is, so a
+    # DuckDB HUGEINT surfacing as float 606.0 vs Spark's int 606 IS a
+    # mismatch. r1-r4 lesson (q_tpch_q12): never fold float -> int here,
+    # or the mimic under-detects exactly the class the driver catches.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, dt.datetime):
         return v.isoformat()
@@ -79,10 +81,19 @@ def main() -> int:
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(srows)} rows, cols={scols}")
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        rel = con.sql(oracles[name])
+        dcols = list(rel.columns)
+        # Reject oracle dtypes that the driver stringifies differently
+        # from Spark's (HUGEINT -> float64 via pandas, DECIMAL ->
+        # Decimal repr). These must be CAST in the oracle SQL.
+        bad_types = [
+            f"{c}:{t}" for c, t in zip(dcols, map(str, rel.types))
+            if "HUGEINT" in str(t).upper() or "DECIMAL" in str(t).upper()
+        ]
+        drows = rel.fetchall()
         problems = []
+        if bad_types:
+            problems.append(f"oracle dtype must be cast: {bad_types}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
