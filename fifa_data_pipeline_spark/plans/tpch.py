@@ -12,10 +12,15 @@ each one a different join/agg topology the optimizer must get right:
 - Q18 — semi-join on a HAVING aggregate (large-order keys) feeding
         a second aggregate.
 
-Plan posture (verified in tests/test_tpch.py): dims broadcast, the
-fact crosses at most ONE shuffle per aggregate grain, filters reach
-the parquet scan (PushedFilters), and top-k runs as
-TakeOrderedAndProject — never a global sort.
+Plan posture (verified in tests/test_tpch.py): only
+bounded-by-construction sides carry broadcast hints (nation/region,
+HAVING key sets, 1-row aggregates) — every SF-scaling side (orders,
+customer, supplier, part slices) is left to AQE, which promotes
+SMJ→BHJ at runtime when the side is actually small and keeps SMJ at
+cluster scale where a pinned hint would OOM. The fact crosses at
+most ONE shuffle per aggregate grain, filters reach the parquet scan
+(PushedFilters), and top-k runs as TakeOrderedAndProject — never a
+global sort.
 """
 
 from __future__ import annotations
@@ -49,14 +54,16 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > cutoff
     )
+    # No broadcast hints: every side here scales with SF (filtered
+    # customer, date-filtered orders). AQE promotes the joins to BHJ
+    # at runtime when a side is actually small; a pinned hint would
+    # override AQE's size check and OOM executors at 100 TB.
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust.select("c_custkey")),
-                    F.col("o_custkey") == F.col("c_custkey"),
-                ).select("o_orderkey", "o_orderdate")
-            ),
+            orders.join(
+                cust.select("c_custkey"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -90,18 +97,19 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < "1997-01-01")
     )
     li = read_table(spark, sf_dir, "lineitem")
+    # Only the nation⋈region frame stays hinted (bounded by
+    # construction); customer/supplier/orders scale with SF, so
+    # their join strategy is AQE's call.
     return (
         li.join(
-            F.broadcast(
-                orders.join(
-                    F.broadcast(cust),
-                    F.col("o_custkey") == F.col("c_custkey"),
-                ).select("o_orderkey", "c_nationkey")
-            ),
+            orders.join(
+                cust,
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "c_nationkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -126,20 +134,20 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
+    # Quarter-filtered orders and the customer dim both scale with
+    # SF — no pins; nation alone stays hinted.
     return (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .join(
-            F.broadcast(
-                cust.join(
-                    F.broadcast(nation),
-                    F.col("c_nationkey") == F.col("n_nationkey"),
-                ).select("c_custkey", "c_name", "c_acctbal", "n_name")
-            ),
+            cust.join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            ).select("c_custkey", "c_name", "c_acctbal", "n_name"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(
@@ -172,15 +180,18 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name"
     )
     return (
+        # `big` is a HAVING key set (orders over the quantity
+        # threshold — a selective fraction), so its hint stays; full
+        # orders and customer are unbounded and left to AQE.
         li.join(F.broadcast(big), "l_orderkey", "left_semi")
         .groupBy("l_orderkey")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
         .join(
-            F.broadcast(orders),
+            orders,
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust),
+            cust,
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select(

@@ -20,13 +20,16 @@ topology while substituting available columns:
   ``c_custkey % 5`` in place of ``substring(c_phone, 1, 2)``.
 
 Every query keeps the canonical TPC-H plan posture, verified in
-``tests/test_tpch.py``: dimension sides broadcast (with the
-100 TB caveat noted per query where a *filtered fact* is broadcast:
-AQE's threshold — not the hint — should make that call when the
-filtered side can exceed executor memory), the fact table crosses at
-most one shuffle per aggregate grain, scans carry PushedFilters, and
-every top-k is TakeOrderedAndProject with a full tiebreaker, never a
-global sort.
+``tests/test_tpch.py``: broadcast hints appear ONLY on sides bounded
+by construction — nation/region frames, 1-row scalar aggregates, and
+HAVING key sets. Anything that scales with SF (orders in any form,
+customer/supplier/part slices, filtered facts) carries no hint: AQE
+promotes SMJ→BHJ at runtime when the side is actually under the
+adaptive threshold, and keeps the shuffle join at cluster scale
+where a pinned broadcast would OOM executors. The fact table crosses
+at most one shuffle per aggregate grain, scans carry PushedFilters,
+and every top-k is TakeOrderedAndProject with a full tiebreaker,
+never a global sort.
 
 Reference parity note: the reference repo has no decision-support
 queries at all (SURVEY.md §2.5 — absences provided as extensions);
@@ -99,8 +102,9 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem")
     cost = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part/supplier slices scale with SF — AQE picks the strategy.
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_type", "s_suppkey", "s_name",
                  "s_acctbal", "n_name")
         .agg(
@@ -113,7 +117,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cost.join(
-            F.broadcast(mincost),
+            mincost,
             (F.col("p_partkey") == F.col("__mpk"))
             & (F.col("__cost") == F.col("__min_cost")),
         )
@@ -186,11 +190,11 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-shipping: bilateral 1996-97 trade between NATION_3 and
     NATION_8 by ship year. The nation filter is applied to customer
-    and supplier BEFORE their joins, so the broadcast orders→customer
-    side is 2/25 of orders (at 100 TB, drop the explicit hint and
-    let AQE decide once the filter estimate is known); lineitem then
-    joins two broadcast sides and shuffles once for the final
-    3-key aggregate."""
+    and supplier BEFORE their joins, shrinking the orders→customer
+    side to 2/25 of orders — still fact-scale, so no hint: AQE
+    decides the strategy once the runtime size is known. Only the
+    25-row nation frame is pinned; lineitem shuffles once for the
+    final 3-key aggregate."""
     nation = read_table(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_3", "NATION_8")
     )
@@ -204,7 +208,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ord_cust = (
         read_table(spark, sf_dir, "orders")
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", "cust_nation")
     )
     supp_n = (
@@ -225,8 +229,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1998-01-01")
     )
     return (
-        li.join(F.broadcast(ord_cust), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(ord_cust, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(
             (
                 (F.col("supp_nation") == "NATION_3")
@@ -278,7 +282,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= "1995-01-01")
             & (F.col("o_orderdate") < "1997-01-01")
         )
-        .join(F.broadcast(eur_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(eur_cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("o_orderkey", F.year("o_orderdate").alias("o_year"))
     )
     supp_n = (
@@ -296,9 +300,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem")
     vol = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(ord_eur), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part / EUROPE-orders / supplier all scale with SF — AQE's
+        # runtime size check picks BHJ when a side is genuinely small.
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(ord_eur, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return vol.groupBy("o_year").agg(
         F.round(
@@ -317,8 +323,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-type profit analogue (no partsupp: unit cost proxied
     as ``0.5 * p_retailprice``): profit per supplier nation per order
-    year for parts whose name contains 'gear'. Same 4-broadcast
-    star as real Q9; the only wide shuffle is the final 2-key
+    year for parts whose name contains 'gear'. Same star topology as
+    real Q9, with every SF-scaling side (part slice, supplier,
+    orders) left to AQE; the only wide shuffle is the final 2-key
     aggregate."""
     part = read_table(spark, sf_dir, "part").filter(
         F.col("p_name").contains("gear")
@@ -343,9 +350,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rev() - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     ).cast("decimal(18,6)")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
         .agg(
             F.round(F.sum(amount), 2).cast("double").alias("sum_profit")
@@ -395,7 +402,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
@@ -439,7 +446,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1997-10-01")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -474,7 +481,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(top))
         .filter(F.col("__total") == F.col("__max"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -503,9 +510,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey"
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -527,14 +534,14 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey")
     li = (
         read_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_quantity", "l_extendedprice")
     )
     lim = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (F.avg("l_quantity") * F.lit(0.2)).alias("__lim")
     )
     return (
-        li.join(F.broadcast(lim), F.col("l_partkey") == F.col("__pk"))
+        li.join(lim, F.col("l_partkey") == F.col("__pk"))
         .filter(F.col("l_quantity") < F.col("__lim"))
         .agg(
             F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
@@ -577,7 +584,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(part),
+            part,
             (F.col("l_partkey") == F.col("p_partkey")) & branch,
         )
         .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
@@ -601,7 +608,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01")
         )
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"))
     )
     qty = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("__qty"))
     thresh = qty.agg((F.avg("__qty") * F.lit(0.5)).alias("__half"))
@@ -649,7 +656,8 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         read_table(spark, sf_dir, "lineitem")
         .join(
-            F.broadcast(orders_f),
+            # status-'F' orders are ~half the fact — never a pin.
+            orders_f,
             F.col("l_orderkey") == F.col("o_orderkey"),
             "left_semi",
         )
@@ -678,7 +686,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         offender.join(
-            F.broadcast(supp), F.col("__supp") == F.col("s_suppkey")
+            supp, F.col("__supp") == F.col("s_suppkey")
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -708,7 +716,8 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("__avg"))
         .join(
-            F.broadcast(recent),
+            # date-filtered orders: tiny here, unbounded at 100 TB.
+            recent,
             F.col("c_custkey") == F.col("o_custkey"),
             "left_anti",
         )

@@ -90,15 +90,19 @@ def test_q4_semi_join_with_range_predicate(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_q7_q8_star_joins_stay_broadcast(spark, sf_dir):
+def test_q7_q8_aqe_promotes_unpinned_joins(spark, sf_dir):
+    # The SF-scaling sides carry NO broadcast hint (a pinned hint
+    # overrides AQE's size check and would OOM at 100 TB). The
+    # contract is adaptive: the initial plan may hold SortMergeJoins,
+    # but at this scale AQE's runtime statistics must promote them —
+    # the FINAL plan (isFinalPlan=true after execution) stays
+    # broadcast-heavy.
     for q in [tpch2.q_tpch_q7, tpch2.q_tpch_q8]:
-        plan = _plan(q(spark, sf_dir))
-        assert "SortMergeJoin" not in plan
+        df = q(spark, sf_dir)
+        df.collect()  # finalize the adaptive plan
+        plan = _plan(df)
+        assert "isFinalPlan=true" in plan
         assert plan.count("BroadcastHashJoin") >= 2
-        # exactly one wide shuffle: the final aggregate grain
-        import re as _re
-
-        assert len(_re.findall(r"Exchange hash", plan)) == 1
 
 
 def test_q15_ties_preserved(spark, sf_dir):
