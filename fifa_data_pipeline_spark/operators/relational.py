@@ -976,6 +976,119 @@ def assign_dense_ids(
     )
 
 
+def grouped_running_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    sum_cols: list[str],
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact per-group running sums of ``sum_cols`` in ``order_col``
+    order, WITHOUT ``Window.partitionBy(<few-value key>)`` — whose
+    single-task-per-group sort is the 100 TB trap when groups are few
+    and large (a 3-value key funnels the whole table through 3 tasks).
+
+    Same decomposition as :func:`assign_dense_ids`, generalized from
+    row indices to weighted prefix sums:
+
+    1. ``repartitionByRange`` on (group, order) — one range shuffle;
+       sampling-based bounds are deterministic for a fixed input —
+       then pin the partition assignment (``persist``; swap for a
+       checkpoint on a real cluster) so the offsets pass and the
+       output pass see the SAME split.
+    2. Running sums WITHIN each physical partition via
+       ``Window.partitionBy(__pid, *group)`` — parallelism scales
+       with ``num_partitions``, not with the number of groups.
+    3. Per-(partition, group) totals — a ``num_partitions × |groups|``
+       row frame — turned into per-group prefix offsets by partition
+       id (a window over that tiny frame) and broadcast-joined back.
+
+    ``df`` must be pre-aggregated to ONE row per (group, order) — a
+    duplicated order key could be split across range partitions,
+    which would make the running sum placement-dependent. Appends
+    ``{col}_rsum`` (inclusive prefix sum) per requested column.
+
+    At cluster scale raise ``num_partitions`` to ~2-4× the executor
+    core count; the offsets frame stays metadata-sized.
+    """
+    keys = [*group_cols, order_col]
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in keys]
+    )
+    pinned = part.withColumn(
+        "__pid", F.spark_partition_id().cast("long")
+    ).persist()
+    wloc = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pinned.select(
+        "*", *[F.sum(c).over(wloc).alias(f"__loc_{c}") for c in sum_cols]
+    )
+    totals = pinned.groupBy("__pid", *group_cols).agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        *group_cols,
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(woff), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), ["__pid", *group_cols])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_rsum", F.col(f"__loc_{c}") + F.col(f"__off_{c}")
+        )
+    return out.drop(
+        "__pid",
+        *[f"__loc_{c}" for c in sum_cols],
+        *[f"__off_{c}" for c in sum_cols],
+    )
+
+
+def grouped_tie_rank2(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rank_col: str = "rank2",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Tie-averaged ranks within each group carried as INTEGER
+    ``2·rank`` (a value preceded by ``less`` rows with ``cnt`` ties
+    has average rank ``less + (cnt+1)/2``, so ``2·rank = 2·less +
+    cnt + 1`` exactly), computed partition-parallel: per-(group,
+    value) counts (hash aggregate — the only pass over the raw rows)
+    feed :func:`grouped_running_sums`, so no group ever sorts in one
+    task. Returns one row per (group, value) with ``rank_col``;
+    callers join it back to the fact on (group, value)."""
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    cum = grouped_running_sums(
+        counts, [group_col], value_col, ["__cnt"],
+        num_partitions=num_partitions,
+    )
+    return cum.select(
+        group_col,
+        value_col,
+        (
+            2 * (F.col("__cnt_rsum") - F.col("__cnt"))
+            + F.col("__cnt")
+            + 1
+        ).alias(rank_col),
+    )
+
+
 def table_checksum(
     df: DataFrame, cols: list[str], alias: str = "checksum"
 ) -> DataFrame:

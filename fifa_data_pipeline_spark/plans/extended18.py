@@ -174,11 +174,16 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r1", F.row_number().over(w))
         .select("doc_id", "r1")
     )
+    # Top-k FIRST (TakeOrderedAndProject — distributed, no global
+    # sort), then rank only the surviving ≤ RRF_DEPTH rows: ranking
+    # before filtering would put the whole corpus through a
+    # single-partition WindowExec.
     wl = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     prior = (
         docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
         .withColumn("r2", F.row_number().over(wl))
-        .filter(F.col("r2") <= RRF_DEPTH)
         .select("doc_id", "r2")
     )
     fused = lex.join(prior, "doc_id", "full").select(

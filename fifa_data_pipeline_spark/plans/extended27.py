@@ -237,27 +237,33 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     both ECDFs after each distinct value (ties handled by grouping
     per value first).
 
-    Plan shape: per-(pair, value) counts → one running-sum window
-    per pair ordered by value → per-pair max. Only DISTINCT values
-    cross the window, and each doc joins the bounded lang-pair grid
-    (k·(k−1)/2 rows) as TWO broadcast equi-joins unioned (one per
-    pair side) — hash joins, no nested-loop OR-condition — so at
-    100 TB the window input is |pairs| × |distinct lengths|,
-    metadata-sized."""
+    Plan shape: per-(pair, value) counts → partition-parallel ECDF
+    prefix sums (:func:`relational.grouped_running_sums` — range
+    partition + per-partition offsets, so a pair NEVER sorts its
+    whole value domain in one task) → per-pair max. Only DISTINCT
+    values cross the prefix-sum stage, and each doc joins the
+    bounded lang-pair grid (k·(k−1)/2 rows) as TWO broadcast
+    equi-joins unioned (one per pair side) — hash joins, no
+    nested-loop OR-condition — so at 100 TB the ranked spine is
+    |pairs| × |distinct lengths|, metadata-sized, and its prefix
+    sums parallelize across range partitions."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     counts = _lang_pair_counts(docs)
-    w = (
-        Window.partitionBy("lang_a", "lang_b")
-        .orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped_running_sums(
+        counts, ["lang_a", "lang_b"], "n_chars", ["ca", "cb"]
     )
-    pw = Window.partitionBy("lang_a", "lang_b")
-    sized = (
-        counts.withColumn("ia", F.sum("ca").over(w))
-        .withColumn("ib", F.sum("cb").over(w))
-        .withColumn("n_a", F.sum("ca").over(pw))
-        .withColumn("n_b", F.sum("cb").over(pw))
+    totals = counts.groupBy("lang_a", "lang_b").agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
     )
+    sized = cum.select(
+        "lang_a", "lang_b",
+        F.col("ca_rsum").alias("ia"),
+        F.col("cb_rsum").alias("ib"),
+    ).join(F.broadcast(totals), ["lang_a", "lang_b"])
     return (
         sized.groupBy("lang_a", "lang_b")
         .agg(
@@ -326,18 +332,22 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     has average rank (less + (c+1)/2), so 2·rank = 2·less + c + 1
     exactly. Ships 2·U (``u2``) plus both group sizes — all BIGINTs,
     engine-exact. Same bounded pair-grid + per-(pair, value) count +
-    one distinct-value window shape as the KS query
-    (:func:`_lang_pair_counts`)."""
+    partition-parallel prefix-sum shape as the KS query
+    (:func:`_lang_pair_counts`,
+    :func:`relational.grouped_running_sums`)."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    counts = _lang_pair_counts(docs)
-    w = (
-        Window.partitionBy("lang_a", "lang_b")
-        .orderBy("n_chars")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts = _lang_pair_counts(docs).withColumn(
+        "ct", F.col("ca") + F.col("cb")
     )
     ranked = (
-        counts.withColumn("cum", F.sum(F.col("ca") + F.col("cb")).over(w))
-        .withColumn("less", F.col("cum") - F.col("ca") - F.col("cb"))
+        grouped_running_sums(
+            counts, ["lang_a", "lang_b"], "n_chars", ["ct"]
+        )
+        .withColumn("less", F.col("ct_rsum") - F.col("ct"))
         .withColumn(
             "rank2", 2 * F.col("less") + F.col("ca") + F.col("cb") + 1
         )
@@ -543,30 +553,63 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from double arithmetic written token-for-token identically in
     the oracle — deterministic across runs and engines.
 
-    Plan shape: two rank windows sharing the group partition key +
-    one hash aggregate; the quantity ranks reuse the same sorted
-    partition. Heavy ties (integer quantities) exercise the
-    tie-averaging path."""
+    Plan shape (rewritten r5 — VERDICT r4 flagged the original
+    ``Window.partitionBy(l_returnflag)`` rank as a 3-task funnel):
+
+    1. Quantity 2·ranks from per-(group, quantity) counts via the
+       partition-parallel prefix-sum machinery
+       (:func:`relational.grouped_tie_rank2` — range partition +
+       per-partition offsets, the ``assign_dense_ids`` technique);
+       the rank table is |distinct quantities|-sized → broadcast.
+    2. ONE pass over the fact: broadcast-join rx, hash-aggregate to
+       the per-(group, price) spine carrying ``cnt``, ``Σrx``,
+       ``Σrx²`` — the near-unique price column never JOINS a
+       fact-sized rank table (the naive two-rank-table form shuffles
+       the fact against ~|rows| distinct prices).
+    3. Price 2·ranks via one more partition-parallel prefix sum over
+       that spine, and every moment folds from spine columns:
+       Σry = Σcnt·ry, Σry² = Σcnt·ry², Σrx·ry = Σry·Σrx|value.
+
+    No group ever sorts in a single task; rank parallelism scales
+    with the partition count, not the 3-value key. Heavy ties
+    (integer quantities) exercise the tie-averaging path."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
+        grouped_tie_rank2,
+    )
+
     li = read_table(spark, sf_dir, "lineitem")
     g = "l_returnflag"
-    wx = Window.partitionBy(g).orderBy("l_quantity")
-    wxt = Window.partitionBy(g, "l_quantity")
-    wy = Window.partitionBy(g).orderBy("l_extendedprice")
-    wyt = Window.partitionBy(g, "l_extendedprice")
-    ranked = li.select(
-        g,
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(wxt) - 1)
-        .cast("decimal(38,0)").alias("rx"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(wyt) - 1)
-        .cast("decimal(38,0)").alias("ry"),
+    rx_t = grouped_tie_rank2(li, g, "l_quantity", "rx")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    spine = (
+        li.select(g, "l_quantity", "l_extendedprice")
+        .join(F.broadcast(rx_t), [g, "l_quantity"])
+        .groupBy(g, "l_extendedprice")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.sum(dec(F.col("rx"))).alias("__srx"),
+            F.sum(dec(F.col("rx")) * dec(F.col("rx"))).alias("__srx2"),
+        )
+    )
+    cum = grouped_running_sums(spine, [g], "l_extendedprice", ["__cnt"])
+    ranked = cum.withColumn(
+        "ry",
+        dec(
+            2 * (F.col("__cnt_rsum") - F.col("__cnt"))
+            + F.col("__cnt")
+            + 1
+        ),
     )
     m = ranked.groupBy(g).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(dec(F.col("__cnt"))).alias("n"),
+        F.sum("__srx").alias("sx"),
+        F.sum(dec(F.col("__cnt")) * F.col("ry")).alias("sy"),
+        F.sum("__srx2").alias("sxx"),
+        F.sum(F.col("ry") * F.col("__srx")).alias("sxy"),
+        F.sum(dec(F.col("__cnt")) * F.col("ry") * F.col("ry")).alias(
+            "syy"
+        ),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"

@@ -134,3 +134,87 @@ def test_bootstrap_ci_deterministic_and_ordered(spark):
     assert a == b
     assert a.ci_lo_micro <= a.mean_micro <= a.ci_hi_micro
     assert a.n_rows == 400 and a.n_replicates == 40
+
+
+def test_grouped_running_sums_matches_window(spark):
+    """The partition-parallel prefix sum must equal the classic
+    group-partitioned window on a spine small enough to window, for
+    every partition count — including partitions that split groups
+    mid-run (num_partitions > groups) and the degenerate 1-partition
+    case."""
+    from pyspark.sql import Window
+
+    rows = [
+        (g, v, (g * 31 + v * 7) % 13 + 1, (g + v) % 5)
+        for g in range(3)
+        for v in range(0, 200, 2)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "a", "b"])
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.g, r.v, r.sa, r.sb)
+        for r in df.select(
+            "g", "v",
+            F.sum("a").over(w).alias("sa"),
+            F.sum("b").over(w).alias("sb"),
+        ).collect()
+    }
+    for n in (1, 4, 32):
+        got = {
+            (r.g, r.v, r.a_rsum, r.b_rsum)
+            for r in R.grouped_running_sums(
+                df, ["g"], "v", ["a", "b"], num_partitions=n
+            ).collect()
+        }
+        assert got == want, f"num_partitions={n}"
+
+
+def test_grouped_tie_rank2_matches_rank_window(spark):
+    """2·tie-averaged-rank from counts+prefix-sums == the classic
+    2*RANK() + tiecount - 1 window form, heavy ties included."""
+    from pyspark.sql import Window
+
+    rows = [(i % 2, (i * i) % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    wr = Window.partitionBy("g").orderBy("v")
+    wt = Window.partitionBy("g", "v")
+    want = {
+        (r.g, r.v, r.r2)
+        for r in df.select(
+            "g", "v",
+            (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+            .alias("r2"),
+        ).distinct().collect()
+    }
+    got = {
+        (r.g, r.v, r.rank2)
+        for r in R.grouped_tie_rank2(df, "g", "v").collect()
+    }
+    assert got == want
+
+
+def test_grouped_running_sums_parallel_rank_stage(spark):
+    """The plan must NOT contain a window partitioned only by the
+    group key — the whole point is that no group funnels through a
+    single task. Windows may appear only with __pid in their
+    partition spec (partition-local) or over the tiny offsets frame."""
+    rows = [(1, v, 1) for v in range(100)]
+    df = spark.createDataFrame(rows, ["g", "v", "a"])
+    out = R.grouped_running_sums(df, ["g"], "v", ["a"], num_partitions=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    specs = re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    )
+    assert specs, "expected window specs in the plan"
+    # The running-sum window (the one ordered by v) must carry __pid
+    # in its partition spec; a spec partitioned by g alone would be
+    # the single-task-per-group funnel this operator exists to avoid.
+    for spec in specs:
+        if "v#" in spec:
+            assert "__pid" in spec, f"group-only window spec: {spec}"
