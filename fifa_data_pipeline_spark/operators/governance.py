@@ -156,6 +156,12 @@ def delete_subjects(
                 fs.delete(p, True)
     # Post-verify: the operator's contract is "the data is gone";
     # fail loudly rather than return success over surviving rows.
+    # When EVERY bucket was emptied (all rows belonged to victim
+    # keys) the directory holds no data files and the read would
+    # raise "unable to infer schema" — that's total deletion, i.e.
+    # success, not a failure to verify (ADVICE r4).
+    if not surviving:
+        return len(buckets)
     remaining = (
         spark.read.parquet(path)
         .join(key_df, F.col(key_col) == F.col("__del_key"), "left_semi")

@@ -677,7 +677,7 @@ def gopher_rules(
     min_words: int = 50,
     max_words: int = 100_000,
 ) -> DataFrame:
-    """The published Gopher document-quality rules (Rae et al. 2021,
+    """Gopher-style document-quality rules (after Rae et al. 2021,
     Appendix A1.1 — the filter set MassiveWeb/MassiveText shipped
     with, reused by RedPajama/Dolma-style pipelines), each as a
     boolean column plus the conjunction ``passes_gopher``:
@@ -690,6 +690,16 @@ def gopher_rules(
     - ``r_alpha_words``: > 80% of words contain a letter
     - ``r_required_words``: ≥ 2 distinct of the 8 required English
       function words present
+
+    TOKEN-LEVEL APPROXIMATION of the paper (deliberate, ADVICE r4):
+    ``r_symbol_ratio`` counts TOKENS containing a symbol — a token
+    ``##…##`` counts once, where Rae et al.'s symbol-to-word ratio
+    counts occurrences — and ``r_mean_word_len`` includes punctuation
+    characters in token length. Both shift thresholds on
+    symbol-dense documents; the paired SQL oracle reproduces the
+    same token-level definitions, so the approximation is pinned,
+    not accidental. Swap ``n_symbols`` for a per-token
+    ``regexp_count`` sum to match the paper exactly.
 
     Everything is a closed-form per-row expression (split + filter +
     size) — no shuffle, no UDF; at 100 TB this is a map-only stage

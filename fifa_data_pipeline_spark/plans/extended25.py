@@ -319,9 +319,16 @@ ORACLES["q_bootstrap_ci"] = rf"""
              ROW_NUMBER() OVER (ORDER BY mean_micro, rep) AS r
       FROM reps
     ), bounds AS (
-      SELECT MAX(CASE WHEN r = 1 THEN mean_micro END) AS ci_lo_micro,
-             MAX(CASE WHEN r = 39 THEN mean_micro END) AS ci_hi_micro
-      FROM ranked
+      -- survivor-aware order-statistic indices: empty replicates
+      -- never reach `reps` (GROUP BY), so b = surviving count and
+      -- the lo/hi ranks rescale exactly like the Spark side
+      SELECT MAX(CASE WHEN r = GREATEST(1,
+                   CAST(CEIL(0.025 * b) AS BIGINT))
+                 THEN mean_micro END) AS ci_lo_micro,
+             MAX(CASE WHEN r = LEAST(b,
+                   CAST(CEIL(0.975 * b) AS BIGINT))
+                 THEN mean_micro END) AS ci_hi_micro
+      FROM (SELECT mean_micro, r, COUNT(*) OVER () AS b FROM ranked)
     ), whole AS (
       SELECT CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
                         * 10000.0 / COUNT(*), 0) AS BIGINT) AS mean_micro,

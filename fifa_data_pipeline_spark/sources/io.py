@@ -584,6 +584,8 @@ def vacuum_published(root: str, keep_last: int = 2) -> list[int]:
     import re
     import shutil
 
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
     with open(os.path.join(root, "_CURRENT")) as fh:
         current = json.load(fh)["version"]
     versions = sorted(
@@ -592,7 +594,10 @@ def vacuum_published(root: str, keep_last: int = 2) -> list[int]:
         if (m := re.fullmatch(r"v(\d+)", d)) and
         os.path.isdir(os.path.join(root, d))
     )
-    keep = set(versions[-keep_last:]) | {current}
+    # keep_last=0 means "only the current version": a bare [-0:]
+    # slice would silently keep EVERYTHING (ADVICE r4).
+    recent = set(versions[-keep_last:]) if keep_last > 0 else set()
+    keep = recent | {current}
     deleted = []
     for v in versions:
         if v not in keep:

@@ -624,6 +624,36 @@ def stream_running_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def fold_session_epochs(
+    state: tuple[int, int, int] | None,
+    epochs: list[int],
+    gap: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int] | None]:
+    """Pure gap-split fold shared by the timer sessionizer: feed the
+    SORTED epochs of one key's whole micro-batch into the open
+    session ``state`` ``(start, last, n)`` (or None), returning the
+    sessions closed by an observed gap plus the new open state.
+
+    Extracted so the multi-Arrow-chunk contract is unit-testable
+    without the TWS protobuf runtime: the caller MUST concatenate
+    and sort ALL chunks before calling — folding chunk-by-chunk with
+    per-chunk sorting mis-sessionizes any key whose micro-batch
+    spans chunks with out-of-order event times (ADVICE r4)."""
+    closed: list[tuple[int, int, int]] = []
+    start = last = n = None
+    if state is not None:
+        start, last, n = state
+    for ep in epochs:
+        if last is not None and ep - last > gap:
+            closed.append((start, last, n))
+            start, last, n = ep, ep, 0
+        elif last is None:
+            start, last, n = ep, ep, 0
+        n += 1
+        last = max(last, ep)
+    return closed, (None if start is None else (start, last, n))
+
+
 def stream_sessionize_timers(
     events: DataFrame,
     gap_seconds: int = 1800,
@@ -680,15 +710,25 @@ def stream_sessionize_timers(
             start = last = n = None
             if self._open.exists():
                 start, last, n = self._open.get()
-            for pdf in rows:
-                for ep in sorted(int(e) for e in pdf["epoch"]):
-                    if last is not None and ep - last > gap:
-                        yield self._emit(user_id, start, last, n)
-                        start, last, n = ep, ep, 0
-                    elif last is None:
-                        start, last, n = ep, ep, 0
-                    n += 1
-                    last = max(last, ep)
+            # Drain EVERY Arrow chunk before sorting: a micro-batch
+            # larger than maxRecordsPerBatch arrives as multiple
+            # chunks, and sorting per-chunk would let an out-of-order
+            # epoch in a later chunk land after a gap-split decision
+            # was already made — prematurely closing a session and
+            # mis-assigning the late-chunk events (ADVICE r4; the
+            # sibling _holt_winters_group concats before sorting for
+            # the same reason).
+            parts = [pdf for pdf in rows]
+            epochs = sorted(
+                int(e) for pdf in parts for e in pdf["epoch"]
+            )
+            st = None if last is None else (start, last, n)
+            closed, st = fold_session_epochs(st, epochs, gap)
+            for c_start, c_last, c_n in closed:
+                yield self._emit(user_id, c_start, c_last, c_n)
+            if st is None:  # keyed call with zero rows, no open state
+                return
+            start, last, n = st
             # one timer per key: re-arm at the new inactivity deadline
             for t in self._handle.listTimers():
                 self._handle.deleteTimer(t)

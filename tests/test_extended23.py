@@ -482,3 +482,46 @@ def test_fk_discovery_finds_the_real_keys(spark, sf_dir):
     assert fake.n_shared <= fake.n_child_distinct
     r = rows["l_orderkey->o_orderkey"]
     assert r.n_parent_distinct >= r.n_child_distinct
+
+
+def test_delete_subjects_all_rows_deleted_is_success(spark, tmp_path):
+    """ADVICE r4: when EVERY row belongs to victim keys, every bucket
+    empties and the post-verify read has no data files to infer a
+    schema from — total deletion must return success, not crash."""
+    from fifa_data_pipeline_spark.operators.governance import (
+        delete_subjects,
+        write_user_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "user_id long, v double"
+    )
+    path = str(tmp_path / "total_delete")
+    write_user_bucketed(df, path, "user_id", n_buckets=2)
+    n = delete_subjects(
+        spark, path, "user_id", list(range(1, 9)), n_buckets=2
+    )
+    assert n == 2  # both buckets were touched
+
+
+def test_vacuum_keep_last_zero_keeps_only_current(tmp_path):
+    """ADVICE r4: keep_last=0 must mean "only the current version" —
+    the naive [-0:] slice silently kept everything."""
+    import json
+    import os
+
+    from fifa_data_pipeline_spark.sources.io import vacuum_published
+
+    root = str(tmp_path / "pub")
+    os.makedirs(root)
+    for v in (1, 2, 3):
+        os.makedirs(os.path.join(root, f"v{v}"))
+    with open(os.path.join(root, "_CURRENT"), "w") as fh:
+        json.dump({"version": 3}, fh)
+    deleted = vacuum_published(root, keep_last=0)
+    assert sorted(deleted) == [1, 2]
+    assert os.path.isdir(os.path.join(root, "v3"))
+    import pytest
+
+    with pytest.raises(ValueError):
+        vacuum_published(root, keep_last=-1)

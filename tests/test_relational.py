@@ -218,3 +218,18 @@ def test_grouped_running_sums_parallel_rank_stage(spark):
     for spec in specs:
         if "v#" in spec:
             assert "__pid" in spec, f"group-only window spec: {spec}"
+
+
+def test_bootstrap_ci_empty_replicates_never_null(spark):
+    """With very few rows some replicate coins select ZERO rows; the
+    empty replicates must be dropped (survivor-rescaled indices), not
+    ranked first as NULL means (ADVICE r4)."""
+    from fifa_data_pipeline_spark.operators.relational import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 20.0)], ["k1", "k2", "v"]
+    )
+    r = bootstrap_ci(df, ["k1", "k2"], "v", n_replicates=40).collect()[0]
+    assert r.ci_lo_micro is not None and r.ci_hi_micro is not None
+    assert r.ci_lo_micro <= r.ci_hi_micro
+    assert r.n_rows == 2

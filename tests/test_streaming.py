@@ -1015,3 +1015,28 @@ def test_tumbling_drain_identical_under_rocksdb_state_store(spark, sf_dir):
             spark.conf.set(key, prior)
         spark.conf.unset(chg)
     assert baseline and rocks == baseline
+
+
+def test_fold_session_epochs_multi_chunk_contract():
+    """ADVICE r4 (medium): per-Arrow-chunk sorting mis-sessionizes a
+    key whose micro-batch spans chunks with out-of-order times. The
+    extracted fold consumes globally sorted epochs; feeding it the
+    concatenation of chunks [100, 5000] and [200] (gap 1800) must
+    close [100..200] with BOTH events and open [5000..] — the
+    per-chunk form emitted [100,100] and counted 200 into the 5000
+    session."""
+    from fifa_data_pipeline_spark.streaming.stream_events import (
+        fold_session_epochs,
+    )
+
+    chunks = [[100, 5000], [200]]
+    epochs = sorted(e for c in chunks for e in c)
+    closed, state = fold_session_epochs(None, epochs, gap=1800)
+    assert closed == [(100, 200, 2)]
+    assert state == (5000, 5000, 1)
+    # state continuation across micro-batches
+    closed2, state2 = fold_session_epochs(state, [5100, 99999], 1800)
+    assert closed2 == [(5000, 5100, 2)]
+    assert state2 == (99999, 99999, 1)
+    # empty input is a no-op
+    assert fold_session_epochs(None, [], 1800) == ([], None)
