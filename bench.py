@@ -196,6 +196,9 @@ HEADLINE = [
     "q_ks_test",
     "q_mann_whitney",
     "q_spearman",
+    # round-5 additions (partition-parallel exact order statistics)
+    "q_exact_quantiles",
+    "q_grouped_topk",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the

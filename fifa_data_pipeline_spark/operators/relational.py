@@ -1088,6 +1088,115 @@ def grouped_tie_rank2(
     )
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    tiebreak_col: str,
+    k: int,
+    descending: bool = True,
+    salt: int = 16,
+) -> DataFrame:
+    """Exact top-``k`` rows per group WITHOUT sorting any whole group
+    in one task — the skew-safe form of ``row_number() OVER
+    (PARTITION BY group ORDER BY …) <= k``, whose single window task
+    per group is the 100 TB trap when one group holds a large share
+    of the table (the web-crawl reality: one domain, one language,
+    one day dominating).
+
+    Two phases, both exact:
+
+    1. LOCAL top-k per (group, salt) — the salt is a deterministic
+       hash of the tiebreak column, so every row lands in exactly one
+       of ``salt`` sub-partitions and a group's sort parallelism is
+       ``salt``, not 1. Each sub-partition keeps its own top-k.
+    2. GLOBAL top-k per group over the ≤ salt·k survivors — a
+       bounded frame regardless of group size.
+
+    Any row in the true top-k is in its sub-partition's top-k, so
+    phase 1 never discards a winner. ``(order_col, tiebreak_col)``
+    must be unique within a group for a deterministic result (same
+    contract as the window form needs for stable output). Returns
+    the original columns plus ``rank`` (1-based).
+    """
+    direction = F.desc if descending else F.asc
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(tiebreak_col), F.lit(salt))
+    )
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(
+        direction(order_col), F.asc(tiebreak_col)
+    )
+    cand = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(
+        direction(order_col), F.asc(tiebreak_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    permille: Sequence[int] = (250, 500, 750, 900, 990),
+    num_partitions: int = 32,
+) -> DataFrame:
+    """EXACT per-group quantiles at 100 TB — no ``approx_percentile``
+    error bars and no ``Window.partitionBy(<few-value key>)``
+    single-task sort. The order statistic is located by counting,
+    not sorting rows:
+
+    1. per-(group, value) counts — a hash aggregate, the only pass
+       over raw rows;
+    2. partition-parallel prefix sums over the distinct-value spine
+       (:func:`grouped_running_sums`);
+    3. the q-quantile is the smallest value whose cumulative count
+       reaches rank ``max(1, ceil(q·n))`` — DuckDB's
+       ``quantile_disc`` convention, carried as INTEGER per-mille
+       arithmetic (``(pm·n + 999) div 1000``) so the rank can never
+       drift between engines on an IEEE ``0.9·n`` boundary.
+
+    Returns one row per (group, permille): ``(group, quantile_pm,
+    q_value, n_rows)``. Cost: one fact aggregate + distinct-value-
+    sized everything else; the quantile pick is a filter + MIN, both
+    map-side combinable.
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    cum = grouped_running_sums(
+        counts, [group_col], value_col, ["__cnt"],
+        num_partitions=num_partitions,
+    )
+    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
+    pm = F.explode(
+        F.array(*[F.lit(int(p)) for p in permille])
+    ).alias("quantile_pm")
+    return (
+        cum.join(F.broadcast(tot), group_col)
+        .select(group_col, value_col, "__cnt_rsum", "__n", pm)
+        .withColumn(
+            "__rank",
+            F.greatest(
+                F.lit(1),
+                F.expr("(quantile_pm * __n + 999) div 1000"),
+            ),
+        )
+        .filter(F.col("__cnt_rsum") >= F.col("__rank"))
+        .groupBy(group_col, "quantile_pm")
+        .agg(
+            F.min(value_col).alias("q_value"),
+            F.max("__n").cast("bigint").alias("n_rows"),
+        )
+    )
+
+
 def table_checksum(
     df: DataFrame, cols: list[str], alias: str = "checksum"
 ) -> DataFrame:

@@ -59,6 +59,7 @@ def _load() -> None:
         extended25,
         extended26,
         extended27,
+        extended28,
         northstar,
         parity,
         tpch,
@@ -96,6 +97,7 @@ def _load() -> None:
     _merge(extended25)
     _merge(extended26)
     _merge(extended27)
+    _merge(extended28)
     _merge(tpch)
     _merge(tpch2)
     _merge(streaming_queries)

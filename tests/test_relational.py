@@ -233,3 +233,81 @@ def test_bootstrap_ci_empty_replicates_never_null(spark):
     assert r.ci_lo_micro is not None and r.ci_hi_micro is not None
     assert r.ci_lo_micro <= r.ci_hi_micro
     assert r.n_rows == 2
+
+
+def test_exact_group_quantiles_vs_sorted_reference(spark):
+    """Counting-based quantiles == the order statistic at rank
+    max(1, ceil(q*n)) of the fully sorted group, on tie-heavy data,
+    and == DuckDB's native quantile_disc at these permilles."""
+    import math
+
+    import duckdb
+
+    rows = [(g, float((i * i) % 17)) for g in range(3) for i in range(g * 50 + 30)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r.g, r.quantile_pm): (r.q_value, r.n_rows)
+        for r in R.exact_group_quantiles(df, "g", "v").collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for pm in (250, 500, 750, 900, 990):
+            rank = max(1, math.ceil(pm * n / 1000))
+            assert got[(g, pm)] == (vals[rank - 1], n), (g, pm)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            "SELECT g, quantile_disc(v, 0.5) FROM t GROUP BY g"
+        ).fetchall()
+    )
+    for g in by_g:
+        assert got[(g, 500)][0] == duck[g]
+
+
+def test_grouped_topk_matches_window_form(spark):
+    """Two-phase skew-safe top-k == the single-window row_number
+    form, for several k and salt values, tie-heavy order values."""
+    from pyspark.sql import Window
+
+    rows = [(i % 3, float((i * i) % 40), i) for i in range(600)]
+    df = spark.createDataFrame(rows, ["g", "score", "id"])
+    for k in (1, 5, 17):
+        for salt in (1, 4, 64):
+            got = {
+                (r.g, r.rank, r.id)
+                for r in R.grouped_topk(
+                    df, ["g"], "score", "id", k=k, salt=salt
+                ).collect()
+            }
+            w = Window.partitionBy("g").orderBy(
+                F.desc("score"), F.asc("id")
+            )
+            want = {
+                (r.g, r.rank, r.id)
+                for r in df.withColumn(
+                    "rank", F.row_number().over(w)
+                ).filter(F.col("rank") <= k).collect()
+            }
+            assert got == want, (k, salt)
+
+
+def test_grouped_topk_no_group_only_sort_of_raw_rows(spark):
+    """Phase 1's window must partition by (group, salt): the raw
+    fact never crosses a window partitioned by the group alone."""
+    import re
+
+    rows = [(1, float(i), i) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "score", "id"])
+    out = R.grouped_topk(df, ["g"], "score", "id", k=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", plan
+    )
+    assert len(specs) == 2
+    assert sum("__salt" in s for s in specs) == 1  # phase 1 salted
