@@ -978,7 +978,7 @@ def assign_dense_ids(
 def grouped_running_sums(
     df: DataFrame,
     group_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     sum_cols: list[str],
     num_partitions: int = 32,
 ) -> DataFrame:
@@ -1004,13 +1004,18 @@ def grouped_running_sums(
 
     ``df`` must be pre-aggregated to ONE row per (group, order) — a
     duplicated order key could be split across range partitions,
-    which would make the running sum placement-dependent. Appends
+    which would make the running sum placement-dependent.
+    ``order_col`` may be a composite list (ascending order on each
+    part; pre-negate a column for descending). Appends
     ``{col}_rsum`` (inclusive prefix sum) per requested column.
 
     At cluster scale raise ``num_partitions`` to ~2-4× the executor
     core count; the offsets frame stays metadata-sized.
     """
-    keys = [*group_cols, order_col]
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col)
+    )
+    keys = [*group_cols, *order_cols]
     part = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in keys]
     )
@@ -1019,7 +1024,7 @@ def grouped_running_sums(
     ).persist()
     wloc = (
         Window.partitionBy("__pid", *group_cols)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = pinned.select(
@@ -1052,6 +1057,82 @@ def grouped_running_sums(
         "__pid",
         *[f"__loc_{c}" for c in sum_cols],
         *[f"__off_{c}" for c in sum_cols],
+    )
+
+
+def grouped_row_ranks(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "row_rank",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Per-group 1-based ROW ranks in ``order_cols`` order (ascending;
+    pre-negate a column for descending) computed partition-parallel —
+    the drop-in replacement for ``row_number() OVER (PARTITION BY
+    <few-value key> ORDER BY …)`` whose one-task-per-group sort is
+    the 100 TB ceiling. ``(group, order_cols)`` must be unique (the
+    same contract the deterministic window form needs). Just
+    :func:`grouped_running_sums` with a constant-1 weight."""
+    out = grouped_running_sums(
+        df.withColumn("__one", F.lit(1)),
+        group_cols,
+        order_cols,
+        ["__one"],
+        num_partitions=num_partitions,
+    )
+    return out.withColumnRenamed("__one_rsum", rank_col).drop("__one")
+
+
+def ntile_bucket_expr(k: int, i: str = "__i", n: str = "__n") -> Column:
+    """ANSI NTILE(k) bucket from a 1-based row rank ``i`` and group
+    size ``n`` — pure integer arithmetic, bit-identical to the window
+    form for any n, k. With q = n div k and r = n mod k the first r
+    buckets hold q+1 rows; ceil(a/b) is (a + b − 1) div b. CASE is
+    lazy, so the q = 0 branch (n < k ⇒ every row satisfies
+    i ≤ r·(q+1) = n) never evaluates its div-by-zero."""
+    return F.expr(
+        f"""CASE WHEN {i} <= ({n} % {k}) * ({n} div {k} + 1)
+                 THEN ({i} + {n} div {k}) div ({n} div {k} + 1)
+                 ELSE ({n} % {k})
+                      + ({i} - ({n} % {k}) * ({n} div {k} + 1)
+                         + {n} div {k} - 1) div ({n} div {k})
+            END"""
+    )
+
+
+def parallel_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    bucket_col: str = "bucket",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact ANSI ``NTILE(k)`` per group without a single-task group
+    sort: row ranks come from :func:`grouped_row_ranks`, group sizes
+    from a broadcast aggregate, and the bucket from NTILE's integer
+    definition — with n = group size, q = n div k, r = n mod k, the
+    first ``r`` buckets hold ``q+1`` rows:
+
+        bucket(i) = ceil(i / (q+1))                  for i ≤ r·(q+1)
+                  = r + ceil((i − r·(q+1)) / q)      otherwise
+
+    Pure integer arithmetic — bit-identical to the window ``ntile``
+    (and DuckDB's) for any n, k, including n < k (q = 0 puts every
+    row in its own bucket via the first branch)."""
+    ranked = grouped_row_ranks(
+        df, group_cols, order_cols, "__i", num_partitions=num_partitions
+    )
+    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    bucket = ntile_bucket_expr(k, "__i", "__n")
+    joined = (
+        ranked.join(F.broadcast(sizes), group_cols)
+        if group_cols
+        else ranked.crossJoin(F.broadcast(sizes))  # global ntile: 1 row
+    )
+    return joined.withColumn(bucket_col, bucket.cast("int")).drop(
+        "__i", "__n"
     )
 
 

@@ -103,15 +103,46 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics per priority: quartile bucket (ntile),
     percent_rank and cume_dist over a DETERMINISTIC total order
     (price, then unique key — both engines break ties identically).
-    One shuffle on the partition key; within-partition sort only."""
-    orders = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+
+    Rewritten r5: the original ``Window.partitionBy(o_orderpriority)``
+    funneled every priority class through one sort task — the r4
+    few-value-key finding. Row ranks now come partition-parallel
+    (:func:`relational.grouped_row_ranks`), and with a UNIQUE total
+    order the three window functions are closed forms of (rank i,
+    group size n): ntile from its integer bucket definition,
+    percent_rank = (i−1)/(n−1), cume_dist = i/n — bit-identical to
+    the window forms the oracle runs."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_row_ranks,
+        ntile_bucket_expr,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ranked = grouped_row_ranks(
+        orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"],
+        "__i",
+    )
+    sizes = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        ranked.join(F.broadcast(sizes), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            ntile_bucket_expr(4).cast("int").alias("quartile"),
+            F.round(
+                # percent_rank defines the n=1 group as 0.0 (the
+                # naive (i-1)/(n-1) is 0/0 and throws under ANSI)
+                F.when(F.col("__n") > 1,
+                       (F.col("__i") - 1) / (F.col("__n") - 1))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("pct_rank"),
+            F.round(F.col("__i") / F.col("__n"), 6).alias("cume"),
+        )
     )
 
 

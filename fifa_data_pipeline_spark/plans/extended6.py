@@ -177,20 +177,30 @@ def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, spend sum, and share of total. The agg → rank → re-agg
     sandwich every revenue report uses.
 
-    The global ntile runs on the aggregate output (one row per
-    customer), not the fact table — locally a single-partition sort
-    of #customers rows. At extreme scale swap the exact ntile for
-    approx_percentile cut points (same report, no global sort);
-    exact-on-aggregate is the right default since the aggregate is
-    1000× smaller than the fact."""
+    The decile assignment is EXACT ntile computed partition-parallel
+    (:func:`relational.parallel_ntile` — row ranks via range
+    partition + per-partition offsets, bucket from NTILE's integer
+    definition), replacing r4's global ``Window.orderBy`` whose
+    single-task sort of #customers rows was the documented scale
+    ceiling. Descending spend rides as a negated column (the rank
+    machinery orders ascending)."""
     from pyspark.sql import Window
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        parallel_ntile,
+    )
 
     orders = read_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("spend")
     )
-    w = Window.orderBy(F.desc("spend"), "o_custkey")
-    deciled = spend.withColumn("decile", F.ntile(10).over(w))
+    deciled = parallel_ntile(
+        spend.withColumn("__negspend", -F.col("spend")),
+        [],
+        ["__negspend", "o_custkey"],
+        10,
+        bucket_col="decile",
+    )
     w_all = Window.partitionBy()
     return (
         deciled.groupBy("decile")

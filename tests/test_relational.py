@@ -311,3 +311,39 @@ def test_grouped_topk_no_group_only_sort_of_raw_rows(spark):
     )
     assert len(specs) == 2
     assert sum("__salt" in s for s in specs) == 1  # phase 1 salted
+
+
+def test_parallel_ntile_matches_window_ntile(spark):
+    """Integer-definition ntile from partition-parallel ranks ==
+    window NTILE(k) for regular, remainder, n<k, and n==k shapes —
+    grouped and global (empty group list)."""
+    from pyspark.sql import Window
+
+    for n_rows, k in [(100, 10), (7, 10), (103, 4), (1, 3), (40, 40)]:
+        rows = [(i % 3, float((i * 13) % 97), i) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, ["g", "v", "id"])
+        got = {
+            (r.g, r.id): r.bucket
+            for r in R.parallel_ntile(
+                df, ["g"], ["v", "id"], k
+            ).collect()
+        }
+        w = Window.partitionBy("g").orderBy("v", "id")
+        want = {
+            (r.g, r.id): r.b
+            for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+        }
+        assert got == want, (n_rows, k)
+    df = spark.createDataFrame(
+        [(float(i % 23), i) for i in range(57)], ["v", "id"]
+    )
+    got = {
+        r.id: r.bucket
+        for r in R.parallel_ntile(df, [], ["v", "id"], 5).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: r.b
+        for r in df.withColumn("b", F.ntile(5).over(w)).collect()
+    }
+    assert got == want
