@@ -141,19 +141,28 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (type-1) per-priority order-value quantiles: the
     value at rank ceil(p·n), p ∈ {.25, .5, .75, .9} — real order
     values, not interpolations (the complement of the continuous
-    `q_percentiles`). One window pass ranks each partition; each row
-    then tests the four candidate ranks locally and explodes only
-    matches, so there is no cross-row blowup at any scale."""
-    orders = read_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    `q_percentiles`). Ranks come partition-parallel
+    (:func:`relational.grouped_row_ranks` — rewritten r5: the
+    per-priority window funneled each class through one sort task);
+    each row then tests the four candidate ranks locally and
+    explodes only matches, so there is no cross-row blowup at any
+    scale."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_row_ranks,
     )
-    wn = Window.partitionBy("o_orderpriority")
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    sizes = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ranked = (
+        grouped_row_ranks(
+            orders, ["o_orderpriority"],
+            ["o_totalprice", "o_orderkey"], "__rn",
+        )
+        .join(F.broadcast(sizes), "o_orderpriority")
     )
     ps = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)])
     return (

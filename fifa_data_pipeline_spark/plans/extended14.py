@@ -235,21 +235,21 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     correction used on expression/feature matrices): each value maps
     to its within-group rank, and every group's rank-i value is
     replaced by the ACROSS-GROUP mean of rank-i values — after it,
-    every group has an identical distribution. Two windows sharing
-    one (group) partitioning plus one rank-keyed aggregate join;
-    restricted to the first 3 event types to keep equal-sized groups
-    out of scope (ragged ranks average over present groups)."""
+    every group has an identical distribution. Within-group ranks
+    come partition-parallel (:func:`relational.grouped_row_ranks` —
+    rewritten r5: the per-type window funneled each type through one
+    sort task) plus one rank-keyed aggregate join; restricted to the
+    first 3 event types to keep equal-sized groups out of scope
+    (ragged ranks average over present groups)."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_row_ranks,
+    )
+
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view", "purchase")
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("__rk"),
+    ).select("event_id", "event_type", "value")
+    ranked = grouped_row_ranks(
+        ev, ["event_type"], ["value", "event_id"], "__rk"
     )
     ref = ranked.groupBy("__rk").agg(F.avg("value").alias("__ref"))
     return (

@@ -155,23 +155,39 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominating a training mixture. Returns kept/dropped counts, the
     retention share, and the quality floor of the kept set.
 
-    One window over the source partitioning, one agg — a single
-    shuffle on the (bounded-cardinality) source key.
+    Rewritten r5 (the per-source ranking window funneled every doc
+    of a source through one sort task): the kept set is the skew-safe
+    two-phase top-k (:func:`relational.grouped_topk` — no source
+    ever sorts all its docs in one task), and the report folds from
+    two bounded aggregates: n_kept = min(n_docs, cap) by definition,
+    min_kept_chars = MIN over the ≤ cap survivors.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_topk,
     )
-    ranked = docs.withColumn("rn", F.row_number().over(w))
-    kept = F.col("rn") <= DOMAIN_CAP
-    return ranked.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
-        F.sum((~kept).cast("int")).cast("long").alias("n_dropped"),
-        F.min(F.when(kept, F.col("n_chars"))).alias("min_kept_chars"),
-        F.round(
-            F.sum(kept.cast("int")) / F.count(F.lit(1)), 4
-        ).alias("retention"),
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept_min = (
+        grouped_topk(docs, ["source"], "n_chars", "doc_id", DOMAIN_CAP)
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("min_kept_chars"))
+    )
+    n_kept = F.least(F.col("n_docs"), F.lit(DOMAIN_CAP)).cast("long")
+    return (
+        totals.join(F.broadcast(kept_min), "source")
+        .select(
+            "source",
+            "n_docs",
+            n_kept.alias("n_kept"),
+            (F.col("n_docs") - n_kept).cast("long").alias("n_dropped"),
+            "min_kept_chars",
+            F.round(n_kept / F.col("n_docs"), 4).alias("retention"),
+        )
     )
 
 
@@ -184,24 +200,31 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Weighted quantiles answer "half the TOKENS live in documents
     shorter than X" — the curation question — where the unweighted
-    median answers only "half the DOCUMENTS are shorter". One window
-    + one agg over the language partitioning: a single shuffle.
+    median answers only "half the DOCUMENTS are shorter". The
+    cumulative weight comes partition-parallel
+    (:func:`relational.grouped_running_sums` — rewritten r5: the
+    per-language window funneled each language through one sort
+    task); the language total joins back as a broadcast.
     """
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
+    )
+
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         "n_chars",
         F.size(tokens("text")).cast("bigint").alias("w"),
     )
-    wc = Window.partitionBy("lang").orderBy("n_chars", "doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.partitionBy("lang")
-    cum = docs.select(
-        "lang",
-        "n_chars",
-        F.sum("w").over(wc).alias("cumw"),
-        F.sum("w").over(wt).alias("totw"),
+    totals = docs.groupBy("lang").agg(F.sum("w").alias("totw"))
+    cum = (
+        grouped_running_sums(
+            docs, ["lang"], ["n_chars", "doc_id"], ["w"]
+        )
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang", "n_chars", F.col("w_rsum").alias("cumw"), "totw"
+        )
     )
     return cum.groupBy("lang").agg(
         F.min(

@@ -100,15 +100,16 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: explode → (source, token) min-doc aggregate (each
     type counted once, at its first document) → per-(source, doc)
-    new-type counts joined to per-doc token counts → one cumulative
-    window per source ordered by doc_id → per-source integer-moment
-    OLS (``text.ln_ols`` — run-order-deterministic, unlike float
-    regr_* co-moments). Only per-DOC rows (not tokens) cross the
-    window. The
-    cumulative scan is inherently sequential per source; at corpus
-    scale, coarsen the curve first (bucket doc_id into fixed strides
-    and cumulate bucket subtotals) so the window sees thousands of
-    points, not billions."""
+    new-type counts joined to per-doc token counts → PARTITION-
+    PARALLEL cumulative sums per source ordered by doc_id
+    (:func:`relational.grouped_running_sums`, rewritten r5: the
+    per-source window funneled every per-doc row of a source through
+    one sort task) → per-source integer-moment OLS (``text.ln_ols``
+    — run-order-deterministic, unlike float regr_* co-moments).
+    Only per-DOC rows (not tokens) cross the prefix-sum stage; at
+    corpus scale, additionally coarsen the curve first (bucket
+    doc_id into fixed strides and cumulate bucket subtotals) so the
+    fit sees thousands of points, not billions."""
     from fifa_data_pipeline_spark.operators.text import tokens
 
     docs = read_table(spark, sf_dir, "documents")
@@ -124,16 +125,20 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_types = first_occ.groupBy(
         "source", F.col("first_doc").alias("doc_id")
     ).agg(F.count(F.lit(1)).alias("v_new"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
     )
-    curve = (
+
+    spine = (
         per_doc.join(new_types, ["source", "doc_id"], "left")
         .withColumn("v_new", F.coalesce("v_new", F.lit(0)))
-        .withColumn("n_cum", F.sum("n_toks").over(w))
-        .withColumn("v_cum", F.sum("v_new").over(w))
+    )
+    curve = (
+        grouped_running_sums(
+            spine, ["source"], "doc_id", ["n_toks", "v_new"]
+        )
+        .withColumnRenamed("n_toks_rsum", "n_cum")
+        .withColumnRenamed("v_new_rsum", "v_cum")
     )
     from fifa_data_pipeline_spark.operators.text import ln_ols
 
