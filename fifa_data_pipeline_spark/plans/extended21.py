@@ -46,9 +46,16 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the model is |bigram types| rows (≤ vocab², tiny
     versus the corpus) built with one explode+agg; scoring joins each
-    document bigram against the BROADCAST model, so the corpus
-    crosses one shuffle (the per-doc mean). Bigrams are built with
-    zip_with over adjacent slices — no self-join on position.
+    document bigram against the BROADCAST model (measured faster
+    than the AQE shuffle join at sf1: the model is vocabulary-sized),
+    so the corpus crosses one shuffle (the per-doc mean). Bigrams are
+    built with zip_with over adjacent slices — no self-join on
+    position — and the narrow (doc, w1, w2) frame is lazily
+    checkpointed: it feeds BOTH the model aggregate and the scoring
+    join, and without the pin the tokenize+explode pipeline runs
+    twice (measured 5.5 s → 4.0 s at sf1; same idiom as
+    winnow_pairs). On a cluster swap localCheckpoint for a reliable
+    checkpoint.
     """
     docs = read_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("t"))
@@ -58,7 +65,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = exploded(toked, bigram_arr, "bg", keep=["doc_id"]).select(
         "doc_id", "bg.w1", "bg.w2"
-    )
+    ).localCheckpoint(eager=False)
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = ctx.agg(F.count(F.lit(1)).alias("v"))
