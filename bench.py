@@ -198,6 +198,7 @@ HEADLINE = [
     "q_spearman",
     # round-5 additions (partition-parallel exact order statistics)
     "q_exact_quantiles",
+    "q_exact_quantiles_cont",
     "q_grouped_topk",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit

@@ -1278,6 +1278,85 @@ def exact_group_quantiles(
     )
 
 
+def exact_group_quantiles_cont(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    permille: Sequence[int] = (250, 500, 750, 900, 990),
+    num_partitions: int = 32,
+) -> DataFrame:
+    """CONTINUOUS (interpolated, type-7 / ``percentile_cont``)
+    per-group quantiles, exact at any scale — the companion of
+    :func:`exact_group_quantiles` (discrete). Same counting
+    decomposition: per-(group, value) counts → partition-parallel
+    prefix sums → locate the two adjacent order statistics around
+    the real-valued position, then one interpolation:
+
+        pos1000 = pm · (n − 1)            (0-based, per-mille int)
+        lo      = pos1000 div 1000        (rank lo+1, 1-based)
+        frac    = pos1000 mod 1000
+        q       = v[lo+1] + (v[lo+2] − v[lo+1]) · frac / 1000
+
+    The position arithmetic is INTEGER (no IEEE ceil drift); only
+    the final interpolation is floating point, written token-for-
+    token identically in the SQL twin so both engines produce the
+    same double. When frac = 0 the upper statistic is absent from
+    the product term entirely (COALESCE to v_lo), so n = 1 groups
+    and exact-integer positions never read rank n+1.
+
+    Returns ``(group, quantile_pm, q_value, n_rows)``; cost is one
+    fact hash-aggregate + distinct-value-sized everything else.
+    """
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    cum = grouped_running_sums(
+        counts, [group_col], value_col, ["__cnt"],
+        num_partitions=num_partitions,
+    )
+    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
+    pm = F.explode(
+        F.array(*[F.lit(int(p)) for p in permille])
+    ).alias("quantile_pm")
+    based = (
+        cum.join(F.broadcast(tot), group_col)
+        .select(group_col, value_col, "__cnt_rsum", "__cnt", "__n", pm)
+        .withColumn(
+            "__pos", F.expr("quantile_pm * (__n - 1)")
+        )
+        .withColumn("__lo", F.expr("__pos div 1000 + 1"))
+        .withColumn("__frac", F.expr("__pos % 1000"))
+    )
+    # value at rank __lo: smallest value whose cumulative count
+    # reaches it; value at rank __lo + 1 likewise (NULL when the
+    # interpolation needs no upper neighbour).
+    lo_v = F.min(
+        F.when(F.col("__cnt_rsum") >= F.col("__lo"), F.col(value_col))
+    ).alias("__v_lo")
+    hi_v = F.min(
+        F.when(
+            F.col("__cnt_rsum") >= F.col("__lo") + 1, F.col(value_col)
+        )
+    ).alias("__v_hi")
+    picked = based.groupBy(group_col, "quantile_pm").agg(
+        lo_v,
+        hi_v,
+        F.max("__frac").alias("__frac"),
+        F.max("__n").cast("bigint").alias("n_rows"),
+    )
+    interp = (
+        F.col("__v_lo")
+        + (F.coalesce("__v_hi", F.col("__v_lo")) - F.col("__v_lo"))
+        * (F.col("__frac") / F.lit(1000.0))
+    )
+    return picked.select(
+        group_col,
+        "quantile_pm",
+        F.round(interp, 6).alias("q_value"),
+        "n_rows",
+    )
+
+
 def table_checksum(
     df: DataFrame, cols: list[str], alias: str = "checksum"
 ) -> DataFrame:

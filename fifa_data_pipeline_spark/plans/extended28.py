@@ -79,6 +79,54 @@ ORACLES["q_grouped_topk"] = """
     WHERE rank <= 5
 """
 
+def q_exact_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (``percentile_cont``-style, type-7) per-returnflag
+    price quantiles via the same counting machinery as
+    ``q_exact_quantiles`` — integer position arithmetic, one pinned
+    IEEE interpolation at the end. See
+    :func:`relational.exact_group_quantiles_cont`."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        exact_group_quantiles_cont,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return exact_group_quantiles_cont(
+        li, "l_returnflag", "l_extendedprice"
+    )
+
+
+QUERIES["q_exact_quantiles_cont"] = q_exact_quantiles_cont
+
+ORACLES["q_exact_quantiles_cont"] = """
+    WITH counts AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS rsum
+      FROM counts
+    ), tot AS (SELECT g, SUM(cnt) AS n FROM counts GROUP BY g),
+    px AS (SELECT UNNEST([250, 500, 750, 900, 990]) AS pm),
+    based AS (
+      SELECT c.g, c.v, c.rsum, t.n, px.pm,
+             (px.pm * (t.n - 1)) // 1000 + 1 AS lo,
+             (px.pm * (t.n - 1)) % 1000 AS frac
+      FROM cum c JOIN tot t USING (g), px
+    ), picked AS (
+      SELECT g, pm,
+             MIN(CASE WHEN rsum >= lo THEN v END) AS v_lo,
+             MIN(CASE WHEN rsum >= lo + 1 THEN v END) AS v_hi,
+             MAX(frac) AS frac,
+             CAST(MAX(n) AS BIGINT) AS n_rows
+      FROM based GROUP BY g, pm
+    )
+    SELECT g AS l_returnflag, pm AS quantile_pm,
+           ROUND(v_lo + (COALESCE(v_hi, v_lo) - v_lo)
+                        * (frac / 1000.0), 6) AS q_value,
+           n_rows
+    FROM picked
+"""
+
 ORACLES["q_exact_quantiles"] = """
     WITH counts AS (
       SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS cnt

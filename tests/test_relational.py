@@ -347,3 +347,39 @@ def test_parallel_ntile_matches_window_ntile(spark):
         for r in df.withColumn("b", F.ntile(5).over(w)).collect()
     }
     assert got == want
+
+
+def test_exact_group_quantiles_cont_vs_duckdb_native(spark):
+    """Interpolated counting-quantiles == DuckDB's native
+    quantile_cont at permilles whose positions are exact integers or
+    simple fractions, and == numpy's linear interpolation (type-7)
+    generally — tie-heavy data, plus an n=1 group (frac path never
+    reads rank n+1)."""
+    import duckdb
+    import numpy as np
+
+    rows = [(g, float((i * i) % 17)) for g in range(2) for i in range(g * 40 + 21)]
+    rows.append((9, 42.0))  # n=1 group
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        (r.g, r.quantile_pm): r.q_value
+        for r in R.exact_group_quantiles_cont(df, "g", "v").collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        arr = np.sort(np.array(vals))
+        for pm in (250, 500, 750, 900, 990):
+            want = float(np.quantile(arr, pm / 1000.0, method="linear"))
+            assert abs(got[(g, pm)] - round(want, 6)) < 1e-6, (g, pm)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = dict(
+        con.execute(
+            "SELECT g, quantile_cont(v, 0.75) FROM t GROUP BY g"
+        ).fetchall()
+    )
+    for g in by_g:
+        assert abs(got[(g, 750)] - round(duck[g], 6)) < 1e-6
