@@ -79,6 +79,151 @@ ORACLES["q_grouped_topk"] = """
     WHERE rank <= 5
 """
 
+def _linkage_sides(spark: SparkSession, sf_dir: str):
+    """Deterministic linkage fixture: side A = customers; side B =
+    the same customers under field noise (name truncated for
+    custkey%4==0, segment rewritten for %7==0) with shifted ids —
+    the multi-source-corpus reality where the same entity arrives
+    spelled differently. The blocking key (nation, acctbal/100
+    bucket) survives the perturbations, so candidate pairs stay
+    equi-join-able."""
+    cust = read_table(spark, sf_dir, "customer")
+    blk = F.concat_ws(
+        "|",
+        F.col("c_nationkey").cast("string"),
+        F.floor(F.col("c_acctbal") / 100).cast("string"),
+    )
+    bal = F.round(F.col("c_acctbal"), 0).cast("bigint")
+    a = cust.select(
+        F.col("c_custkey").alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        bal.alias("bal"),
+        blk.alias("blk"),
+    )
+    b = cust.select(
+        (F.col("c_custkey") + 10_000_000).alias("rid"),
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.expr("substring(c_name, 1, length(c_name) - 1)"),
+        ).otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("PERTURBED"))
+        .otherwise(F.col("c_mktsegment")).alias("segment"),
+        bal.alias("bal"),
+        blk.alias("blk"),
+    )
+    return a, b
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over blocked
+    candidate pairs — see
+    :mod:`fifa_data_pipeline_spark.operators.linkage`. m-probabilities
+    are fixed constants; u-probabilities are exact value-frequency
+    estimates from the data. Aggregated to the decision × agreement
+    pattern grain (the linkage quality report) so the result is
+    compact at any scale."""
+    from fifa_data_pipeline_spark.operators.linkage import fs_link
+
+    a, b = _linkage_sides(spark, sf_dir)
+    pairs = fs_link(
+        a, b, "rid", "rid", "blk",
+        [("name", 0.95), ("segment", 0.9), ("bal", 0.99)],
+        lower=0.0, upper=4.0,
+    )
+    return pairs.groupBy(
+        "decision", "agree_name", "agree_segment", "agree_bal"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("weight"), 6).alias("min_weight"),
+        F.round(F.max("weight"), 6).alias("max_weight"),
+    )
+
+
+QUERIES["q_record_linkage"] = q_record_linkage
+
+ORACLES["q_record_linkage"] = """
+    WITH a AS (
+      SELECT c_custkey AS rid, c_name AS name,
+             c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal, 0) AS BIGINT) AS bal,
+             CAST(c_nationkey AS VARCHAR) || '|' ||
+               CAST(CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS VARCHAR)
+               AS blk
+      FROM customer
+    ), b AS (
+      SELECT c_custkey + 10000000 AS rid,
+             CASE WHEN c_custkey % 4 = 0
+                  THEN substring(c_name, 1, length(c_name) - 1)
+                  ELSE c_name END AS name,
+             CASE WHEN c_custkey % 7 = 0 THEN 'PERTURBED'
+                  ELSE c_mktsegment END AS segment,
+             CAST(ROUND(c_acctbal, 0) AS BIGINT) AS bal,
+             CAST(c_nationkey AS VARCHAR) || '|' ||
+               CAST(CAST(FLOOR(c_acctbal / 100) AS BIGINT) AS VARCHAR)
+               AS blk
+      FROM customer
+    ),
+    u_name AS (
+      SELECT SUM(na * nb) AS hits FROM
+        (SELECT name, COUNT(*) AS na FROM a GROUP BY name) x JOIN
+        (SELECT name, COUNT(*) AS nb FROM b GROUP BY name) y
+        USING (name)
+    ), u_segment AS (
+      SELECT SUM(na * nb) AS hits FROM
+        (SELECT segment, COUNT(*) AS na FROM a GROUP BY segment) x JOIN
+        (SELECT segment, COUNT(*) AS nb FROM b GROUP BY segment) y
+        USING (segment)
+    ), u_bal AS (
+      SELECT SUM(na * nb) AS hits FROM
+        (SELECT bal, COUNT(*) AS na FROM a GROUP BY bal) x JOIN
+        (SELECT bal, COUNT(*) AS nb FROM b GROUP BY bal) y
+        USING (bal)
+    ), tots AS (
+      SELECT (SELECT COUNT(*) FROM a) AS ta,
+             (SELECT COUNT(*) FROM b) AS tb
+    ), us AS (
+      SELECT
+        CAST(COALESCE((SELECT hits FROM u_name), 0) AS DOUBLE)
+          / (CAST(ta AS DOUBLE) * tb) AS u_name,
+        CAST(COALESCE((SELECT hits FROM u_segment), 0) AS DOUBLE)
+          / (CAST(ta AS DOUBLE) * tb) AS u_segment,
+        CAST(COALESCE((SELECT hits FROM u_bal), 0) AS DOUBLE)
+          / (CAST(ta AS DOUBLE) * tb) AS u_bal
+      FROM tots
+    ), pairs AS (
+      SELECT
+        (a.name IS NOT NULL AND b.name IS NOT NULL
+         AND a.name = b.name) AS agree_name,
+        (a.segment IS NOT NULL AND b.segment IS NOT NULL
+         AND a.segment = b.segment) AS agree_segment,
+        (a.bal IS NOT NULL AND b.bal IS NOT NULL
+         AND a.bal = b.bal) AS agree_bal,
+        (CASE WHEN a.name IS NOT NULL AND b.name IS NOT NULL
+                   AND a.name = b.name
+              THEN LN(0.95 / u_name)
+              ELSE LN((1.0 - 0.95) / (1.0 - u_name)) END
+         + CASE WHEN a.segment IS NOT NULL AND b.segment IS NOT NULL
+                     AND a.segment = b.segment
+                THEN LN(0.9 / u_segment)
+                ELSE LN((1.0 - 0.9) / (1.0 - u_segment)) END
+         + CASE WHEN a.bal IS NOT NULL AND b.bal IS NOT NULL
+                     AND a.bal = b.bal
+                THEN LN(0.99 / u_bal)
+                ELSE LN((1.0 - 0.99) / (1.0 - u_bal)) END) AS w
+      FROM a JOIN b USING (blk), us
+    )
+    SELECT CASE WHEN w >= 4.0 THEN 'match'
+                WHEN w <= 0.0 THEN 'non_match'
+                ELSE 'possible' END AS decision,
+           agree_name, agree_segment, agree_bal,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MIN(ROUND(w, 6)), 6) AS min_weight,
+           ROUND(MAX(ROUND(w, 6)), 6) AS max_weight
+    FROM pairs GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_exact_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated (``percentile_cont``-style, type-7) per-returnflag
     price quantiles via the same counting machinery as
