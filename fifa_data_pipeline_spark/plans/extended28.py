@@ -224,6 +224,52 @@ ORACLES["q_record_linkage"] = """
 """
 
 
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of order priority
+    against the finished-order label — see
+    :func:`fifa_data_pipeline_spark.operators.relational.woe_iv`
+    (the risk-scoring companion of q_target_encode's mean encoding).
+    """
+    from fifa_data_pipeline_spark.operators.relational import woe_iv
+
+    orders = read_table(spark, sf_dir, "orders")
+    return woe_iv(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    )
+
+
+QUERIES["q_woe_iv"] = q_woe_iv
+
+ORACLES["q_woe_iv"] = """
+    WITH per AS (
+      SELECT o_orderpriority,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS b,
+             SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+               AS g
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT SUM(b) AS tb, SUM(g) AS tg, COUNT(*) AS v FROM per
+    ), shares AS (
+      SELECT o_orderpriority,
+             CAST(b AS BIGINT) AS n_bad, CAST(g AS BIGINT) AS n_good,
+             (b + 0.5) / (tb + 0.5 * v) AS bs,
+             (g + 0.5) / (tg + 0.5 * v) AS gs
+      FROM per, tot
+    ), woed AS (
+      SELECT o_orderpriority, n_bad, n_good,
+             LN(bs / gs) AS woe_raw,
+             (bs - gs) * LN(bs / gs) AS ivc_raw
+      FROM shares
+    )
+    SELECT o_orderpriority, n_bad, n_good,
+           ROUND(woe_raw, 6) AS woe,
+           ROUND(ivc_raw, 6) AS iv_contrib,
+           ROUND((SELECT SUM(ivc_raw) FROM woed), 6) AS iv_total
+    FROM woed
+"""
+
+
 def q_exact_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated (``percentile_cont``-style, type-7) per-returnflag
     price quantiles via the same counting machinery as

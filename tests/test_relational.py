@@ -383,3 +383,29 @@ def test_exact_group_quantiles_cont_vs_duckdb_native(spark):
     )
     for g in by_g:
         assert abs(got[(g, 750)] - round(duck[g], 6)) < 1e-6
+
+
+def test_woe_iv_known_values(spark):
+    """Hand-computed WoE/IV on a 2x2 fixture (smooth=0.5), plus the
+    empty-cell guard: a value with zero bads stays finite."""
+    import math
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 10 + [("b", 1)] * 5 + [("b", 0)] * 55
+    df = spark.createDataFrame(rows, ["f", "y"])
+    got = {r.f: r for r in R.woe_iv(df, "f", F.col("y") == 1).collect()}
+    tb, tg, v, s = 35, 65, 2, 0.5
+    bs_a, gs_a = (30 + s) / (tb + s * v), (10 + s) / (tg + s * v)
+    woe_a = math.log(bs_a / gs_a)
+    assert abs(got["a"].woe - round(woe_a, 6)) < 1e-6
+    assert got["a"].n_bad == 30 and got["a"].n_good == 10
+    iv = sum(
+        (((b + s) / (tb + s * v)) - ((g + s) / (tg + s * v)))
+        * math.log(((b + s) / (tb + s * v)) / ((g + s) / (tg + s * v)))
+        for b, g in [(30, 10), (5, 55)]
+    )
+    assert abs(got["a"].iv_total - round(iv, 6)) < 1e-6
+    zero = spark.createDataFrame(
+        [("a", 1)] * 3 + [("b", 0)] * 3, ["f", "y"]
+    )
+    z = {r.f: r for r in R.woe_iv(zero, "f", F.col("y") == 1).collect()}
+    assert all(abs(r.woe) < 100 for r in z.values())  # finite, smoothed
