@@ -58,9 +58,12 @@ def field_u_probability(
         hits.crossJoin(F.broadcast(na))
         .crossJoin(F.broadcast(nb))
         .select(
-            (
-                F.coalesce("__hits", F.lit(0)).cast("double")
-                / (F.col("__ta").cast("double") * F.col("__tb"))
+            # try_divide: an EMPTY side makes NA·NB = 0, which throws
+            # under ANSI — surface NULL instead (there are no pairs
+            # to weight in that case anyway).
+            F.try_divide(
+                F.coalesce("__hits", F.lit(0)).cast("double"),
+                F.col("__ta").cast("double") * F.col("__tb"),
             ).alias("u")
         )
     )

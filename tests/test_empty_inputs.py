@@ -163,3 +163,36 @@ def test_round4_statistics_ops_on_empty(spark):
     edges = _empty(spark, "src string, dst string")
     out = pagerank_micro(edges)
     assert out.count() == 0 and out.columns == ["node", "rank_micro"]
+
+
+def test_round5_order_statistics_on_empty(spark):
+    df = _empty(spark, "g string, v double, id bigint, w bigint")
+    assert R.grouped_running_sums(df, ["g"], "v", ["w"]).count() == 0
+    assert R.grouped_tie_rank2(df, "g", "v").count() == 0
+    assert R.grouped_row_ranks(df, ["g"], ["v", "id"]).count() == 0
+    assert R.parallel_ntile(df, ["g"], ["v", "id"], 4).count() == 0
+    assert R.grouped_topk(df, ["g"], "v", "id", 5).count() == 0
+    assert R.exact_group_quantiles(df, "g", "v").count() == 0
+    assert R.exact_group_quantiles_cont(df, "g", "v").count() == 0
+    assert R.woe_iv(df, "g", F.col("w") > 0).count() == 0
+
+
+def test_round5_linkage_on_empty(spark):
+    from fifa_data_pipeline_spark.operators.linkage import (
+        field_u_probability,
+        fs_link,
+    )
+
+    a = _empty(spark, "rid bigint, name string, blk string")
+    b = spark.createDataFrame(
+        [(1, "x", "b1")], "rid bigint, name string, blk string"
+    )
+    # u over an empty side: NULL (try_divide), never an ANSI
+    # divide-by-zero crash — there are no pairs to weight anyway
+    rows = field_u_probability(a, b, "name").collect()
+    assert len(rows) == 1 and rows[0].u is None
+    assert fs_link(a, b, "rid", "rid", "blk", [("name", 0.9)]).count() == 0
+    assert fs_link(b, a, "rid", "rid", "blk", [("name", 0.9)]).count() == 0
+    assert (
+        fs_link(a, a, "rid", "rid", "blk", [("name", 0.9)]).count() == 0
+    )
