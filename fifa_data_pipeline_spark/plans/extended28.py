@@ -224,6 +224,56 @@ ORACLES["q_record_linkage"] = """
 """
 
 
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through a CUSTOM Python DataSource (Spark 4
+    ``pyspark.sql.datasource`` API): read the deterministic synthetic
+    feed partition-parallel and aggregate it — the DuckDB twin
+    regenerates identical rows from ``range(n)`` with the same
+    integer mixing, so the connector path is value-hash-checked.
+    ``sf_dir`` is unused (the source generates); row count fixed so
+    the oracle is scale-independent."""
+    from fifa_data_pipeline_spark.sources.pydatasource import register
+
+    register(spark)
+    feed = (
+        spark.read.format("synthetic_events")
+        .option("n", 20000)
+        .option("n_users", 100)
+        .option("partitions", 8)
+        .load()
+    )
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("amount_cents").alias("total_cents"),
+        F.min("event_id").alias("first_id"),
+    )
+
+
+QUERIES["q_python_datasource"] = q_python_datasource
+
+ORACLES["q_python_datasource"] = """
+    WITH feed AS (
+      SELECT i AS event_id,
+             h % 100 AS user_id,
+             ['click','view','purchase','signup','error'][h % 5 + 1]
+               AS event_type,
+             (h % 100000) - 50000 AS amount_cents
+      FROM (
+        SELECT range AS i,
+               (range * 2654435761) % 9007199254740993 AS h
+        FROM range(20000)
+      )
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+           CAST(MIN(event_id) AS BIGINT) AS first_id
+    FROM feed GROUP BY event_type
+"""
+
+
 def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence + information value of order priority
     against the finished-order label — see
