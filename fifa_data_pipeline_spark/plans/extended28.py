@@ -274,6 +274,60 @@ ORACLES["q_python_datasource"] = """
 """
 
 
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME synthetic feed consumed as a STREAM through the
+    Python DataSource API's ``simpleStreamReader`` (offset = row
+    index, replayable ranges), drained with availableNow and
+    aggregated batch-side — the drained rows are exactly the batch
+    read's rows, so the custom streaming connector shares
+    ``q_python_datasource``'s value-hash oracle."""
+    import time
+    import uuid
+
+    from fifa_data_pipeline_spark.sources.pydatasource import register
+
+    register(spark)
+    n_total, batch_rows = 20000, 4000
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", n_total)
+        .option("n_users", 100)
+        .option("batch_rows", batch_rows)
+        .load()
+    )
+    name = f"q_stream_pyds_{uuid.uuid4().hex[:8]}"
+    # availableNow drains only ONE read() window of a simple stream
+    # reader (its latest offset is one batch ahead), so this drain
+    # polls a continuous trigger until all n/batch_rows micro-batches
+    # (5 here — real multi-batch progress, offsets committed between)
+    # have landed, then stops. Deterministic: the generator is finite.
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while spark.table(name).count() < n_total:
+        if time.time() > deadline:
+            q.stop()
+            raise TimeoutError("synthetic stream did not drain")
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return spark.table(name).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("amount_cents").alias("total_cents"),
+        F.min("event_id").alias("first_id"),
+    )
+
+
+QUERIES["q_stream_python_source"] = q_stream_python_source
+ORACLES["q_stream_python_source"] = None  # set below (shared twin)
+
+
 def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence + information value of order priority
     against the finished-order label — see
@@ -385,3 +439,8 @@ ORACLES["q_exact_quantiles"] = """
     WHERE c.rsum >= GREATEST(1, (px.pm * t.n + 999) // 1000)
     GROUP BY 1, 2
 """
+
+# The streaming drain emits exactly the batch read's rows (offset =
+# row index over the same pure generator), so both connector paths
+# share one twin.
+ORACLES["q_stream_python_source"] = ORACLES["q_python_datasource"]

@@ -32,6 +32,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 #: Knuth's multiplicative hash constant (2^32 / phi) — public domain
@@ -83,6 +84,44 @@ class SyntheticEventsReader(DataSourceReader):
             yield synth_row(i, partition.n_users)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch feed over the SAME deterministic row function:
+    offsets are row indices, each trigger serves the next
+    ``batch_rows`` rows until ``n`` is exhausted — so a drained
+    ``availableNow`` run produces EXACTLY the batch read's rows and
+    the streaming path shares the batch oracle. ``initialOffset``/
+    ``read``/``readBetweenOffsets`` is the replay contract: any
+    offset range can be re-served after a crash (the generator is a
+    pure function of the range)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 10000))
+        self.n_users = int(options.get("n_users", 100))
+        self.batch_rows = int(options.get("batch_rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch_rows, self.n)
+        return (
+            iter([synth_row(i, self.n_users) for i in range(lo, hi)]),
+            {"i": hi},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                synth_row(i, self.n_users)
+                for i in range(int(start["i"]), int(end["i"]))
+            ]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -93,6 +132,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -44,3 +44,37 @@ def test_filters_and_projection_apply_after_scan(spark):
     got = df.count()
     want = sum(1 for i in range(2000) if synth_row(i, 100)[2] == "click")
     assert got == want
+
+
+def test_stream_reader_multi_batch_drain(spark):
+    """The simpleStreamReader serves row-index offset windows; a
+    polled continuous-trigger drain must land every row across
+    multiple micro-batches, identical to the batch read."""
+    import time
+    import uuid
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n", 900)
+        .option("n_users", 7)
+        .option("batch_rows", 200)
+        .load()
+    )
+    name = f"t_pyds_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while spark.table(name).count() < 900:
+        assert time.time() < deadline, "stream did not drain"
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table(name).collect()}
+    want = {synth_row(i, 7) for i in range(900)}
+    assert got == want
