@@ -31,8 +31,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Knuth's multiplicative hash constant (2^32 / phi) — public domain
@@ -137,6 +139,78 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
 
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path, self.n_rows = tmp_path, n_rows
+
+
+class JsonlShardWriter(DataSourceWriter):
+    """Two-phase-commit JSONL shard sink: each task writes its rows
+    to a UUID-named ``.tmp`` file and reports it in a commit message;
+    the DRIVER's ``commit`` renames every temp shard to its final
+    ``part-NNNNN.jsonl`` name and writes a ``_SUCCESS`` manifest with
+    the row total — so readers either see the complete committed
+    output or (after ``abort`` unlinks the temps) none of it. The
+    same task-attempt / driver-commit split every exactly-once file
+    sink is built on; speculative or retried tasks leave at most
+    orphaned temps, never half-visible data."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_shards writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _ShardCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".{uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ShardCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        total = 0
+        for idx, m in enumerate(sorted(
+            (m for m in messages if m is not None),
+            key=lambda m: m.tmp_path,
+        )):
+            final = os.path.join(self.path, f"part-{idx:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump({"rows": total}, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.unlink(m.tmp_path)
+
+
+class JsonlShardsDataSource(DataSource):
+    """Write-side twin of the connector story: ``df.write.format(
+    "jsonl_shards").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        return JsonlShardWriter(self.options, overwrite)
+
+
 def register(spark) -> None:
-    """Idempotently register the source on a session."""
+    """Idempotently register the sources on a session."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlShardsDataSource)

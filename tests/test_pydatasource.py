@@ -78,3 +78,32 @@ def test_stream_reader_multi_batch_drain(spark):
     got = {tuple(r) for r in spark.table(name).collect()}
     want = {synth_row(i, 7) for i in range(900)}
     assert got == want
+
+
+def test_jsonl_shard_writer_two_phase_commit(spark, tmp_path):
+    """Writer round-trip: shards land under final names with a
+    _SUCCESS manifest carrying the row total; temp files are gone;
+    Spark's json reader recovers the exact rows."""
+    import json
+    import os
+
+    register(spark)
+    df = _read(spark, n=300, n_users=5, partitions=4)
+    out = str(tmp_path / "shards")
+    df.write.format("jsonl_shards").option("path", out).mode(
+        "append"
+    ).save()
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 4
+    assert not [f for f in files if f.endswith(".tmp")]
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 300
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 300
+    got = {
+        (r.event_id, r.user_id, r.event_type, r.amount_cents)
+        for r in back.collect()
+    }
+    assert got == {synth_row(i, 5) for i in range(300)}
