@@ -1,32 +1,32 @@
-"""Custom connector via the Spark 4 Python DataSource API.
+"""Custom connectors via the Python Data Source API (Spark ≥4.0,
+SPARK-44076): the pure-Python path for building sources/sinks the
+engine doesn't ship — schema declaration, partition planning, and
+per-partition row generation, with no JVM code.
 
-Reference parity note: the reference's only custom ingestion is the
-Kaggle HTTP download shim (``etl_kaggle_to_big_query.py:30-60``,
-out-of-engine per SURVEY §2.1 row S1). This module exercises the
-engine-side half of that story — the PYTHON DATASOURCE API
-(pyspark.sql.datasource, new in Spark 4): how a bespoke feed
-(an internal API, a proprietary format, a synthetic load generator)
-becomes a first-class ``spark.read.format(...)`` source with
-partition-parallel reads, instead of a driver-side download +
-re-upload.
+The reference's only custom ingestion is a Python download step
+outside the engine (SURVEY.md §2.1 S1); this is the in-engine
+equivalent surface: a format registered on the session and read with
+``spark.read.format(...)`` like any built-in source.
 
-``SyntheticEventsDataSource`` is a deterministic event generator:
-row ``i`` is a pure integer function of ``i`` (Knuth multiplicative
-mixing — no RNG, no time), so
+Two generations of connectors live here:
 
-- the read is PARTITIONED: each InputPartition owns a disjoint
-  [start, end) row range and generates independently — the same
-  contract a real connector uses to scale across executors;
-- every emitted row is reproducible and ORACLE-ABLE: the DuckDB twin
-  regenerates the identical rows from ``range(n)`` with the same
-  arithmetic, so the round-trip through the DataSource API is
-  value-hash-checked, not just smoke-tested.
-
-Batch reader only — the streaming side of the synthetic feed is
-covered by the rate-limited file streams in ``streaming/``.
+1. **API-surface demos** (round 4): ``synth_events`` (batch,
+   partition-planning contract), ``synth_events_stream`` (offset
+   ownership + replayable ``readBetweenOffsets``), and
+   ``jsonl_sink`` (manifest-commit writer — the rename-free commit
+   discipline object stores need). Test-verified.
+2. **Oracle-checked feed** (round 5): ``synthetic_events`` — every
+   row a pure INTEGER function of the row id, so the DuckDB twin
+   regenerates identical rows from ``range(n)`` and both the batch
+   scan and the multi-micro-batch streaming drain are value-HASH
+   checked end to end (``q_python_datasource`` /
+   ``q_stream_python_source``), plus ``jsonl_shards`` (two-phase
+   rename commit + ``_SUCCESS`` row-total manifest).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -37,10 +37,191 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-#: Knuth's multiplicative hash constant (2^32 / phi) — public domain
-#: mixing arithmetic, exactly reproducible in any engine with 64-bit
-#: integers.
+#: Knuth multiplicative hash constant — deterministic pseudo-values.
 _MIX = 2654435761
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synth_events")`` — options:
+    ``partitions`` (default 4), ``rowsPerPartition`` (default 100),
+    ``seed`` (default 42)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, part int, value double"
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n_parts = int(options.get("partitions", "4"))
+        self.rows_per = int(options.get("rowsperpartition", "100"))
+        self.seed = int(options.get("seed", "42"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # One InputPartition per task: this IS the source's
+        # parallelism contract to the scheduler.
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        i = partition.value
+        for r in range(self.rows_per):
+            gid = i * self.rows_per + r
+            h = (gid * _MIX + self.seed) % (2**32)
+            yield (gid, i, h / 2**32)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Python data source (SimpleDataSourceStreamReader)
+# ---------------------------------------------------------------------------
+
+class SyntheticEventsStreamSource(DataSource):
+    """``spark.readStream.format("synth_events_stream")`` — the
+    STREAMING half of the Python Data Source API: the reader owns its
+    offset (a monotonically increasing batch index), the engine owns
+    exactly-once bookkeeping (offsets land in the checkpoint log;
+    ``readBetweenOffsets`` replays a committed range after restart).
+    Options: ``rowsPerBatch`` (default 10), ``maxBatches`` (default 3
+    — after which ``read`` stops advancing the offset, so an
+    ``availableNow`` drain terminates), ``seed``.
+
+    A real connector (queue consumer, HTTP cursor feed) follows this
+    shape verbatim: offsets must be replayable — the DETERMINISM of
+    read-between-offsets, not the checkpoint, is what makes the
+    pipeline exactly-once end to end."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, batch int, value double"
+
+    def simpleStreamReader(self, schema) -> "SyntheticStreamReader":
+        return SyntheticStreamReader(self.options)
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.rows_per = int(options.get("rowsperbatch", "10"))
+        self.max_batches = int(options.get("maxbatches", "3"))
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def _rows(self, idx: int) -> list[tuple]:
+        out = []
+        for r in range(self.rows_per):
+            gid = idx * self.rows_per + r
+            h = (gid * _MIX + self.seed) % (2**32)
+            out.append((gid, idx, h / 2**32))
+        return out
+
+    def read(self, start: dict):
+        idx = start["idx"]
+        if idx >= self.max_batches:
+            return iter([]), start  # no progress -> availableNow ends
+        return iter(self._rows(idx)), {"idx": idx + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for idx in range(start["idx"], end["idx"]):
+            rows.extend(self._rows(idx))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge for a synthetic feed
+
+
+# ---------------------------------------------------------------------------
+# Batch WRITER (the third leg of the API: reader / stream reader / writer)
+# ---------------------------------------------------------------------------
+
+class JsonlSinkDataSource(DataSource):
+    """Pure-Python sink: JSONL files with a manifest-commit protocol.
+
+    Each task streams its partition to a uniquely-named
+    ``part-<partition>-<uuid>.jsonl`` and reports the file back as
+    its commit message; only when EVERY task succeeded does the
+    driver write ``_MANIFEST.json`` naming the committed files —
+    readers that honor the manifest never see a torn write, and
+    ``abort()`` removes the orphans of a failed job. This is the
+    same rename-free commit discipline object stores need (no
+    atomic directory rename at scale), in ~40 lines of Python.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlWriter":
+        return JsonlWriter(self.options, schema)
+
+
+class JsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema) -> None:
+        self._path = options["path"]
+        self._fields = [f.name for f in schema.fields]
+
+    def write(self, rows: Iterator) -> "JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self._path, fname)
+        n = 0
+        with open(full, "w") as fh:
+            for row in rows:
+                fh.write(
+                    json.dumps(dict(zip(self._fields, row)), default=str)
+                )
+                fh.write("\n")
+                n += 1
+        return JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.file for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        tmp = os.path.join(self._path, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._path, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._path, m.file))
+            except FileNotFoundError:
+                pass
+
+
+class JsonlCommit(WriterCommitMessage):
+    def __init__(self, file: str, rows: int) -> None:
+        self.file = file
+        self.rows = rows
+
+
+# ---------------------------------------------------------------------------
+# Round-5 generation: the ORACLE-CHECKED deterministic feed
+# ---------------------------------------------------------------------------
 
 SYNTH_SCHEMA = (
     "event_id BIGINT, user_id BIGINT, event_type STRING, "
@@ -51,10 +232,12 @@ _TYPES = ("click", "view", "purchase", "signup", "error")
 
 
 def synth_row(i: int, n_users: int) -> tuple:
-    """Row ``i`` of the synthetic feed — shared by the partition
-    reader and the unit tests; the DuckDB oracle inlines the same
-    expressions."""
-    h = (i * _MIX) % 9007199254740993  # below 2^53: exact in doubles
+    """Row ``i`` of the oracled feed — shared by the partition
+    reader, the stream reader, and the unit tests; the DuckDB twin
+    inlines the same expressions. The modulus stays below 2^53 so
+    the arithmetic is exact even in engines that route integers
+    through doubles."""
+    h = (i * _MIX) % 9007199254740993
     return (
         i,
         h % n_users,
@@ -68,7 +251,7 @@ class _RangePartition(InputPartition):
         self.start, self.end, self.n_users = start, end, n_users
 
 
-class SyntheticEventsReader(DataSourceReader):
+class OracledFeedReader(DataSourceReader):
     def __init__(self, options):
         self.n = int(options.get("n", 10000))
         self.n_users = int(options.get("n_users", 100))
@@ -86,15 +269,13 @@ class SyntheticEventsReader(DataSourceReader):
             yield synth_row(i, partition.n_users)
 
 
-class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+class OracledFeedStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch feed over the SAME deterministic row function:
     offsets are row indices, each trigger serves the next
-    ``batch_rows`` rows until ``n`` is exhausted — so a drained
-    ``availableNow`` run produces EXACTLY the batch read's rows and
-    the streaming path shares the batch oracle. ``initialOffset``/
-    ``read``/``readBetweenOffsets`` is the replay contract: any
-    offset range can be re-served after a crash (the generator is a
-    pure function of the range)."""
+    ``batch_rows`` rows until ``n`` is exhausted — so a full drain
+    produces EXACTLY the batch read's rows and the streaming path
+    shares the batch oracle. Any committed offset range replays
+    bit-identically (pure function of the range)."""
 
     def __init__(self, options):
         self.n = int(options.get("n", 10000))
@@ -124,7 +305,7 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
-class SyntheticEventsDataSource(DataSource):
+class OracledFeedDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
         return "synthetic_events"
@@ -132,11 +313,11 @@ class SyntheticEventsDataSource(DataSource):
     def schema(self) -> str:
         return SYNTH_SCHEMA
 
-    def reader(self, schema) -> SyntheticEventsReader:
-        return SyntheticEventsReader(self.options)
+    def reader(self, schema) -> OracledFeedReader:
+        return OracledFeedReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
-        return SyntheticEventsStreamReader(self.options)
+    def simpleStreamReader(self, schema) -> OracledFeedStreamReader:
+        return OracledFeedStreamReader(self.options)
 
 
 class _ShardCommit(WriterCommitMessage):
@@ -145,15 +326,13 @@ class _ShardCommit(WriterCommitMessage):
 
 
 class JsonlShardWriter(DataSourceWriter):
-    """Two-phase-commit JSONL shard sink: each task writes its rows
-    to a UUID-named ``.tmp`` file and reports it in a commit message;
+    """Two-phase-commit JSONL shard sink (rename variant of
+    ``jsonl_sink``'s manifest protocol): each task writes its rows to
+    a UUID-named ``.tmp`` file and reports it in a commit message;
     the DRIVER's ``commit`` renames every temp shard to its final
     ``part-NNNNN.jsonl`` name and writes a ``_SUCCESS`` manifest with
-    the row total — so readers either see the complete committed
-    output or (after ``abort`` unlinks the temps) none of it. The
-    same task-attempt / driver-commit split every exactly-once file
-    sink is built on; speculative or retried tasks leave at most
-    orphaned temps, never half-visible data."""
+    the row total — readers either see the complete committed output
+    or (after ``abort`` unlinks the temps) none of it."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -199,7 +378,7 @@ class JsonlShardWriter(DataSourceWriter):
 
 
 class JsonlShardsDataSource(DataSource):
-    """Write-side twin of the connector story: ``df.write.format(
+    """Write-side twin of the oracled feed: ``df.write.format(
     "jsonl_shards").option("path", ...)``."""
 
     @classmethod
@@ -211,6 +390,9 @@ class JsonlShardsDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the sources on a session."""
+    """Register every connector on a session (idempotent)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(SyntheticEventsStreamSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+    spark.dataSource.register(OracledFeedDataSource)
     spark.dataSource.register(JsonlShardsDataSource)
