@@ -360,3 +360,66 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The skew posture the suite relies on (salting is the manual
+    fallback — q_join_salted): AQE must detect a hot key at runtime
+    and split its partition (skew=true in the finalized SMJ). Thresholds
+    are lowered session-locally so a test-sized hot key trips the
+    same machinery a 100 TB skew does, and restored after."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB"
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+        )
+        # force a shuffle join so the skew handler (not broadcast)
+        # is what AQE exercises
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        )
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("p" * 64), F.col("id").cast("string")).alias(
+                "pad"
+            ),
+        )
+        right = spark.range(0, 50_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("rv"),
+        )
+        # aggregate over pad so column pruning can't strip the bytes
+        # that make the hot partition big enough to classify as skew
+        j = left.join(right, "k").select(F.sum(F.length("pad")))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
