@@ -120,7 +120,10 @@ _WINDOW = [
     # (tools/check_oracle.py — now driver-faithful: no float->int fold,
     # HUGEINT/DECIMAL oracle dtypes rejected).
     # R6 ROTATION NOTE: after r5, never-driver-checked remainder is
-    # ~95 names — extended10-19 analytics (q_scalar_funcs, q_case_bucket,
+    # ~100 names. Rotate in FIRST the round-5 additions (q_exact_quantiles,
+    # q_exact_quantiles_cont, q_grouped_topk, q_record_linkage, q_woe_iv,
+    # q_python_datasource, q_stream_python_source) since their
+    # implementations are new, then extended10-19 analytics (q_scalar_funcs, q_case_bucket,
     # q_agg_distinct, q_agg_approx, q_bpe_tokens, q_top_tokens,
     # q_unpivot, q_sample, q_exists_subq, q_in_subq, q_scalar_subq,
     # q_rolling_fp, q_string_agg, q_agg_filter, q_regex_extract,

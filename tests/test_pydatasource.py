@@ -107,3 +107,31 @@ def test_jsonl_shard_writer_two_phase_commit(spark, tmp_path):
         for r in back.collect()
     }
     assert got == {synth_row(i, 5) for i in range(300)}
+
+
+def test_jsonl_shard_writer_abort_leaves_no_output(spark, tmp_path):
+    """A failing task must ABORT the job: temps unlinked, no
+    _SUCCESS, no committed shards — readers see none of it."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    register(spark)
+    out = str(tmp_path / "aborted")
+    df = _read(spark, n=100, partitions=4).select(
+        "event_id",
+        F.when(F.col("event_id") < 99, F.col("amount_cents"))
+        .otherwise(
+            F.assert_true(F.lit(False), F.lit("boom")).cast("bigint")
+        )
+        .alias("amount_cents"),
+    )
+    with pytest.raises(Exception):
+        df.write.format("jsonl_shards").option("path", out).mode(
+            "append"
+        ).save()
+    if os.path.isdir(out):
+        files = os.listdir(out)
+        assert "_SUCCESS" not in files
+        assert not [f for f in files if f.startswith("part-")]
