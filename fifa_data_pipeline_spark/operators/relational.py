@@ -906,7 +906,7 @@ def assign_dense_ids(
     df: DataFrame,
     order_cols: list[str],
     id_col: str = "row_id",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Dense, gap-free global row ids 1..N in ``order_cols`` order —
     WITHOUT the classic 100 TB trap of ``row_number() OVER (ORDER BY
@@ -935,6 +935,10 @@ def assign_dense_ids(
     unpersisting before the final action would recompute the layout
     and break id/offset agreement.
     """
+    if num_partitions is None:
+        # scale with the cluster, not a constant: 2× the scheduler's
+        # parallelism keeps every core busy through the final stage
+        num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
     part = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in order_cols]
     ).sortWithinPartitions(*order_cols)
@@ -980,7 +984,7 @@ def grouped_running_sums(
     group_cols: list[str],
     order_col: str | list[str],
     sum_cols: list[str],
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact per-group running sums of ``sum_cols`` in ``order_col``
     order, WITHOUT ``Window.partitionBy(<few-value key>)`` — whose
@@ -1009,9 +1013,12 @@ def grouped_running_sums(
     part; pre-negate a column for descending). Appends
     ``{col}_rsum`` (inclusive prefix sum) per requested column.
 
-    At cluster scale raise ``num_partitions`` to ~2-4× the executor
-    core count; the offsets frame stays metadata-sized.
+    ``num_partitions`` defaults to 2× the scheduler's parallelism —
+    it scales with the cluster automatically; the offsets frame stays
+    metadata-sized either way.
     """
+    if num_partitions is None:
+        num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
     order_cols = (
         [order_col] if isinstance(order_col, str) else list(order_col)
     )
@@ -1065,7 +1072,7 @@ def grouped_row_ranks(
     group_cols: list[str],
     order_cols: list[str],
     rank_col: str = "row_rank",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-group 1-based ROW ranks in ``order_cols`` order (ascending;
     pre-negate a column for descending) computed partition-parallel —
@@ -1107,7 +1114,7 @@ def parallel_ntile(
     order_cols: list[str],
     k: int,
     bucket_col: str = "bucket",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact ANSI ``NTILE(k)`` per group without a single-task group
     sort: row ranks come from :func:`grouped_row_ranks`, group sizes
@@ -1141,7 +1148,7 @@ def grouped_tie_rank2(
     group_col: str,
     value_col: str,
     rank_col: str = "rank2",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Tie-averaged ranks within each group carried as INTEGER
     ``2·rank`` (a value preceded by ``less`` rows with ``cnt`` ties
@@ -1226,7 +1233,7 @@ def exact_group_quantiles(
     group_col: str,
     value_col: str,
     permille: Sequence[int] = (250, 500, 750, 900, 990),
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """EXACT per-group quantiles at 100 TB — no ``approx_percentile``
     error bars and no ``Window.partitionBy(<few-value key>)``
@@ -1283,7 +1290,7 @@ def exact_group_quantiles_cont(
     group_col: str,
     value_col: str,
     permille: Sequence[int] = (250, 500, 750, 900, 990),
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """CONTINUOUS (interpolated, type-7 / ``percentile_cont``)
     per-group quantiles, exact at any scale — the companion of
