@@ -336,3 +336,102 @@ def test_cron_next_run_is_strictly_after_and_matches(minute, hour, start):
     # firstness: the previous day's same wall-time is not in (start, t)
     prev = t - dt.timedelta(days=1)
     assert prev <= start
+
+
+grp_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # group
+        st.integers(min_value=-50, max_value=50),   # order value
+        st.integers(min_value=-5, max_value=9),     # weight a
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=grp_rows, nparts=st.sampled_from([1, 3, 16]))
+@settings(**SETTINGS)
+def test_grouped_running_sums_matches_python_model(spark, rows, nparts):
+    """Partition-parallel prefix sums == the plain-python running sum
+    for any group/value/weight mix (negative weights included) and
+    any partition count. Input deduped to one row per (g, v) — the
+    operator's contract."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
+    )
+
+    dedup = {}
+    for g, v, a in rows:
+        dedup[(g, v)] = a
+    data = [(g, v, a) for (g, v), a in dedup.items()]
+    df = spark.createDataFrame(data, "g int, v int, a int")
+    got = {
+        (r.g, r.v): r.a_rsum
+        for r in grouped_running_sums(
+            df, ["g"], "v", ["a"], num_partitions=nparts
+        ).collect()
+    }
+    want = {}
+    by_g: dict[int, list[tuple[int, int]]] = {}
+    for g, v, a in data:
+        by_g.setdefault(g, []).append((v, a))
+    for g, vs in by_g.items():
+        acc = 0
+        for v, a in sorted(vs):
+            acc += a
+            want[(g, v)] = acc
+    assert got == want
+
+
+@given(rows=grp_rows, k=st.sampled_from([1, 2, 7]))
+@settings(**SETTINGS)
+def test_grouped_topk_matches_python_model(spark, rows, k):
+    """Two-phase top-k == python sort-and-slice for any data and k
+    (third tuple element reused as a unique-ifying id via enumerate)."""
+    from fifa_data_pipeline_spark.operators.relational import grouped_topk
+
+    data = [(g, float(v), i) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v double, id int")
+    got = {
+        (r.g, r.rank): r.id
+        for r in grouped_topk(
+            df, ["g"], "v", "id", k=k, salt=4
+        ).collect()
+    }
+    want = {}
+    by_g: dict[int, list[tuple[float, int]]] = {}
+    for g, v, i in data:
+        by_g.setdefault(g, []).append((v, i))
+    for g, vs in by_g.items():
+        ordered = sorted(vs, key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (_, i) in enumerate(ordered, 1):
+            want[(g, rank)] = i
+    assert got == want
+
+
+@given(rows=grp_rows)
+@settings(**SETTINGS)
+def test_exact_group_quantiles_matches_python_model(spark, rows):
+    """Counting quantiles == the order statistic at rank
+    max(1, ceil(pm*n/1000)) of the python-sorted group."""
+    import math
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        exact_group_quantiles,
+    )
+
+    data = [(g, float(v)) for g, v, _ in rows]
+    df = spark.createDataFrame(data, "g int, v double")
+    got = {
+        (r.g, r.quantile_pm): (r.q_value, r.n_rows)
+        for r in exact_group_quantiles(df, "g", "v").collect()
+    }
+    by_g: dict[int, list[float]] = {}
+    for g, v in data:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for pm in (250, 500, 750, 900, 990):
+            rank = max(1, math.ceil(pm * n / 1000))
+            assert got[(g, pm)] == (vals[rank - 1], n)
