@@ -202,6 +202,7 @@ HEADLINE = [
     "q_grouped_topk",
     "q_record_linkage",
     "q_woe_iv",
+    "q_cuped",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the
