@@ -112,6 +112,39 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_interval_join_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — the
+    semantics the inner form can't show: purchases with NO preceding
+    view emit null-padded, but only once the engine is SURE no
+    partner can still arrive. The drain's closure is EXACT and
+    oracle-able: every inner match emits, plus null rows for
+    unmatched purchases with ``l_epoch < global_wm`` where the global
+    watermark is the MIN of the two sides' post-filter maxima minus
+    the delay (probed empirically: the join-bound does NOT shift the
+    eviction cut; each side's watermark comes from its own filtered
+    rows, and eviction is strict-less-than — no fixture row sits on
+    the boundary, documented). Purchases newer than the final
+    watermark stay held in state, exactly as a live pipeline would
+    hold them."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    purchases = S.read_event_stream(spark, src, schema).where(
+        "event_type = 'purchase'"
+    )
+    views = S.read_event_stream(spark, src, schema).where(
+        "event_type = 'view'"
+    )
+    name = f"q_stream_ivjo_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.stream_interval_join(purchases, views, how="left_outer"),
+        name,
+        "append",
+    )
+    return spark.table(name)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon
     (dropDuplicatesWithinWatermark); events are landed twice so the
@@ -484,6 +517,7 @@ QUERIES = {
     "q_stream_session_window": q_stream_session_window,
     "q_stream_hopping": q_stream_hopping,
     "q_stream_interval_join": q_stream_interval_join,
+    "q_stream_interval_join_outer": q_stream_interval_join_outer,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_distinct": q_stream_distinct,
     "q_stream_cdc": q_stream_cdc,
@@ -661,6 +695,44 @@ ORACLES: dict[str, str] = {
           ON p.user_id = v.user_id
          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    """,
+    # LEFT OUTER stream-stream join closure: all inner matches, plus
+    # null-padded unmatched lefts whose event time sits strictly
+    # below the final global watermark — min over BOTH sides'
+    # post-filter max event times minus the 2h delay (each stream
+    # computes its watermark from its own filtered rows).
+    "q_stream_interval_join_outer": """
+        WITH wm AS (
+          SELECT LEAST(
+            (SELECT MAX(CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT))
+             FROM events WHERE event_type = 'purchase'),
+            (SELECT MAX(CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT))
+             FROM events WHERE event_type = 'view')
+          ) - 7200 AS w
+        ), p AS (
+          SELECT user_id, event_id,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT p.user_id, p.event_id AS l_event_id,
+               v.event_id AS r_event_id,
+               p.ep AS l_epoch, v.ep AS r_epoch
+        FROM p JOIN v
+          ON p.user_id = v.user_id
+         AND v.ep <= p.ep AND v.ep >= p.ep - 3600
+        UNION ALL
+        SELECT p.user_id, p.event_id,
+               CAST(NULL AS BIGINT), p.ep, CAST(NULL AS BIGINT)
+        FROM p, wm
+        WHERE p.ep < wm.w
+          AND NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = p.user_id
+              AND v.ep <= p.ep AND v.ep >= p.ep - 3600)
     """,
     # Stateful sessionize: a single-batch drain emits exactly one
     # update row per completed-or-open session, which equals plain
