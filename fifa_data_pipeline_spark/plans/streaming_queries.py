@@ -145,6 +145,36 @@ def q_stream_interval_join_outer(
     return spark.table(name)
 
 
+def q_stream_interval_join_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join. The drain
+    closure is ASYMMETRIC, exactly as the join bound implies: an
+    unmatched purchase (left) emits once the global watermark passes
+    its own event time (no future view with ``v.ts ≤ p.ts`` can
+    arrive), but an unmatched view (right) must wait an EXTRA
+    lookback — it could still match purchases up to ``v.ts + 1h`` —
+    so its null row emits only when ``r_epoch < wm − 3600``. Both
+    cuts probed empirically and hash-checked; the global watermark is
+    min over both sides' post-filter max event times minus the 2 h
+    delay."""
+    src = _land_events(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    purchases = S.read_event_stream(spark, src, schema).where(
+        "event_type = 'purchase'"
+    )
+    views = S.read_event_stream(spark, src, schema).where(
+        "event_type = 'view'"
+    )
+    name = f"q_stream_ivjf_{uuid.uuid4().hex[:8]}"
+    S.run_to_memory(
+        S.stream_interval_join(purchases, views, how="full_outer"),
+        name,
+        "append",
+    )
+    return spark.table(name)
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup within the watermark horizon
     (dropDuplicatesWithinWatermark); events are landed twice so the
@@ -518,6 +548,7 @@ QUERIES = {
     "q_stream_hopping": q_stream_hopping,
     "q_stream_interval_join": q_stream_interval_join,
     "q_stream_interval_join_outer": q_stream_interval_join_outer,
+    "q_stream_interval_join_full": q_stream_interval_join_full,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_distinct": q_stream_distinct,
     "q_stream_cdc": q_stream_cdc,
@@ -732,6 +763,51 @@ ORACLES: dict[str, str] = {
           AND NOT EXISTS (
             SELECT 1 FROM v
             WHERE v.user_id = p.user_id
+              AND v.ep <= p.ep AND v.ep >= p.ep - 3600)
+    """,
+    # FULL OUTER closure: inner matches + left nulls below wm +
+    # right nulls below wm - lookback (a view can still match
+    # purchases up to v.ts + 1h, so its eviction waits that long).
+    "q_stream_interval_join_full": """
+        WITH wm AS (
+          SELECT LEAST(
+            (SELECT MAX(CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT))
+             FROM events WHERE event_type = 'purchase'),
+            (SELECT MAX(CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT))
+             FROM events WHERE event_type = 'view')
+          ) - 7200 AS w
+        ), p AS (
+          SELECT user_id, event_id,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events WHERE event_type = 'purchase'
+        ), v AS (
+          SELECT user_id, event_id,
+                 CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT) AS ep
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT p.user_id, p.event_id AS l_event_id,
+               v.event_id AS r_event_id,
+               p.ep AS l_epoch, v.ep AS r_epoch
+        FROM p JOIN v
+          ON p.user_id = v.user_id
+         AND v.ep <= p.ep AND v.ep >= p.ep - 3600
+        UNION ALL
+        SELECT p.user_id, p.event_id,
+               CAST(NULL AS BIGINT), p.ep, CAST(NULL AS BIGINT)
+        FROM p, wm
+        WHERE p.ep < wm.w
+          AND NOT EXISTS (
+            SELECT 1 FROM v
+            WHERE v.user_id = p.user_id
+              AND v.ep <= p.ep AND v.ep >= p.ep - 3600)
+        UNION ALL
+        SELECT v.user_id, CAST(NULL AS BIGINT),
+               v.event_id, CAST(NULL AS BIGINT), v.ep
+        FROM v, wm
+        WHERE v.ep < wm.w - 3600
+          AND NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
               AND v.ep <= p.ep AND v.ep >= p.ep - 3600)
     """,
     # Stateful sessionize: a single-batch drain emits exactly one

@@ -223,8 +223,13 @@ def stream_interval_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.expr(f"l_ts - {lookback}"))
     )
+    # coalesce the key across sides: a FULL-outer right-null row has
+    # no left attributes, and projecting only the left's key would
+    # emit NULL keys for perfectly-keyed right rows
     return l.join(r, cond, how).select(
-        key, "l_event_id", "r_event_id",
+        F.coalesce(F.col(key), F.col("__rk")).alias(key),
+        "l_event_id",
+        "r_event_id",
         F.unix_timestamp("l_ts").cast("bigint").alias("l_epoch"),
         F.unix_timestamp("r_ts").cast("bigint").alias("r_epoch"),
     )
