@@ -38,7 +38,14 @@ def test_exchange_counts_pinned(spark, sf_dir):
     here is not necessarily a bug — a deliberate plan improvement
     updates the pin — but an ACCIDENTAL extra shuffle in a refactor
     is exactly what this catches. Regenerate pins with the snippet in
-    the file's git history / SCALE.md."""
+    the file's git history / SCALE.md.
+
+    The cache is cleared first: earlier tests leave persist()-pinned
+    subtrees (the prefix-sum machinery's layout pins) in the
+    CacheManager, which substitutes InMemoryRelations into fresh
+    plan builds and changes the printed Exchange count — the pins
+    are defined against UNCACHED plans."""
+    spark.catalog.clearCache()
     import json
     import os
 
