@@ -135,3 +135,55 @@ def test_jsonl_shard_writer_abort_leaves_no_output(spark, tmp_path):
         files = os.listdir(out)
         assert "_SUCCESS" not in files
         assert not [f for f in files if f.startswith("part-")]
+
+
+def test_stream_reader_checkpoint_resume_no_dupes(spark, tmp_path):
+    """Exactly-once across restarts, deterministically: run 1 drains
+    a 500-row feed to a parquet sink over a persistent checkpoint;
+    run 2 reopens the SAME checkpoint with the feed grown to 1000 —
+    offsets resume at 500, so the sink ends with exactly one copy of
+    every row (growth-of-a-feed is the real restart scenario; no
+    sleeps, no race on when the stop lands)."""
+    import time
+
+    register(spark)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drain(n):
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("n", n)
+            .option("n_users", 7)
+            .option("batch_rows", 200)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        from pyspark.errors import AnalysisException
+
+        def landed() -> int:
+            try:
+                return spark.read.parquet(out).count()
+            except AnalysisException:
+                return 0  # sink dir not created yet
+
+        deadline = time.time() + 90
+        while landed() < n:
+            assert time.time() < deadline, "drain stalled"
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination()
+
+    drain(500)
+    assert spark.read.parquet(out).count() == 500
+    drain(1000)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1000  # no dupes from the restart
+    got = {tuple(r) for r in rows}
+    assert got == {synth_row(i, 7) for i in range(1000)}
