@@ -174,3 +174,51 @@ def pagerank_micro(
             .localCheckpoint()
         )
     return ranks.select("node", "rank_micro")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    n_iter: int = 4,
+) -> DataFrame:
+    """Exact hop distance (unweighted shortest path) from a SEED set,
+    bounded at ``n_iter`` hops — the graph family's missing member
+    beside PageRank (centrality) and connected components
+    (reachability): "how far is every node from the frontier", the
+    primitive behind crawl-depth audits and influence radii.
+
+    Level-synchronous relaxation, all integers: dist₀ = 0 on seeds;
+    each round dist' (v) = min(dist(v), min over in-neighbors
+    dist(u) + 1). A node's distance only ever DECREASES, and after k
+    rounds every node within k hops holds its exact distance — the
+    textbook Bellman-Ford specialization. Fully oracle-able: the
+    DuckDB twin unrolls the identical recurrence
+    (:func:`fifa_data_pipeline_spark.plans.extended28._bfs_oracle`).
+
+    Direction is the caller's contract: pass both edge orientations
+    for an undirected graph. Per-round ``localCheckpoint`` truncates
+    the growing plan exactly like :func:`pagerank` (swap for a
+    reliable checkpoint on a cluster); each round is one hash join +
+    one min-aggregate, both key-partitioned — nothing quadratic,
+    nothing collected."""
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=False)
+    dist = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("hops")
+    ).localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        relaxed = (
+            dist.join(e, dist["node"] == e["__s"])
+            .select(F.col("__d").alias("node"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("hops").cast("bigint").alias("hops"))

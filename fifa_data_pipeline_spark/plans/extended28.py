@@ -328,6 +328,86 @@ QUERIES["q_stream_python_source"] = q_stream_python_source
 ORACLES["q_stream_python_source"] = None  # set below (shared twin)
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ≤4-hop distances from a seed set over the UNDIRECTED
+    duplicate-fingerprint document graph (the q_recursive_cte edge
+    construction, both orientations) — see
+    :func:`fifa_data_pipeline_spark.operators.graph.bfs_hops`.
+    Seeds = doc_id % 97 == 0. Joins PageRank/TextRank/k-means in the
+    fully value-hash-checked iterative family (integer recurrence,
+    unrolled DuckDB twin)."""
+    from fifa_data_pipeline_spark.operators.graph import bfs_hops
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)
+            )
+        ).alias("fp"),
+    )
+    e = (
+        fp.alias("a")
+        .join(fp.alias("b"), "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+        )
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(und, seeds, n_iter=4)
+
+
+QUERIES["q_bfs_hops"] = q_bfs_hops
+
+
+def _bfs_oracle(n_iter: int = 4) -> str:
+    """Unrolled DuckDB twin of :func:`graph.bfs_hops` over the same
+    fingerprint graph and seed set."""
+    steps = ""
+    prev = "d0"
+    for i in range(1, n_iter + 1):
+        steps += f"""
+        , d{i} AS (
+          SELECT node, MIN(hops) AS hops FROM (
+            SELECT node, hops FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.hops + 1 AS hops
+            FROM {prev} d JOIN und e ON d.node = e.src
+          ) GROUP BY node
+        )"""
+        prev = f"d{i}"
+    return f"""
+      WITH fp AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                 (string_split_regex(trim(text), '\\s+'))[1:8], ' '))
+               AS f
+        FROM documents
+      ), e AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+      ), und AS (
+        SELECT src, dst FROM e
+        UNION ALL SELECT dst, src FROM e
+      ), d0 AS (
+        SELECT doc_id AS node, 0 AS hops FROM documents
+        WHERE doc_id % 97 = 0
+      ){steps}
+      SELECT node, CAST(hops AS BIGINT) AS hops FROM {prev}
+    """
+
+
+ORACLES["q_bfs_hops"] = _bfs_oracle()
+
+
 def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13)
     for the A/B readout beside q_ab_welch / q_bootstrap_ci: per user,

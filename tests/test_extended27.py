@@ -223,3 +223,20 @@ def test_cuped_reduces_variance_and_preserves_means(spark):
         assert r.n_users > 0
         assert abs(r.mean_y_adj - r.mean_y) < 100  # bounded shift
     assert rows[0].theta == rows[1].theta
+
+
+def test_bfs_hops_exact_on_chain(spark):
+    """BFS relaxation == known distances on a chain with a shortcut,
+    and the n_iter bound leaves far nodes unreached."""
+    from fifa_data_pipeline_spark.operators.graph import bfs_hops
+
+    # chain 0-1-2-3-4-5-6 plus shortcut 0-4 (undirected)
+    e = [(i, i + 1) for i in range(6)] + [(0, 4)]
+    edges = spark.createDataFrame(
+        e + [(b, a) for a, b in e], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(edges, seeds, n_iter=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 1, 5: 2, 6: 3}
+    got2 = {r.node: r.hops for r in bfs_hops(edges, seeds, n_iter=1).collect()}
+    assert got2 == {0: 0, 1: 1, 4: 1}
