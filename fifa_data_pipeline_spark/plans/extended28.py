@@ -1,13 +1,22 @@
-"""Round-5 scale-hygiene additions.
+"""Round-5 additions.
 
 Reference scope note: the reference pipeline
-(``prefect/spark/fifa_spark.py``) has no statistics surface; these
-extend the warehouse layer the build brief makes first-class. The
-theme of the round is "exact answers without single-task sorts":
-every query here rides the partition-parallel prefix-sum machinery
-(``relational.grouped_running_sums``) introduced to fix the r4
-rank-window findings, proving it generalizes beyond the
-nonparametric-statistics family it was built for.
+(``prefect/spark/fifa_spark.py``) has no statistics, linkage, or
+connector surface; these extend the layers the build brief makes
+first-class. Three themes:
+
+1. **Exact answers without single-task sorts** — q_exact_quantiles
+   (discrete + interpolated), q_grouped_topk: the partition-parallel
+   prefix-sum machinery (``relational.grouped_running_sums``) built
+   for the r4 rank-window findings, generalized.
+2. **Experimentation & curation analytics** — Fellegi–Sunter record
+   linkage (q_record_linkage), weight-of-evidence/IV (q_woe_iv),
+   CUPED variance reduction (q_cuped), exact BFS hop distance over
+   the dedup graph (q_bfs_hops, unrolled-recurrence twin).
+3. **Connector round-trips** — the Spark-4 Python DataSource feed,
+   batch (q_python_datasource) and streaming
+   (q_stream_python_source), both value-hash-checked because the
+   deterministic generator regenerates in DuckDB from ``range(n)``.
 """
 
 from __future__ import annotations
