@@ -152,18 +152,29 @@ def delete_subjects(
         for b in emptied:
             p = jvm.org.apache.hadoop.fs.Path(f"{path}/__bucket={b}")
             fs = p.getFileSystem(conf)
-            if fs.exists(p):
-                fs.delete(p, True)
+            # fs.delete returns False on failure without raising —
+            # unchecked, a silently surviving directory is exactly
+            # what the post-verify below must catch (ADVICE r5).
+            if fs.exists(p) and not fs.delete(p, True):
+                raise RuntimeError(
+                    f"delete_subjects: failed to remove emptied "
+                    f"partition directory {path}/__bucket={b}"
+                )
     # Post-verify: the operator's contract is "the data is gone";
     # fail loudly rather than return success over surviving rows.
-    # When EVERY bucket was emptied (all rows belonged to victim
-    # keys) the directory holds no data files and the read would
-    # raise "unable to infer schema" — that's total deletion, i.e.
-    # success, not a failure to verify (ADVICE r4).
-    if not surviving:
-        return len(buckets)
+    # The verify runs even when every TOUCHED bucket emptied —
+    # untouched buckets can still hold data files that keep the path
+    # readable (ADVICE r5). Only a whole-dataset-empty read (schema
+    # inference fails: no parquet files left anywhere) is success by
+    # construction — total deletion.
+    try:
+        remaining_df = spark.read.parquet(path)
+    except Exception as exc:  # noqa: BLE001 — AnalysisException variants
+        if "infer schema" in str(exc) or "PATH_NOT_FOUND" in str(exc):
+            return len(buckets)
+        raise
     remaining = (
-        spark.read.parquet(path)
+        remaining_df
         .join(key_df, F.col(key_col) == F.col("__del_key"), "left_semi")
         .limit(1)
         .count()

@@ -34,6 +34,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: u-probability clamp bound: keeps ln(m/u) and ln((1-m)/(1-u)) finite
+#: when a field has zero (u=0) or total (u=1) cross-frame agreement.
+#: SQL twins must use the same literal (GREATEST(LEAST(u, 1-1e-12), 1e-12)).
+_U_EPS = 1e-12
+
 
 def field_u_probability(
     a: DataFrame, b: DataFrame, col: str
@@ -115,7 +120,17 @@ def fs_link(
             & F.col(f"__b_{col}").isNotNull()
             & (F.col(f"__a_{col}") == F.col(f"__b_{col}"))
         )
-        u = F.col(f"__u_{col}")
+        # Clamp u into (eps, 1-eps): a field with zero cross-frame
+        # value overlap gives u = 0 (log -> NULL under non-ANSI, error
+        # under ANSI; +inf in DuckDB), and a constant field gives
+        # u = 1, breaking the disagreement term symmetrically. The
+        # clamp caps the evidence at ~27.6 nats instead of diverging;
+        # the SQL twins apply the identical GREATEST/LEAST fold so the
+        # engines stay bit-equal.
+        u = F.greatest(
+            F.least(F.col(f"__u_{col}"), F.lit(1.0 - _U_EPS)),
+            F.lit(_U_EPS),
+        )
         term = F.when(agree, F.log(F.lit(m) / u)).otherwise(
             F.log((1.0 - F.lit(m)) / (1.0 - u))
         )

@@ -930,10 +930,13 @@ def assign_dense_ids(
     split ties across partitions, which would make ids of tied rows
     depend on placement.
 
-    Lifecycle: the pin stays cached until the caller materializes the
-    result and calls ``spark.catalog.clearCache()`` (or unpersists) —
-    unpersisting before the final action would recompute the layout
-    and break id/offset agreement.
+    Lifecycle: the pin is a ``localCheckpoint`` (not ``persist``), so
+    it never enters the CacheManager — no plan-substitution leakage
+    into later queries, no clearCache() bookkeeping — and its blocks
+    are released by the ContextCleaner once the returned frame goes
+    out of scope. Unpinning before the final action would recompute
+    the layout and break id/offset agreement; the checkpoint makes
+    that impossible by construction (both passes read the same RDD).
     """
     if num_partitions is None:
         # scale with the cluster, not a constant: 2× the scheduler's
@@ -946,11 +949,13 @@ def assign_dense_ids(
     # would otherwise evaluate the range shuffle twice, and AQE may
     # coalesce its partitions DIFFERENTLY per evaluation (the two
     # queries have different shapes) — shifting every (pid, local)
-    # pair between the offset map and the output. At cluster scale
-    # swap persist() for a checkpoint/stable-storage materialization.
+    # pair between the offset map and the output. localCheckpoint
+    # (lazy) pins one evaluation as an RDD both passes share, without
+    # the CacheManager entry a persist() would leave behind; on a
+    # real cluster swap for reliable checkpoint/stable storage.
     with_mid = part.withColumn(
         "__mid", F.monotonically_increasing_id()
-    ).persist()
+    ).localCheckpoint(eager=False)
     with_pid = with_mid.withColumn(
         "__pid", F.shiftrightunsigned("__mid", 33).cast("long")
     ).withColumn(
@@ -996,9 +1001,9 @@ def grouped_running_sums(
 
     1. ``repartitionByRange`` on (group, order) — one range shuffle;
        sampling-based bounds are deterministic for a fixed input —
-       then pin the partition assignment (``persist``; swap for a
-       checkpoint on a real cluster) so the offsets pass and the
-       output pass see the SAME split.
+       then pin the partition assignment (lazy ``localCheckpoint``;
+       swap for a reliable checkpoint on a real cluster) so the
+       offsets pass and the output pass see the SAME split.
     2. Running sums WITHIN each physical partition via
        ``Window.partitionBy(__pid, *group)`` — parallelism scales
        with ``num_partitions``, not with the number of groups.
@@ -1026,9 +1031,15 @@ def grouped_running_sums(
     part = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in keys]
     )
+    # Lazy localCheckpoint, not persist(): pins one evaluation of the
+    # range shuffle (offsets pass and output pass read the SAME RDD)
+    # without a CacheManager entry — persist() here leaked cached
+    # partitions across the 289-query bench/driver run and substituted
+    # itself into unrelated plans (ADVICE r5). ContextCleaner frees
+    # the blocks when the frame goes out of scope.
     pinned = part.withColumn(
         "__pid", F.spark_partition_id().cast("long")
-    ).persist()
+    ).localCheckpoint(eager=False)
     wloc = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy(*order_cols)

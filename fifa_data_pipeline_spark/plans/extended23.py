@@ -302,7 +302,7 @@ ORACLES = {
         ORDER BY o_orderdate, o_orderkey
         LIMIT 50 OFFSET 200
     """,
-    "q_canon_dedup": """
+    "q_canon_dedup": r"""
         SELECT source, COUNT(*) AS n_docs,
                COUNT(DISTINCT trim(regexp_replace(lower(text),
                      '\s+', ' ', 'g'))) AS n_canonical

@@ -192,13 +192,18 @@ ORACLES["q_record_linkage"] = """
       SELECT (SELECT COUNT(*) FROM a) AS ta,
              (SELECT COUNT(*) FROM b) AS tb
     ), us AS (
+      -- GREATEST/LEAST clamp matches linkage._U_EPS: u=0 (no value
+      -- overlap) or u=1 (constant field) must stay finite in LN.
       SELECT
-        CAST(COALESCE((SELECT hits FROM u_name), 0) AS DOUBLE)
-          / (CAST(ta AS DOUBLE) * tb) AS u_name,
-        CAST(COALESCE((SELECT hits FROM u_segment), 0) AS DOUBLE)
-          / (CAST(ta AS DOUBLE) * tb) AS u_segment,
-        CAST(COALESCE((SELECT hits FROM u_bal), 0) AS DOUBLE)
-          / (CAST(ta AS DOUBLE) * tb) AS u_bal
+        GREATEST(LEAST(
+          CAST(COALESCE((SELECT hits FROM u_name), 0) AS DOUBLE)
+            / (CAST(ta AS DOUBLE) * tb), 1 - 1e-12), 1e-12) AS u_name,
+        GREATEST(LEAST(
+          CAST(COALESCE((SELECT hits FROM u_segment), 0) AS DOUBLE)
+            / (CAST(ta AS DOUBLE) * tb), 1 - 1e-12), 1e-12) AS u_segment,
+        GREATEST(LEAST(
+          CAST(COALESCE((SELECT hits FROM u_bal), 0) AS DOUBLE)
+            / (CAST(ta AS DOUBLE) * tb), 1 - 1e-12), 1e-12) AS u_bal
       FROM tots
     ), pairs AS (
       SELECT

@@ -234,9 +234,11 @@ _TYPES = ("click", "view", "purchase", "signup", "error")
 def synth_row(i: int, n_users: int) -> tuple:
     """Row ``i`` of the oracled feed — shared by the partition
     reader, the stream reader, and the unit tests; the DuckDB twin
-    inlines the same expressions. The modulus stays below 2^53 so
-    the arithmetic is exact even in engines that route integers
-    through doubles."""
+    inlines the same expressions. The modulus is 2^53 + 1, so ``h``
+    ranges over [0, 2^53] — every value exactly representable as a
+    double (2^53 itself included), keeping the arithmetic exact even
+    in engines that route integers through doubles. (Do NOT read
+    this as "h < 2^53": the bound is inclusive.)"""
     h = (i * _MIX) % 9007199254740993
     return (
         i,
@@ -355,9 +357,28 @@ class JsonlShardWriter(DataSourceWriter):
         return _ShardCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        import glob
         import json
         import os
 
+        # A prior committed write may have left more part files than this
+        # job produced (re-run with fewer partitions, or overwrite mode):
+        # renaming only the low-indexed shards would leave stale
+        # higher-index shards beside a _SUCCESS that counts only the new
+        # rows, breaking the all-or-nothing contract. Clear committed
+        # output first in overwrite mode; refuse to mix otherwise.
+        existing = glob.glob(os.path.join(self.path, "part-*.jsonl"))
+        success = os.path.join(self.path, "_SUCCESS")
+        if existing or os.path.exists(success):
+            if not self.overwrite:
+                raise FileExistsError(
+                    f"jsonl_shards: {self.path} already holds committed "
+                    "shards; use mode('overwrite') to replace them"
+                )
+            if os.path.exists(success):
+                os.unlink(success)
+            for stale in existing:
+                os.unlink(stale)
         total = 0
         for idx, m in enumerate(sorted(
             (m for m in messages if m is not None),
@@ -366,7 +387,7 @@ class JsonlShardWriter(DataSourceWriter):
             final = os.path.join(self.path, f"part-{idx:05d}.jsonl")
             os.replace(m.tmp_path, final)
             total += m.n_rows
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+        with open(success, "w") as fh:
             json.dump({"rows": total}, fh)
 
     def abort(self, messages) -> None:

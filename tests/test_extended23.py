@@ -121,10 +121,13 @@ def test_dense_ids_are_gapfree_and_windowless(spark, sf_dir):
     # ids follow the key order
     by_key = sorted(rows, key=lambda r: r.o_orderkey)
     assert [r.row_id for r in by_key] == ids
-    # the whole point: no global-sort window (1-task collapse)
+    # the whole point: no global-sort window (1-task collapse); the
+    # range shuffle now lives BEHIND the lazy localCheckpoint pin, so
+    # the visible plan scans the pinned RDD instead of showing
+    # rangepartitioning directly
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
-    assert "rangepartitioning" in plan
+    assert "ExistingRDD" in plan
 
 
 def test_table_checksum_order_insensitive_and_sensitive(spark):

@@ -68,3 +68,21 @@ def test_fs_link_blocking_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     rows = out.count()
     assert rows == 3 * 10 * 10  # within-block pairs only
+
+
+def test_fs_link_zero_overlap_field_stays_finite(spark):
+    """A field with ZERO cross-frame value overlap gives u = 0; the
+    eps clamp must keep ln(m/u) finite (not NULL under non-ANSI /
+    an error under ANSI) and the decision well-defined (ADVICE r5)."""
+    a = spark.createDataFrame(
+        [(1, "alice", "b0"), (2, "bob", "b0")], ["rid", "name", "blk"]
+    )
+    b = spark.createDataFrame(
+        [(11, "carol", "b0"), (12, "dave", "b0")], ["rid", "name", "blk"]
+    )
+    out = fs_link(a, b, "rid", "rid", "blk", [("name", 0.9)]).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.weight is not None
+        assert math.isfinite(r.weight)
+        assert r.decision in ("match", "possible", "non_match")

@@ -187,3 +187,48 @@ def test_stream_reader_checkpoint_resume_no_dupes(spark, tmp_path):
     assert len(rows) == 1000  # no dupes from the restart
     got = {tuple(r) for r in rows}
     assert got == {synth_row(i, 7) for i in range(1000)}
+
+
+def test_jsonl_shard_writer_overwrite_clears_stale_shards(spark, tmp_path):
+    """Re-writing the same path with FEWER partitions in overwrite
+    mode must not leave stale higher-index shards beside a _SUCCESS
+    that counts only the new rows (ADVICE r5): the second commit
+    clears committed output first, so readers see exactly the new
+    job's rows."""
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "shards")
+    _read(spark, n=400, n_users=5, partitions=8).write.format(
+        "jsonl_shards"
+    ).option("path", out).mode("append").save()
+    assert len([f for f in os.listdir(out) if f.startswith("part-")]) == 8
+    _read(spark, n=100, n_users=5, partitions=2).write.format(
+        "jsonl_shards"
+    ).option("path", out).mode("overwrite").save()
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 2
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["rows"] == 100
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 100
+
+
+def test_jsonl_shard_writer_append_to_committed_path_refuses(
+    spark, tmp_path
+):
+    """Append mode over an already-committed directory would mix two
+    jobs' shards under one manifest — refuse loudly instead."""
+    import pytest
+
+    register(spark)
+    out = str(tmp_path / "shards")
+    df = _read(spark, n=50, partitions=2)
+    df.write.format("jsonl_shards").option("path", out).mode(
+        "append"
+    ).save()
+    with pytest.raises(Exception, match="[Cc]ommitted|FileExists"):
+        df.write.format("jsonl_shards").option("path", out).mode(
+            "append"
+        ).save()
