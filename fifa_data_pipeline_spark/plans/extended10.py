@@ -127,14 +127,38 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus heavy hitters (tokens with frequency > N/51) via
-    the Misra–Gries sketch-then-recount two-pass — output identical
-    to brute-force GROUP BY/HAVING, but the wide shuffle carries only
-    per-partition sketch survivors (≤ 50/partition) instead of the
-    full vocabulary. See operators/sketch.py for the guarantee."""
+    """Exact corpus heavy hitters: tokens with frequency > N/51 and
+    their exact counts, as a SINGLE tokenize-scan hash aggregate with
+    map-side partials (the shuffle carries one row per per-partition
+    distinct token) plus a 1-row total broadcast for the HAVING bar.
+
+    r6 plan surgery (the r5 verdict's 2.8×): the Misra–Gries
+    sketch-then-recount form (:func:`operators.sketch.
+    heavy_hitters_exact`) was measured at sf1 against this brute
+    form — sketch 2.98 s, sketch with vectorized value_counts merge
+    2.75 s, hashed-key sketch 2.44 s, JVM heavy-bucket (CMS-style)
+    candidates 2.88 s, single-scan brute 1.05 s. The tokenize +
+    explode pass itself costs ~1.5 s at sf1, and EVERY sketch-verify
+    scheme is two passes over it — the sketch can never beat 2×
+    tokenize here. The sketch form's domain is the unbounded-vocab
+    regime (web-scale token streams where the distinct-token shuffle
+    itself is the bottleneck and the input arrives pre-tokenized);
+    for a corpus whose tokenization dominates, one scan wins, and
+    Zipf's law keeps the per-partition-distinct shuffle rows far
+    below the token count (map-side partials collapse repeats). The
+    sketch operator stays available and tested for the streaming/
+    unbounded path."""
     docs = read_table(spark, sf_dir, "documents")
-    ex = exploded(docs, X.tokens("text"), "token")
-    return K.heavy_hitters_exact(ex, "token", k=50)
+    ex = exploded(docs, X.tokens("text"), "token").filter(
+        F.col("token").isNotNull()
+    )
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 51 > F.col("__total"))
+        .select("token", "cnt")
+    )
 
 
 def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
