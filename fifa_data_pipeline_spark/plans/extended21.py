@@ -49,23 +49,31 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     document bigram against the BROADCAST model (measured faster
     than the AQE shuffle join at sf1: the model is vocabulary-sized),
     so the corpus crosses one shuffle (the per-doc mean). Bigrams are
-    built with zip_with over adjacent slices — no self-join on
-    position — and the narrow (doc, w1, w2) frame is lazily
-    checkpointed: it feeds BOTH the model aggregate and the scoring
-    join, and without the pin the tokenize+explode pipeline runs
-    twice (measured 5.5 s → 4.0 s at sf1; same idiom as
-    winnow_pairs). On a cluster swap localCheckpoint for a reliable
-    checkpoint.
+    built with NATIVE ``arrays_zip(t, slice(t, 2, …))`` — no lambda:
+    the r5 ``zip_with(..., (a, b) -> struct(...))`` form ran its
+    struct build interpreted per element (the r6 PMI A/B measured the
+    native zip at 2.4× less for the identical pair stream). The
+    narrow (doc, w1, w2) frame is lazily checkpointed: it feeds BOTH
+    the model aggregate and the scoring join, and without the pin the
+    tokenize+explode pipeline runs twice (measured 5.5 s → 4.0 s at
+    sf1; same idiom as winnow_pairs). On a cluster swap
+    localCheckpoint for a reliable checkpoint.
     """
     docs = read_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("t"))
     bigram_arr = F.expr(
-        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), "
-        "(a, b) -> struct(a AS w1, b AS w2))"
+        "arrays_zip(t, slice(t, 2, greatest(size(t) - 1, 0)))"
     )
-    bg = exploded(toked, bigram_arr, "bg", keep=["doc_id"]).select(
-        "doc_id", "bg.w1", "bg.w2"
-    ).localCheckpoint(eager=False)
+    bg = (
+        exploded(toked, bigram_arr, "bg", keep=["doc_id"])
+        .select(
+            "doc_id",
+            F.col("bg.t").alias("w1"),
+            F.col("bg.1").alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = ctx.agg(F.count(F.lit(1)).alias("v"))
