@@ -83,7 +83,7 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts), one aggregate."""
     docs = read_table(spark, sf_dir, "documents")
     prefix = F.concat_ws(
-        " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)
+        " ", F.slice(F.split(F.trim("text"), r"\s+", 9), 1, 8)
     )
     fp = docs.select("source", F.md5(prefix).alias("fp")).distinct()
     a = fp.select(F.col("source").alias("src_a"), "fp")
@@ -265,7 +265,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair edge set."""
     docs = read_table(spark, sf_dir, "documents")
     prefix = F.concat_ws(
-        " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)
+        " ", F.slice(F.split(F.trim("text"), r"\s+", 9), 1, 8)
     )
     fps = docs.select("doc_id", F.md5(prefix).alias("fp")).distinct()
     fa = fps.select(F.col("doc_id").alias("id_a"), "fp")

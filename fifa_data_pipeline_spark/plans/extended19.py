@@ -32,7 +32,7 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(Σ group²) over duplicate families only."""
     docs = read_table(spark, sf_dir, "documents")
     prefix = F.concat_ws(
-        " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, FP_TOKENS)
+        " ", F.slice(F.split(F.trim("text"), r"\s+", FP_TOKENS + 1), 1, FP_TOKENS)
     )
     fps = docs.select("doc_id", F.md5(prefix).alias("fp")).distinct()
     fa = fps.select(F.col("doc_id").alias("id_a"), "fp")

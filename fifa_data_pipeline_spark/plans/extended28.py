@@ -357,7 +357,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(
             F.concat_ws(
-                " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)
+                " ", F.slice(F.split(F.trim("text"), r"\s+", 9), 1, 8)
             )
         ).alias("fp"),
     )
