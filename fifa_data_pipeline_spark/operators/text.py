@@ -185,6 +185,31 @@ def position_ngrams(arr: Column | str, w: int) -> Column:
     )
 
 
+def position_gram_hashes(arr: Column | str, w: int) -> Column:
+    """64-bit hashes of the positional w-grams of a token-array
+    column — ``xxhash64`` over each w-token SLICE, never building the
+    gram string at all (no ``concat_ws`` char copies, no 32-char md5
+    hex): the idiom :mod:`operators.dedup` measured ~28% off its
+    explode stage. Use when only gram IDENTITY matters (joins,
+    distinct-counts); :func:`position_ngrams` when the gram text is
+    part of the output. Same let-binding discipline (the source array
+    expression evaluates once, not per position)."""
+    arr = F.col(arr) if isinstance(arr, str) else arr
+    return F.element_at(
+        F.transform(
+            F.array(arr),
+            lambda t: F.when(
+                F.size(t) >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - w + 1),
+                    lambda i: F.xxhash64(F.slice(t, i, w)),
+                ),
+            ).otherwise(F.expr("array()").cast("array<bigint>")),
+        ),
+        1,
+    )
+
+
 def shingles(text_col: str, k: int = 3) -> Column:
     """Distinct word k-gram shingles of a text column — the unit set
     for Jaccard similarity and MinHash. Documents shorter than k
@@ -372,8 +397,12 @@ def decontaminate(
     hash set — eval suites are tiny relative to a 100 TB corpus — and
     is broadcast, so the corpus side is one scan + one map-side hash
     join + one groupBy(id) shuffle of only the HIT rows. Grams are
-    md5-hashed before the join so the join key is a fixed-width
-    string rather than n words of text.
+    represented ONLY as :func:`position_gram_hashes` 64-bit slice
+    hashes (r6 — previously concat_ws gram strings md5-folded to
+    32-char hex): the gram text never materializes, and the join key
+    is an 8-byte long. Gram identity via hash is exact up to xxhash64
+    collisions (~2⁻⁶⁴ per pair), which cannot flip the ≥1-hit
+    contamination verdict in practice.
 
     Plan hygiene (measured 12× at sf0.1): tokens are projected to a
     named column BEFORE the gram transform (higher-order lambdas get
@@ -387,7 +416,7 @@ def decontaminate(
         return toked.select(
             F.col(id_col),
             F.array_distinct(
-                ngrams_of_tokens(F.col("__toks"), n)
+                position_gram_hashes(F.col("__toks"), n)
             ).alias("__grams"),
         )
 
@@ -402,12 +431,12 @@ def decontaminate(
     corpus_grams = exploded(
         cg,
         "__grams",
-        "__g",
+        "__gh",
         keep=[id_col, F.size("__grams").cast("bigint").alias("n_grams")],
-    ).select(id_col, "n_grams", F.md5("__g").alias("__gh"))
+    ).select(id_col, "n_grams", "__gh")
     bench_grams = (
-        exploded(grams_of(benchmark), "__grams", "__g")
-        .select(F.md5("__g").alias("__gh"))
+        exploded(grams_of(benchmark), "__grams", "__gh")
+        .select("__gh")
         .distinct()
     )
     return (
