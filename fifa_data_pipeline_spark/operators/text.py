@@ -823,16 +823,46 @@ def dsir_scores(
     table shuffles once on (doc, bucket); at 100 TB the bucket
     distributions are a metadata-sized side input, exactly the
     streaming-friendly structure the paper exploits."""
-    base = df.select(
+    # Bigram pairs via NATIVE arrays_zip over a shifted slice (r6):
+    # the gram string concat and its md5 fold then run at ROW level
+    # inside whole-stage codegen instead of inside an interpreted
+    # per-position lambda (same rewrite as q_pmi_bigrams — the r5
+    # position_ngrams form was the 2.1× residual). The md5-fold
+    # bucket is part of the oracle contract, so only WHERE the
+    # string is built moves, not what is hashed.
+    toked = df.select(
         F.col(id_col),
         F.col(target_col).alias("__t"),
-        F.explode(position_ngrams(tokens(text_col), 2)).alias("__g"),
-    ).withColumn(
-        "__b",
-        F.pmod(
-            F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("bigint"),
-            F.lit(n_buckets),
-        ),
+        tokens(text_col).alias("__toks"),
+    )
+    base = (
+        toked.select(
+            F.col(id_col),
+            "__t",
+            F.explode(
+                F.expr(
+                    "arrays_zip(__toks,"
+                    " slice(__toks, 2, greatest(size(__toks) - 1, 0)))"
+                )
+            ).alias("__p"),
+        )
+        .filter(F.col("__p.1").isNotNull())
+        .select(
+            F.col(id_col),
+            "__t",
+            F.concat_ws(" ", F.col("__p.__toks"), F.col("__p.1")).alias(
+                "__g"
+            ),
+        )
+        .withColumn(
+            "__b",
+            F.pmod(
+                F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+                F.lit(n_buckets),
+            ),
+        )
     )
     # ONE pass over the md5 explode: per-(doc, bucket) counts carry
     # the doc's target flag, and the per-bucket distributions are a
