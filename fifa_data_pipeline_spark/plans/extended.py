@@ -210,7 +210,9 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL++ approx_count_distinct (mergeable sketch, no expand phase)
     and approx percentiles (Greenwald-Khanna summaries). Rows-only:
     approximate values have no exact oracle; accuracy bounds vs the
-    exact aggregates are asserted in tests."""
+    exact aggregates are asserted in tests. The exact semantics are
+    hash-pinned by the twin ``q_agg_distinct`` (driver-windowed r6)
+    over the same table and grouping."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),

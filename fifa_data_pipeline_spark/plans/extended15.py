@@ -115,7 +115,10 @@ def q_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-then-prune over embeddings (rows-only: the
     k-means cell boundaries aren't SQL-expressible; pytest verifies
-    the keep/drop invariants against numpy)."""
+    the keep/drop invariants against numpy). The clustering kernel
+    itself is hash-pinned by ``q_kmeans_exact`` (driver-green r5,
+    integer-exact fixed-iteration twin), and the cosine pruning by
+    ``q_knn_exact`` (driver-green r1-r3)."""
     emb = read_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.5, n_clusters=8)
 

@@ -351,7 +351,10 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side eigh → map-only literal-fold projection. Rows-only
     (the components come from an eigendecomposition, not SQL); the
     numpy-equality test pins values, and ordering by vec_id keeps
-    the driver's row-count/schema check deterministic."""
+    the driver's row-count/schema check deterministic. The Gram/
+    second-moment machinery underneath is hash-pinned by
+    ``q_corr_matrix`` (oracled; r7 window), which computes the same
+    moment sums with a DuckDB twin."""
     emb = read_table(spark, sf_dir, "embeddings")
     from fifa_data_pipeline_spark.operators.vector import pca_project
 

@@ -210,7 +210,9 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unions instead of a 30-day re-scan. Estimates are
     Apache-DataSketches-specific → rows-only check; the error-bound
     test pins estimates within 5% of exact (spec: ~0.8% rse at
-    lgConfigK=12)."""
+    lgConfigK=12), and the exact distinct semantics being
+    approximated are hash-pinned by ``q_agg_distinct``
+    (driver-windowed r6) on the same tables."""
     orders = read_table(spark, sf_dir, "orders")
     sk = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("__sk")

@@ -67,7 +67,10 @@ def purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the purchase graph, 10 power iterations —
     suppliers accumulate rank through their parts' buyers. Rounded
-    to 6 dp for cross-run stability of the rows-only hash."""
+    to 6 dp for cross-run stability of the rows-only hash. The
+    iteration kernel's exact semantics are hash-pinned by
+    ``q_pagerank_exact`` (driver-green r5: integer pico-unit ranks,
+    unrolled-CTE DuckDB twin, bit-equal)."""
     ranks = pagerank(purchase_graph(spark, sf_dir), n_iter=10)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 

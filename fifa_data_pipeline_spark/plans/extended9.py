@@ -188,7 +188,9 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 10 BPE merges learned from the document corpus
     (rows-only: iterative argmax training is not SQL-expressible;
     pinned by a pure-Python reference-implementation equality test in
-    tests/test_extended9.py)."""
+    tests/test_extended9.py). The tokenizer applying these merges is
+    hash-pinned end-to-end by ``q_bpe_tokens`` (driver-windowed r6),
+    whose oracle replays the same merge table in SQL."""
     docs = read_table(spark, sf_dir, "documents")
     return X.bpe_train(docs, "text", num_merges=10)
 

@@ -279,6 +279,11 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) ANN — rows-only by design: probe-set
+    membership depends on the trained KMeans cells. The exact-kNN
+    semantics it approximates are hash-pinned by its exact twin
+    ``q_knn_exact`` (driver-green r1-r3); recall vs that twin is
+    asserted in tests."""
     emb = read_table(spark, sf_dir, "embeddings")
     return V.knn_ivf(emb, _qset(emb), "vec_id", "embedding", k=10)
 

@@ -284,7 +284,9 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(KB)/window instead of per-id sets; hash-deterministic, so the
     batch twin computes the identical estimate and
     test_streaming.py::test_stream_distinct_matches_batch pins
-    equality)."""
+    equality). The EXACT windowed-distinct semantics are hash-pinned
+    by ``q_stream_distinct_exact`` (driver-green r5: dedup-then-count
+    drain with a closed-form SQL oracle)."""
     src = _land_events(spark, sf_dir)
     schema = spark.read.parquet(src).schema
     stream = S.read_event_stream(spark, src, schema)
@@ -404,7 +406,10 @@ def q_stream_neardedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the persisted band table of previously-accepted
     docs; the accepted corpus is returned. Representative-anchored
     semantics (see stream_events.stream_near_dedup); invariants
-    pinned in test_streaming.py."""
+    pinned in test_streaming.py, and the batch MinHash+LSH kernel it
+    replays incrementally is hash-pinned by ``q_near_dedup`` /
+    ``q_minhash_pairs`` (driver-green r2-r3) plus the replay-
+    idempotence restart test."""
     import tempfile as _tf
 
     from pyspark.sql import functions as F
