@@ -98,15 +98,22 @@ def test_hhi_broadcasts_both_dims(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_heavy_hitters_final_stage_reads_checkpointed_counts(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "q_heavy_hitters")
-    # the fused recount is localCheckpoint-ed (lineage truncated →
-    # the final plan reads the tiny materialized counts, not the
-    # corpus): no parquet rescan can appear above the checkpoint,
-    # and the total-N side rides a broadcast into the final filter
-    assert "documents.parquet" not in plan
-    assert "Scan ExistingRDD" in plan
+def test_heavy_hitters_single_scan_shape(spark, sf_dir):
+    # r6 shape: ONE tokenize scan feeding a hash aggregate (the r5
+    # sketch-then-recount two-pass paid tokenize twice — see the
+    # query docstring's A/B). The total-N side shares the counts
+    # aggregate's exchange, so the FINALIZED adaptive plan must show
+    # a ReusedExchange instead of a second corpus scan, a broadcast
+    # into the HAVING filter, and no Python-worker stage (the MG
+    # sketch's mapInPandas) anywhere.
+    df = QUERIES["q_heavy_hitters"](spark, sf_dir)
+    df.collect()  # finalize AQE so exchange reuse is visible
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
     assert "BroadcastExchange" in plan
+    assert "MapInPandas" not in plan
+    assert "Cartesian" not in plan
 
 
 def test_pit_join_is_equi_join_not_nested_loop(spark, sf_dir):
