@@ -125,27 +125,27 @@ def _linkage_sides(spark: SparkSession, sf_dir: str):
 
 
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter probabilistic record linkage over blocked
-    candidate pairs — see
-    :mod:`fifa_data_pipeline_spark.operators.linkage`. m-probabilities
-    are fixed constants; u-probabilities are exact value-frequency
-    estimates from the data. Aggregated to the decision × agreement
-    pattern grain (the linkage quality report) so the result is
-    compact at any scale."""
-    from fifa_data_pipeline_spark.operators.linkage import fs_link
+    """Fellegi–Sunter probabilistic record linkage quality report —
+    see :mod:`fifa_data_pipeline_spark.operators.linkage`.
+    m-probabilities are fixed constants; u-probabilities are exact
+    value-frequency estimates from the data. Reported at the
+    decision × agreement-pattern grain, computed by
+    :func:`linkage.fs_pattern_report`'s inclusion–exclusion count
+    algebra — the candidate PAIRS are never materialized (r6: the
+    per-pair fs_link + groupBy form ran 8.8 s at sf1 against the
+    oracle's 1.4 s because Σ block² pair fan-out is quadratic in
+    block size; the value-grain form is 2.5 s and O(records),
+    identical output). The per-pair :func:`linkage.fs_link` remains
+    the operator for workloads that need the pair-level decisions."""
+    from fifa_data_pipeline_spark.operators.linkage import (
+        fs_pattern_report,
+    )
 
     a, b = _linkage_sides(spark, sf_dir)
-    pairs = fs_link(
-        a, b, "rid", "rid", "blk",
+    return fs_pattern_report(
+        a, b, "blk",
         [("name", 0.95), ("segment", 0.9), ("bal", 0.99)],
         lower=0.0, upper=4.0,
-    )
-    return pairs.groupBy(
-        "decision", "agree_name", "agree_segment", "agree_bal"
-    ).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.min("weight"), 6).alias("min_weight"),
-        F.round(F.max("weight"), 6).alias("max_weight"),
     )
 
 

@@ -86,3 +86,38 @@ def test_fs_link_zero_overlap_field_stays_finite(spark):
         assert r.weight is not None
         assert math.isfinite(r.weight)
         assert r.decision in ("match", "possible", "non_match")
+
+
+def test_fs_pattern_report_matches_pairwise_rollup(spark):
+    """The inclusion-exclusion pattern report must equal the per-pair
+    fs_link aggregated to the same grain — including NULL fields
+    (never agree) and duplicate values within a block."""
+    from fifa_data_pipeline_spark.operators.linkage import (
+        fs_pattern_report,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", "s1", "b0"), (2, "y", None, "b0"),
+         (3, "x", "s2", "b0"), (4, "z", "s1", "b1"),
+         (5, "z", "s1", "b1")],
+        ["rid", "name", "seg", "blk"],
+    )
+    b = spark.createDataFrame(
+        [(11, "x", "s1", "b0"), (12, "y", "s2", "b0"),
+         (13, None, "s1", "b1"), (14, "z", "s1", "b1")],
+        ["rid", "name", "seg", "blk"],
+    )
+    fields = [("name", 0.9), ("seg", 0.8)]
+    per_pair = (
+        fs_link(a, b, "rid", "rid", "blk", fields)
+        .groupBy("decision", "agree_name", "agree_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("weight"), 6).alias("min_weight"),
+            F.round(F.max("weight"), 6).alias("max_weight"),
+        )
+    )
+    report = fs_pattern_report(a, b, "blk", fields)
+    got = sorted(map(tuple, report.collect()))
+    want = sorted(map(tuple, per_pair.collect()))
+    assert got == want
