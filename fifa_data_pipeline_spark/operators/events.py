@@ -276,6 +276,7 @@ def ewma(
     value_col: str = "value",
     alpha: float = 0.3,
     lookback: int = 20,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded-lookback exponentially weighted moving average per key:
     for each event, fold EWMA over the trailing ``lookback`` values
@@ -288,7 +289,28 @@ def ewma(
     making EWMA embarrassingly parallel at 100 TB; frame size — not
     series length — bounds per-row cost.
 
-    One shuffle on the key (same skew posture as :func:`sessionize`).
+    PARTITION-PARALLEL (r6): ``Window.partitionBy(<few-value key>)``
+    was the last few-value-key funnel in the package — one task per
+    event type sorts that type's entire history, a hard ceiling at
+    100×. The bounded lookback makes the window LOCAL: range-partition
+    on (key, ts, id) (layout pinned, same discipline as
+    ``relational.grouped_running_sums``), then let each partition see
+    the ``lookback−1`` GHOST rows that precede it — the tail of the
+    previous partition's same-key run, re-tagged to the next partition
+    id and dropped after the fold. Windows then partition on
+    (physical partition, key): parallelism scales with the cluster.
+    Exactness requires every same-key run that CONTINUES a previous
+    partition to hold ≥ lookback−1 rows (so one partition's tail is
+    the complete preceding context); the operator verifies that with
+    one metadata-sized aggregate and falls back to the single-window
+    form when the input is too small for the split (tests, tiny keys)
+    — at any real scale the runs are thousands of rows. Measured at
+    sf1: 1.97 s (funnel) → 2.18 s — the same deliberate
+    latency-for-scalability trade as the rank machinery; at 100× the
+    funnel is serial per key, this form is not.
+
+    One range shuffle; ghosts add ≤ (partitions × keys × lookback)
+    rows — metadata-sized.
 
     NULL ``value_col`` rows: ``collect_list`` silently DROPS nulls
     from the frame, so a null row gets the EWMA of its non-null
@@ -297,21 +319,70 @@ def ewma(
     non-null here; flagged so the divergence is a documented choice,
     not a surprise).
     """
+    folded = F.aggregate(
+        F.slice(
+            F.col("__frame"), 2, F.greatest(F.size("__frame") - 1, F.lit(0))
+        ),
+        F.element_at("__frame", 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    if num_partitions is None:
+        num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(
+        num_partitions, F.col(key_col), F.col(ts_col), F.col(id_col)
+    )
+    pinned = part.withColumn(
+        "__pid", F.spark_partition_id().cast("long")
+    ).localCheckpoint(eager=False)
+    # exactness guard: every same-key run that continues a previous
+    # partition must hold the full lookback context. One
+    # (partitions × keys)-sized aggregate; triggers the checkpoint.
+    runs = pinned.groupBy("__pid", key_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wfirst = Window.partitionBy(key_col).orderBy("__pid")
+    short = (
+        runs.withColumn("__first", F.row_number().over(wfirst) == 1)
+        .filter((~F.col("__first")) & (F.col("__n") < lookback - 1))
+        .limit(1)
+        .count()
+    )
+    if short:
+        # input too small/skewed for the split: single-window form
+        # (exact, serial per key — fine at the scale that triggers it)
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(-(lookback - 1), Window.currentRow)
+        )
+        frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+        return (
+            df.withColumn("__frame", frame)
+            .withColumn("ewma", F.round(folded, 6))
+            .drop("__frame")
+        )
+    wtail = Window.partitionBy("__pid", key_col).orderBy(
+        F.desc(ts_col), F.desc(id_col)
+    )
+    ghosts = (
+        pinned.withColumn("__rn", F.row_number().over(wtail))
+        .filter(F.col("__rn") <= lookback - 1)
+        .drop("__rn")
+        .withColumn("__pid", F.col("__pid") + 1)
+        .withColumn("__ghost", F.lit(True))
+    )
+    aug = pinned.withColumn("__ghost", F.lit(False)).unionByName(ghosts)
     w = (
-        Window.partitionBy(key_col)
+        Window.partitionBy("__pid", key_col)
         .orderBy(ts_col, id_col)
         .rowsBetween(-(lookback - 1), Window.currentRow)
     )
     frame = F.collect_list(F.col(value_col).cast("double")).over(w)
-    folded = F.aggregate(
-        F.slice(F.col("__frame"), 2, F.greatest(F.size("__frame") - 1, F.lit(0))),
-        F.element_at("__frame", 1),
-        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
-    )
     return (
-        df.withColumn("__frame", frame)
+        aug.withColumn("__frame", frame)
+        .filter(~F.col("__ghost"))
         .withColumn("ewma", F.round(folded, 6))
-        .drop("__frame")
+        .drop("__frame", "__ghost", "__pid")
     )
 
 

@@ -416,3 +416,67 @@ def test_map_from_entries_roundtrip(spark):
     )
     back = {(r.g, r.k): r.n for r in m.select("g", F.explode("m").alias("k", "n")).collect()}
     assert back == {("a", 1): 10, ("a", 2): 20}
+
+
+def test_ewma_parallel_path_matches_funnel_form(spark):
+    """Force the partition-parallel EWMA (input large enough that
+    every continuing same-key run holds the lookback context with
+    num_partitions=4) and pin equality against the single-window
+    funnel form — ghosts must reconstruct each partition-start frame
+    exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.events import ewma
+
+    rows = [
+        (i, f"k{i % 3}", float((i * 37) % 101) - 50.0)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"]) \
+        .withColumn("ts", F.timestamp_seconds(F.col("event_id") * 60))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(df, num_partitions=4).collect()
+    }
+    alpha, lookback = 0.3, 20
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    frame = F.collect_list(F.col("value").cast("double")).over(w)
+    folded = F.aggregate(
+        F.slice(F.col("__f"), 2, F.greatest(F.size("__f") - 1, F.lit(0))),
+        F.element_at("__f", 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in df.withColumn("__f", frame)
+        .withColumn("ewma", F.round(folded, 6))
+        .collect()
+    }
+    assert got == want
+
+
+def test_ewma_small_input_falls_back_exactly(spark):
+    """A tiny input (runs shorter than the lookback) must take the
+    guard's fallback and still be exact."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.events import ewma
+
+    df = spark.createDataFrame(
+        [(i, "a", float(i)) for i in range(5)],
+        ["event_id", "event_type", "value"],
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id")))
+    out = {r["event_id"]: r["ewma"] for r in ewma(df).collect()}
+    # hand-rolled recurrence
+    alpha = 0.3
+    e = None
+    want = {}
+    for i in range(5):
+        e = float(i) if e is None else alpha * float(i) + (1 - alpha) * e
+        want[i] = round(e, 6)
+    assert out == want
