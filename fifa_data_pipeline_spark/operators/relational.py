@@ -1078,6 +1078,78 @@ def grouped_running_sums(
     )
 
 
+def grouped_running_max(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str | list[str],
+    max_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-group RUNNING MAX of ``max_cols`` in ``order_col``
+    order, partition-parallel — :func:`grouped_running_sums` with the
+    monoid swapped from (+, 0) to (max, −∞): per-physical-partition
+    local prefix maxes, per-(partition, group) totals, and an
+    EXCLUSIVE running max over the metadata-sized totals frame as the
+    offset, combined with ``greatest`` (which skips the NULL offset a
+    group's first partition has — max's identity needs no sentinel).
+    Same contracts: one row per (group, order), range shuffle pinned
+    by a lazy localCheckpoint, parallelism scales with
+    ``num_partitions`` not group count. Appends ``{col}_rmax``.
+
+    This is the high-water-mark primitive: replaces
+    ``max(x) OVER (PARTITION BY <few-value key> ORDER BY … ROWS
+    UNBOUNDED PRECEDING)`` — whose one-task-per-group sort is the
+    100 TB ceiling — for watermark/lateness audits and monotone
+    envelope computations."""
+    if num_partitions is None:
+        num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col)
+    )
+    keys = [*group_cols, *order_cols]
+    part = df.repartitionByRange(
+        num_partitions, *[F.col(c) for c in keys]
+    )
+    pinned = part.withColumn(
+        "__pid", F.spark_partition_id().cast("long")
+    ).localCheckpoint(eager=False)
+    wloc = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pinned.select(
+        "*", *[F.max(c).over(wloc).alias(f"__loc_{c}") for c in max_cols]
+    )
+    totals = pinned.groupBy("__pid", *group_cols).agg(
+        *[F.max(c).alias(f"__t_{c}") for c in max_cols]
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        *group_cols,
+        *[
+            F.max(f"__t_{c}").over(woff).alias(f"__off_{c}")
+            for c in max_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), ["__pid", *group_cols])
+    for c in max_cols:
+        out = out.withColumn(
+            f"{c}_rmax",
+            F.greatest(F.col(f"__loc_{c}"), F.col(f"__off_{c}")),
+        )
+    return out.drop(
+        "__pid",
+        *[f"__loc_{c}" for c in max_cols],
+        *[f"__off_{c}" for c in max_cols],
+    )
+
+
 def grouped_row_ranks(
     df: DataFrame,
     group_cols: list[str],

@@ -129,18 +129,30 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     late share and worst lateness per stream, the sizing data for
     choosing every ``withWatermark`` delay in the streaming layer.
 
-    One window per event_type partition (running max is a streaming-
-    friendly O(1) state); integer epoch seconds end to end.
+    The high-water mark comes partition-parallel
+    (:func:`relational.grouped_running_max` — r6: the original
+    ``Window.partitionBy(event_type)`` running max funneled each
+    type's full history through ONE task, the same few-value-key
+    ceiling the rank machinery and EWMA shed); integer epoch seconds
+    end to end.
     """
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_max,
+    )
+
     events = read_table(spark, sf_dir, "events")
     ep = F.unix_timestamp("ts").cast("bigint")
-    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    marked = events.select(
+    marked = grouped_running_max(
+        events.select(
+            "event_type", F.col("event_id"), ep.alias("ep")
+        ),
+        ["event_type"],
+        ["event_id"],
+        ["ep"],
+    ).select(
         "event_type",
-        ep.alias("ep"),
-        F.max(ep).over(w).alias("hwm"),
+        "ep",
+        F.col("ep_rmax").alias("hwm"),
     ).withColumn("late", (F.col("ep") < F.col("hwm") - LATE_DELAY_S))
     return marked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
