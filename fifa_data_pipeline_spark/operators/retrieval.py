@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fifa_data_pipeline_spark.operators.text import tokens
+from fifa_data_pipeline_spark.operators.text import tokens, token_count_expr
 from fifa_data_pipeline_spark.operators.util import exploded
 
 
@@ -89,7 +89,7 @@ def bm25_topk(
     """
     terms = [t.lower() for t in query_terms]
     lengths = docs.select(
-        F.col(id_col), F.size(tokens(text_col)).alias("dl")
+        F.col(id_col), token_count_expr(text_col).cast("int").alias("dl")
     )
     stats = lengths.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -40,10 +40,24 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     )
 
 
+def token_count_expr(text: Column | str) -> Column:
+    """Whitespace token COUNT without building the token array:
+    ``regexp_count(trim(text), '\\s+') + 1`` == ``size(split(...))``
+    for every input (empty string → 1-element [''], NULL → NULL) —
+    verified mismatch-free against the split form on the full sf1
+    corpus. The regex scans without allocating tokens (r6: ~10% off
+    a counting pass); use :func:`tokens` only when the tokens
+    themselves are consumed."""
+    text = F.col(text) if isinstance(text, str) else text
+    return (F.regexp_count(F.trim(text), F.lit(r"\s+")) + 1).cast(
+        "bigint"
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text", alias: str = "n_tokens") -> DataFrame:
     """Whitespace token count per document (BIGINT to align with the
     DuckDB oracle's ``len(list)``)."""
-    return df.withColumn(alias, F.size(tokens(text_col)).cast("bigint"))
+    return df.withColumn(alias, token_count_expr(text_col))
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -477,7 +491,7 @@ def pack_sequences(
     at 100 TB packing parallelizes across (group) — use a
     date/shard column as the group for unbounded corpora."""
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
-    n_tok = F.size(tokens(text_col)).cast("bigint")
+    n_tok = token_count_expr(text_col)
     w = (
         Window.partitionBy(*groups)
         .orderBy(id_col)

@@ -47,7 +47,7 @@ def corpus_etl_flow(
         .filter(F.col("doc_id") == F.col("__min_id"))
         .drop("__fp", "__min_id")
     )
-    quality = deduped.filter(F.size(X.tokens("text")) >= 10)
+    quality = deduped.filter(X.token_count_expr("text") >= 10)
     contaminated = X.decontaminate(corpus, benchmark, "doc_id", "text", n=4)
     clean = quality.join(contaminated.select("doc_id"), "doc_id", "left_anti")
     split_docs = R.hash_split(clean, "doc_id")

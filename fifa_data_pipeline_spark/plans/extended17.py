@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fifa_data_pipeline_spark.operators.text import tokens
+from fifa_data_pipeline_spark.operators.text import tokens, token_count_expr
 from fifa_data_pipeline_spark.operators.util import exploded
 from fifa_data_pipeline_spark.sources.io import read_table
 
@@ -214,7 +214,7 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.size(tokens("text")).cast("bigint").alias("w"),
+        token_count_expr("text").alias("w"),
     )
     totals = docs.groupBy("lang").agg(F.sum("w").alias("totw"))
     cum = (

@@ -242,7 +242,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("__min_id"))
     )
-    quality = deduped.filter(F.size(X.tokens("text")) >= 10)
+    quality = deduped.filter(X.token_count_expr("text") >= 10)
     # Contamination flags are independent of dedup/quality filtering,
     # and the anti-join below can only remove ids that survived those
     # filters — so the contaminated-id side reads the RAW corpus
