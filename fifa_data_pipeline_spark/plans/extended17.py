@@ -211,16 +211,21 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id",
         "lang",
         "n_chars",
         token_count_expr("text").alias("w"),
     )
-    totals = docs.groupBy("lang").agg(F.sum("w").alias("totw"))
+    # Pre-aggregate to the (lang, value) SPINE before the prefix-sum
+    # machinery (r6): the discrete weighted quantile selects the first
+    # VALUE whose cumulative weight crosses the target, so summing
+    # weights per value first is selection-identical — and the
+    # machinery's range shuffle then carries |lang × distinct values|
+    # rows instead of one per document (also satisfying its
+    # one-row-per-(group, order) contract without a doc_id tiebreak).
+    spine = docs.groupBy("lang", "n_chars").agg(F.sum("w").alias("w"))
+    totals = spine.groupBy("lang").agg(F.sum("w").alias("totw"))
     cum = (
-        grouped_running_sums(
-            docs, ["lang"], ["n_chars", "doc_id"], ["w"]
-        )
+        grouped_running_sums(spine, ["lang"], ["n_chars"], ["w"])
         .join(F.broadcast(totals), "lang")
         .select(
             "lang", "n_chars", F.col("w_rsum").alias("cumw"), "totw"
