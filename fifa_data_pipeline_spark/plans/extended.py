@@ -248,7 +248,7 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(X.bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_bpe_tokens"),
+        X.bpe_ish_token_count_expr("text").alias("n_bpe_tokens"),
     )
 
 

@@ -161,12 +161,21 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility report per language: characters per
     BPE-ish token (the compression ratio that drives context-window
     cost per language) and mean tokens per document — two sums and a
-    count in one aggregate over per-row array sizes."""
+    count in one aggregate over per-row token counts.
+
+    Perf pin (r7, sf1): the entire cost is the BPE alternation regex
+    scan over the corpus (~1.1 s Spark vs ~0.5 s DuckDB twin). That
+    gap is Java-regex-vs-RE2, not plan shape: ``regexp_count`` is
+    RuntimeReplaceable to ``size(regexp_extract_all(...))`` so the
+    array/count forms share one physical plan, and the measured
+    alternatives (three single-class scans 2.1 s, possessive
+    quantifiers ±0) are no better. The plan itself is the 100× plan:
+    one projection + one partial-agg shuffle of 5 rows/partition."""
     docs = read_table(spark, sf_dir, "documents")
     per = docs.select(
         "lang",
         F.length("text").cast("bigint").alias("__chars"),
-        F.size(X.bpe_ish_tokens("text")).cast("bigint").alias("__toks"),
+        X.bpe_ish_token_count_expr("text").alias("__toks"),
     )
     return per.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
