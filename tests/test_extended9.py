@@ -460,9 +460,11 @@ def test_ewma_parallel_path_matches_funnel_form(spark):
     assert got == want
 
 
-def test_ewma_small_input_falls_back_exactly(spark):
-    """A tiny input (runs shorter than the lookback) must take the
-    guard's fallback and still be exact."""
+def test_ewma_small_input_exact(spark):
+    """A tiny input (runs far shorter than the lookback, scattered
+    across many range partitions) must still be exact — r7's pooled
+    ghosts reconstruct the trailing context by construction, where
+    the r6 version needed an eager guard + serial fallback."""
     from pyspark.sql import functions as F
 
     from fifa_data_pipeline_spark.operators.events import ewma
@@ -480,3 +482,46 @@ def test_ewma_small_input_falls_back_exactly(spark):
         e = float(i) if e is None else alpha * float(i) + (1 - alpha) * e
         want[i] = round(e, 6)
     assert out == want
+
+
+def test_ewma_multihop_short_runs_exact(spark):
+    """Force runs SHORTER than lookback−1 in the middle partitions
+    (the case the r6 guard existed to detect): with num_partitions
+    high relative to the data, each partition's same-key run is just
+    a few rows, so a row's trailing frame must be stitched from
+    MULTIPLE earlier partitions' tails. Pin equality against the
+    single-window funnel form."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.events import ewma
+
+    alpha, lookback = 0.3, 20
+    # 2 keys × 60 rows, 16 partitions → ~7-8 rows per (partition, key)
+    # run: every continuing run is far below lookback−1 = 19.
+    rows = [(i, f"k{i % 2}", float((i * 17) % 23)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "event_type", "value"]
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") * 3))
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(df, num_partitions=16).collect()
+    }
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    frame = F.collect_list(F.col("value").cast("double")).over(w)
+    folded = F.aggregate(
+        F.slice(F.col("__f"), 2, F.greatest(F.size("__f") - 1, F.lit(0))),
+        F.element_at("__f", 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    want = {
+        r["event_id"]: r["ewma"]
+        for r in df.withColumn("__f", frame)
+        .withColumn("ewma", F.round(folded, 6))
+        .collect()
+    }
+    assert got == want
