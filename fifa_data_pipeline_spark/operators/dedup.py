@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fifa_data_pipeline_spark.operators.text import shingles, tokens
+from fifa_data_pipeline_spark.operators.text import (
+    position_gram_hashes,
+    shingles,
+    tokens,
+)
 from fifa_data_pipeline_spark.operators.util import exploded
 from fifa_data_pipeline_spark.sources.io import spread
 
@@ -882,13 +886,13 @@ def _dup_span_positions(
     :func:`trim_repeated_spans` — only need positions, never the
     gram text):
 
-    - gram text is never built: each position's token-array SLICE is
-      hashed structurally (``xxhash64(slice(t, i, w))`` under the
-      let binding — see ``text.position_ngrams`` for the binding
-      rule), skipping the per-gram string allocation + copy, and the
-      wide stages shuffle the 8-byte hash instead of the w-token
-      text (~28% off the explode stage and ~8× smaller shuffle rows
-      at w=8 prose, measured at sf0.1);
+    - gram text is never built: positional gram hashes come from
+      :func:`text.position_gram_hashes` (r7 — each token hashed to a
+      long once, w consecutive token-hashes combined per position;
+      the earlier ``xxhash64(slice(t, i, w))`` form re-hashed every
+      token's characters w times, and at w=8 that is 8 string hashes
+      per gram), and the wide stages shuffle the 8-byte hash instead
+      of the w-token text (~8× smaller shuffle rows at w=8 prose);
     - the hashed gram table is ``localCheckpoint``-ed so the
       scan→split→explode pipeline runs ONCE instead of once per wide
       consumer (the aggregate side and the probe side of the
@@ -902,19 +906,7 @@ def _dup_span_positions(
     scale is required. The DuckDB oracles stay on raw gram text, so
     a collision would surface as a driver hash-mismatch."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    hashed = F.element_at(
-        F.transform(
-            F.array(toks),
-            lambda t: F.when(
-                F.size(t) >= w,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - w + 1),
-                    lambda i: F.xxhash64(F.slice(t, i, w)),
-                ),
-            ).otherwise(F.expr("array()").cast("array<bigint>")),
-        ),
-        1,
-    )
+    hashed = position_gram_hashes(toks, w)
     grams = df.select(
         F.col(id_col),
         F.posexplode(hashed).alias("__p", "__gh"),
