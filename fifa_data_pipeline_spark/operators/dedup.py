@@ -280,19 +280,23 @@ def simhash_signature(text_col: str = "text") -> Column:
     """Charikar-style 64-bit SimHash over whitespace tokens (with
     multiplicity), again as a pure per-row expression: accumulate a
     64-wide ±1 counter array with ``aggregate`` + ``zip_with``, then
-    fold the sign bits into one BIGINT."""
+    fold the sign bits into one BIGINT. Tokens are hashed ONCE up
+    front (``transform`` to a long array) — HOF lambda bodies get no
+    CSE, so hashing inside the per-bit contribution would re-hash
+    every token 64 times (the same binding rule as
+    ``text.position_gram_hashes``)."""
     toks = tokens(text_col)
 
-    def bit_contrib(t, j: int):
-        bit_set = F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1
+    def bit_contrib(h, j: int):
+        bit_set = F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
         return F.when(bit_set, F.lit(1)).otherwise(F.lit(-1)).cast("long")
 
     counters = F.aggregate(
-        toks,
+        F.transform(toks, lambda t: F.xxhash64(t)),
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[bit_contrib(t, j) for j in range(64)]),
+            F.array(*[bit_contrib(h, j) for j in range(64)]),
             lambda a, b: a + b,
         ),
     )
