@@ -185,6 +185,177 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    anchor, the ``k`` corpus vectors MOST cosine-similar among those
+    with a DIFFERENT label (the near-miss negatives that carry the
+    training signal; random negatives are trivially separable).
+
+    The label predicate must sit BEFORE the rank — filtering a plain
+    top-k afterwards under-delivers whenever same-label neighbors
+    crowd the head — so this cannot be expressed as a filter over
+    :func:`knn_join`; it is the same block-partitioned exact scoring
+    shape with the labels carried through and the anti-label filter
+    fused into the join.
+
+    Scale shape (matches :func:`knn_join`): corpus hashed into
+    ``n_blocks`` disjoint blocks, anchors replicated per block via an
+    exploded ``sequence`` — shuffle volume |corpus| + n_blocks·|A|,
+    never |A|·|C|; per-(anchor, block) rank rides the join's existing
+    hash distribution (sort-only), then a global rank over the
+    surviving n_blocks·k candidates. Anchors may be corpus-sized: no
+    broadcast requirement and no driver collect. Output ordering
+    rounds sim to 6 dp with an id tie-break, so results are stable
+    across engines and partial-sum orders."""
+    c = (
+        spread(corpus.select(id_col, vec_col, label_col))
+        .withColumn("__cn", norm(F.col(vec_col)))
+        .withColumn(
+            "__block",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int"),
+        )
+    )
+    a = anchors.select(
+        F.col(id_col).alias("qid"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("__block"),
+    )
+    scored = (
+        c.join(a, "__block")
+        .filter(F.col(label_col) != F.col("anchor_label"))
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
+    )
+    w_local = Window.partitionBy("qid", "__block").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    candidates = scored.withColumn(
+        "__lr", F.row_number().over(w_local)
+    ).filter(F.col("__lr") <= k)
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            "anchor_label",
+            id_col,
+            F.col(label_col).alias("neg_label"),
+            "sim",
+            "rank",
+        )
+    )
+
+
+def hard_negatives_pandas(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+) -> DataFrame:
+    """:func:`hard_negatives` scored with one BLAS matrix multiply
+    per Arrow batch — the bounded-ANCHOR-PANEL fast path (the same
+    contract split as :func:`knn_bruteforce_pandas` vs
+    :func:`knn_join`): the panel is collected to the driver and
+    closed over, the corpus streams through executors in Arrow
+    batches, each batch scoring ALL anchors in a single
+    ``(batch × dim) @ (dim × a)`` product with the same-label mask
+    applied as one numpy comparison. Use the block-partitioned
+    :func:`hard_negatives` when the anchor set is corpus-sized.
+
+    Results match the HOF form at the shared 6-dp rounding +
+    id tie-break (equivalence-tested); the id column keeps the
+    input's type (never coerced through a numpy dtype)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema[id_col].dataType
+    label_type = corpus.schema[label_col].dataType
+    arows = anchors.select(id_col, label_col, vec_col).collect()
+    aids = np.array([r[0] for r in arows])
+    alabels = np.array([r[1] for r in arows])
+    am = np.array([list(r[2]) for r in arows], dtype=np.float64)
+    am = am / np.linalg.norm(am, axis=1, keepdims=True)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", id_type),
+            T.StructField("anchor_label", label_type),
+            T.StructField(id_col, id_type),
+            T.StructField("neg_label", label_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        # Batch-local top-k prune: the global top-k is a subset of
+        # the union of per-batch top-k (same (sim desc, id asc)
+        # ordering as the final rank), so each Arrow batch emits at
+        # most |anchors|·k candidate rows instead of its full
+        # different-label pair grid — the rank shuffle downstream
+        # sees O(batches · anchors · k), never O(|corpus|·|anchors|).
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(m @ am.T, 6)  # (batch, a)
+            rows_ix: list[np.ndarray] = []
+            a_ix: list[np.ndarray] = []
+            for j in range(len(aids)):
+                valid = np.nonzero(labels != alabels[j])[0]
+                if valid.size == 0:
+                    continue
+                order = np.lexsort((ids[valid], -sims[valid, j]))[:k]
+                sel = valid[order]
+                rows_ix.append(sel)
+                a_ix.append(np.full(sel.size, j))
+            if not rows_ix:
+                continue
+            ri = np.concatenate(rows_ix)
+            ai = np.concatenate(a_ix)
+            yield pd.DataFrame(
+                {
+                    "qid": aids[ai],
+                    "anchor_label": alabels[ai],
+                    id_col: ids[ri],
+                    "neg_label": labels[ri],
+                    "sim": sims[ri, ai],
+                }
+            )
+
+    scored = spread(corpus.select(id_col, label_col, vec_col)).mapInPandas(
+        score, out_schema
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "anchor_label", id_col, "neg_label", "sim", "rank")
+    )
+
+
 def range_search(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,233 @@
+"""Round-7 additions: training-set CURATION ANALYTICS — the three
+reports a data team reads before committing a corpus to a training
+run. Reference scope note: the reference pipeline
+(``prefect/spark/fifa_spark.py``) has no curation surface at all;
+these extend the LLM-data-pipeline layer the build brief makes
+first-class.
+
+1. **Hard-negative mining** (q_hard_negatives) — for every anchor
+   embedding, the k most-similar vectors with a DIFFERENT label: the
+   near-miss negatives contrastive objectives (InfoNCE, triplet) are
+   trained on. Block-partitioned exact scoring, label filter fused
+   BEFORE the rank (:func:`operators.vector.hard_negatives`).
+2. **Duplication inflation** (q_dup_inflation) — per source, the
+   expected number of copies of a uniformly sampled document's
+   content (Σc²/Σc over exact-dup cluster sizes c): the factor by
+   which duplicates inflate effective epochs of memorization-prone
+   text. Integer micro-units end-to-end.
+3. **Temperature-mixture weights** (q_mixture_weights) — the α=0.5
+   sampling weights w_s ∝ tokens_s^α used to up-sample tail
+   sources/languages (multilingual-LM recipe), plus each source's
+   natural share and the resulting boost factor. All shares are
+   exact half-up integer quotients in ppm/micro units, so the report
+   hashes identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fifa_data_pipeline_spark.operators import text as X
+from fifa_data_pipeline_spark.sources.io import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 hard negatives (most-similar DIFFERENT-label vectors)
+    for a fixed 40-anchor panel (``vec_id < 40`` — a bounded panel
+    keeps the exact-scoring demo O(|corpus|) at every sf; mining
+    negatives for EVERY row is the operator's general contract and
+    scales as the block-partitioned |A|×|C| grid, which is the
+    honest cost of exact mining — ANN-bucket the anchors first when
+    |A| is corpus-sized). The label predicate is fused before the
+    rank. Two implementations share this semantics (equivalence-
+    tested): the block-partitioned HOF form
+    (:func:`operators.vector.hard_negatives` — corpus-sized anchor
+    sets, no collect) and the Arrow/BLAS panel form used here
+    (:func:`operators.vector.hard_negatives_pandas` — one matmul per
+    batch + exact batch-local top-k prune, so the rank shuffle sees
+    O(batches·anchors·k) rows, never the |A|×|C| grid). Measured at
+    sf1 (500k×40 grid, fresh-session min-of-3): HOF fold 1.15 s →
+    Arrow 0.88 s, vs DuckDB 0.32 s. The residual is Arrow transfer
+    of the 128 MB embedding column into Python (the matmul itself is
+    ~50 ms) against DuckDB's in-process C++ ``list_cosine_similarity``
+    kernel — Spark SQL has no native vector-similarity function to
+    stay JVM-side with; the HOF fold that does stay JVM-side loses
+    to the BLAS batch anyway (same verdict as quantize_int8, the
+    numeric fixed-width family's winner is the Arrow kernel)."""
+    from fifa_data_pipeline_spark.operators.vector import (
+        hard_negatives_pandas,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 40)
+    return hard_negatives_pandas(emb, anchors, k=3)
+
+
+QUERIES["q_hard_negatives"] = q_hard_negatives
+
+ORACLES["q_hard_negatives"] = """
+    WITH q AS (
+      SELECT vec_id AS qid, label AS anchor_label,
+             CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 40
+    ), s AS (
+      SELECT q.qid, q.anchor_label, e.vec_id, e.label AS neg_label,
+             ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+      FROM embeddings e, q WHERE e.label <> q.anchor_label
+    ), r AS (
+      SELECT qid, anchor_label, vec_id, neg_label, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY sim DESC, vec_id ASC
+             ) AS INTEGER) AS rank
+      FROM s
+    )
+    SELECT qid, anchor_label, vec_id, neg_label, sim, rank
+    FROM r WHERE rank <= 3
+"""
+
+
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication-inflation report from exact-duplicate
+    clusters (MD5 fingerprint of the normalized text): ``n_docs``,
+    ``n_unique``, ``dup_docs``, and ``inflation_micro`` = Σc²/Σc in
+    half-up micro-units — the expected number of times a uniformly
+    sampled document's content appears in the corpus, i.e. the
+    effective-epoch multiplier duplicates impose on memorization.
+
+    Scale shape: one map-side-combined hash aggregate on (source,
+    16-byte fingerprint) — the only fact-sized shuffle — then a
+    source-sized aggregate. The Σc² algebra means the report never
+    materializes clusters or pairs, so a pathological 10M-copy
+    boilerplate cluster costs one row, not 10M²."""
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = (
+        X.fingerprint(docs.select("source", "text"))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("__c2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("dup_docs"),
+            F.expr("(2 * __c2 * 1000000 + n_docs) div (2 * n_docs)")
+            .cast("bigint")
+            .alias("inflation_micro"),
+        )
+    )
+
+
+QUERIES["q_dup_inflation"] = q_dup_inflation
+
+ORACLES["q_dup_inflation"] = """
+    WITH cl AS (
+      SELECT source, md5(lower(trim(text))) AS fp, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_docs,
+           CAST((2 * SUM(c * c) * 1000000 + SUM(c))
+                // (2 * SUM(c)) AS BIGINT) AS inflation_micro
+    FROM cl GROUP BY source
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-α data-mixture planner (α = 0.5): per source, its
+    exact whitespace token count, natural corpus share, the
+    tokens^0.5-proportional sampling weight, and the boost factor the
+    re-weighting applies (>1 = up-sampled tail source). Shares are
+    half-up integer quotients (ppm), the √tokens leg is floored to
+    integer micro-units first (IEEE sqrt is correctly rounded, so
+    both engines floor the same double) — the whole report is
+    integer-exact and hash-stable.
+
+    Scale shape: one token-counting projection (array-free
+    ``regexp_count`` — the r6 counting pass) into a source-keyed
+    partial aggregate; the share normalization joins the one-row
+    total back via broadcast. Nothing after the first aggregate is
+    larger than the source list."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", X.token_count_expr("text").alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").cast("bigint").alias("n_tokens"))
+        .withColumn(
+            "__s_micro",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6).cast(
+                "bigint"
+            ),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("__t_total"),
+        F.sum("__s_micro").cast("bigint").alias("__s_total"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("(2 * n_tokens * 1000000 + __t_total) div (2 * __t_total)")
+            .cast("bigint")
+            .alias("natural_ppm"),
+            F.expr(
+                "(2 * __s_micro * 1000000 + __s_total) div (2 * __s_total)"
+            )
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .withColumn(
+            "boost_micro",
+            F.expr(
+                "(2 * weight_ppm * 1000000 + natural_ppm)"
+                " div (2 * natural_ppm)"
+            ).cast("bigint"),
+        )
+    )
+
+
+QUERIES["q_mixture_weights"] = q_mixture_weights
+
+ORACLES["q_mixture_weights"] = r"""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS s_micro
+      FROM per
+    ), t AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+             CAST(SUM(s_micro) AS BIGINT) AS s_total
+      FROM m
+    ), shares AS (
+      SELECT source, n_tokens,
+             CAST((2 * n_tokens * 1000000 + t_total)
+                  // (2 * t_total) AS BIGINT) AS natural_ppm,
+             CAST((2 * s_micro * 1000000 + s_total)
+                  // (2 * s_total) AS BIGINT) AS weight_ppm
+      FROM m, t
+    )
+    SELECT source, n_tokens, natural_ppm, weight_ppm,
+           CAST((2 * weight_ppm * 1000000 + natural_ppm)
+                // (2 * natural_ppm) AS BIGINT) AS boost_micro
+    FROM shares
+"""

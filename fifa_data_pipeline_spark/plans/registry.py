@@ -60,6 +60,7 @@ def _load() -> None:
         extended26,
         extended27,
         extended28,
+        extended29,
         northstar,
         parity,
         tpch,
@@ -98,6 +99,7 @@ def _load() -> None:
     _merge(extended26)
     _merge(extended27)
     _merge(extended28)
+    _merge(extended29)
     _merge(tpch)
     _merge(tpch2)
     _merge(streaming_queries)
