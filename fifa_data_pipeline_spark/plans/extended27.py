@@ -109,15 +109,30 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Only per-DOC rows (not tokens) cross the prefix-sum stage; at
     corpus scale, additionally coarsen the curve first (bucket
     doc_id into fixed strides and cumulate bucket subtotals) so the
-    fit sees thousands of points, not billions."""
-    from fifa_data_pipeline_spark.operators.text import tokens
+    fit sees thousands of points, not billions.
+
+    r7: the per-doc token counts come from the array-free
+    ``regexp_count`` counting pass (``text.token_count_expr``), not
+    the exploded leg — the explode now feeds ONLY the (source,
+    token) first-occurrence aggregate, so the corpus is tokenized
+    once, not twice. Controlled same-session A/B at sf1 (rebuild per
+    run, interleaved): new form ≤ old in every pairing (0.47-0.53 s
+    vs 0.50-0.62 s warm). NOTE this query's wall clock is strongly
+    session-warmup-dependent (first-query-in-session min-of-3 runs
+    ~3 s; after ANY prior heavy scan+agg query, ~0.5-0.7 s steady —
+    JVM/JIT infra warmup, not plan cost); in-suite bench numbers sit
+    between, per RUNBOOK §5."""
+    from fifa_data_pipeline_spark.operators.text import (
+        token_count_expr,
+        tokens,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", "doc_id", F.explode(tokens("text")).alias("token")
     )
-    per_doc = toks.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_toks")
+    per_doc = docs.select(
+        "source", "doc_id", token_count_expr("text").alias("n_toks")
     )
     first_occ = toks.groupBy("source", "token").agg(
         F.min("doc_id").alias("first_doc")
