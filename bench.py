@@ -207,6 +207,7 @@ HEADLINE = [
     "q_hard_negatives",
     "q_dup_inflation",
     "q_mixture_weights",
+    "q_budget_select",
     # q_udtf_topk stays OUT of the headline like the other Python-
     # interop demos (q_udtf_sentences, q_zscore): the plan audit
     # rightly flags Python-eval nodes, and the bench headline is the

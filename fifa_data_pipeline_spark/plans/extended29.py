@@ -1,4 +1,4 @@
-"""Round-7 additions: training-set CURATION ANALYTICS — the three
+"""Round-7 additions: training-set CURATION ANALYTICS — the
 reports a data team reads before committing a corpus to a training
 run. Reference scope note: the reference pipeline
 (``prefect/spark/fifa_spark.py``) has no curation surface at all;
@@ -21,6 +21,10 @@ first-class.
    natural share and the resulting boost factor. All shares are
    exact half-up integer quotients in ppm/micro units, so the report
    hashes identically in both engines.
+4. **Token-budget corpus selection** (q_budget_select) — per source,
+   the greedy quality-ordered prefix that spends half the token
+   budget: "train on the best half", with integer-exact boundary
+   semantics and the partition-parallel prefix machinery underneath.
 """
 
 from __future__ import annotations
@@ -230,4 +234,102 @@ ORACLES["q_mixture_weights"] = r"""
            CAST((2 * weight_ppm * 1000000 + natural_ppm)
                 // (2 * natural_ppm) AS BIGINT) AS boost_micro
     FROM shares
+"""
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: per source, greedily keep the
+    highest-quality documents until HALF the source's token budget is
+    spent (whole docs, prefix rule: a doc is kept iff the cumulative
+    token count INCLUDING it stays ≤ ⌊total/2⌋ — expressed as
+    ``2·cum ≤ total`` so the boundary is integer-exact in both
+    engines). The quality key is ``q_text_quality``'s oracled score
+    in micro-units, ties broken by doc_id. Reports per source:
+    corpus size, tokens kept, and the quality cutoff that made the
+    cut — the planning numbers behind "train on the best half".
+
+    Scale shape: the quality/token projection is scan-fused; the
+    cumulative-token ordering runs through the partition-parallel
+    prefix machinery (:func:`relational.grouped_running_sums` — range
+    shuffle + per-partition offsets, so no source ever sorts its
+    whole document set in one task; the few-value ``source`` key is
+    exactly the 100 TB window-funnel trap this machinery removes);
+    the final rollup is source-sized. Sources whose single best doc
+    already exceeds the half budget select nothing and drop out —
+    the SQL twin shares that inner-join semantics."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
+    )
+    from fifa_data_pipeline_spark.operators.text import text_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = text_stats(docs.select("source", "doc_id", "text")).select(
+        "source",
+        "doc_id",
+        F.col("n_tokens"),
+        F.round(F.col("quality_score") * 1e6)
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    ranked = stats.withColumn(
+        "__negq", F.lit(1_000_000) - F.col("q_micro")
+    )
+    cum = grouped_running_sums(
+        ranked, ["source"], ["__negq", "doc_id"], ["n_tokens"]
+    )
+    totals = stats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )
+    kept = cum.join(F.broadcast(totals), "source").filter(
+        2 * F.col("n_tokens_rsum") <= F.col("tokens_total")
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("tokens_total").alias("tokens_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.max("n_tokens_rsum").cast("bigint").alias("tokens_selected"),
+        F.min("q_micro").cast("bigint").alias("cutoff_q_micro"),
+    )
+
+
+QUERIES["q_budget_select"] = q_budget_select
+
+ORACLES["q_budget_select"] = r"""
+    WITH t AS (
+      SELECT source, doc_id, text,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ), s AS (
+      SELECT source, doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(ROUND(
+               ROUND(LEAST(len(toks), 50) / 50.0 *
+                 (1.0 - ROUND(len(list_filter(toks,
+                    t -> t = 'the' OR t = 'a')) / len(toks), 6)), 6)
+               * 1000000) AS BIGINT) AS q_micro
+      FROM t
+    ), cum AS (
+      SELECT source, doc_id, n_tokens, q_micro,
+             SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY q_micro DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS n_tokens_rsum
+      FROM s
+    ), tot AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+      FROM s GROUP BY source
+    )
+    SELECT c.source,
+           MAX(t.n_docs) AS n_docs,
+           MAX(t.tokens_total) AS tokens_total,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(MAX(c.n_tokens_rsum) AS BIGINT) AS tokens_selected,
+           CAST(MIN(c.q_micro) AS BIGINT) AS cutoff_q_micro
+    FROM cum c JOIN tot t USING (source)
+    WHERE 2 * c.n_tokens_rsum <= t.tokens_total
+    GROUP BY c.source
 """

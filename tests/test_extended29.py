@@ -1,6 +1,7 @@
 """Unit semantics for the round-7 curation analytics (extended29):
 hard-negative mining, duplication inflation, temperature-mixture
-weights. The oracle-parity sweep hash-checks all three against
+weights, token-budget selection. The oracle-parity sweep hash-checks
+them against
 DuckDB; here the semantics are pinned on constructed inputs."""
 
 from __future__ import annotations
@@ -172,3 +173,36 @@ def test_query_forms_run_on_testdata(spark):
     infl = q_dup_inflation(spark, SF_DIR).collect()
     assert all(r.inflation_micro >= 1_000_000 for r in infl)
     assert all(r.n_docs >= r.n_unique for r in infl)
+
+
+def test_budget_select_exact_small_case(spark, tmp_path):
+    """Quality order x > p > the-doc; tokens 3+2+4=9, half-budget
+    rule 2*cum <= 9 keeps only the 3-token top doc (cum 3 -> 6 <= 9;
+    +2 -> 10 > 9)."""
+    from fifa_data_pipeline_spark.plans.extended29 import q_budget_select
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z", "s"),           # q = 3/50 * 1  = 60000 micro
+            (2, "the the the the", "s"), # q = 0
+            (3, "p q", "s"),             # q = 2/50 * 1  = 40000 micro
+        ],
+        ["doc_id", "text", "source"],
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(p)
+    out = {r.source: r for r in q_budget_select(spark, str(tmp_path)).collect()}
+    r = out["s"]
+    assert (r.n_docs, r.tokens_total) == (3, 9)
+    assert (r.n_selected, r.tokens_selected) == (1, 3)
+    assert r.cutoff_q_micro == 60_000
+
+
+def test_budget_select_invariants_on_testdata(spark):
+    from fifa_data_pipeline_spark.plans.extended29 import q_budget_select
+
+    rows = q_budget_select(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 2 * r.tokens_selected <= r.tokens_total
+        assert 1 <= r.n_selected <= r.n_docs
