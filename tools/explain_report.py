@@ -94,6 +94,14 @@ PICKS = {
     "HashAggregate; dangling mass is a 1-row fold over the static "
     "sink flag (no anti-join); lineage cut by localCheckpoint — "
     "plan size constant in iteration count",
+    "q_hard_negatives": "map-only MapInPandas (Arrow/BLAS panel "
+    "kernel with exact batch-local top-k prune) into ONE Exchange "
+    "for the global rank — candidate volume O(batches·anchors·k), "
+    "never the |A|×|C| pair grid; no Cartesian, no BNLJ",
+    "q_budget_select": "range Exchange + per-partition offsets "
+    "(grouped_running_sums) — the few-value source key never sorts "
+    "its documents in one task; totals ride a broadcast join; final "
+    "rollup is source-sized",
 }
 
 
