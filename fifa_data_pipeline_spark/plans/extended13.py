@@ -80,12 +80,19 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources against each other first). One distinct (source, fp)
     projection, one self-join keyed on the fingerprint (each fp meets
     only its own group — no quadratic blowup beyond per-fp source
-    counts), one aggregate."""
+    counts), one aggregate. The distinct (source, fp) frame is
+    pinned (lazy localCheckpoint): the self-join's two legs and the
+    per-source totals otherwise each re-run the scan + md5 +
+    distinct shuffle (r7, same surgery as extended19._dup_pairs)."""
     docs = read_table(spark, sf_dir, "documents")
     prefix = F.concat_ws(
         " ", F.slice(F.split(F.trim("text"), r"\s+", 9), 1, 8)
     )
-    fp = docs.select("source", F.md5(prefix).alias("fp")).distinct()
+    fp = (
+        docs.select("source", F.md5(prefix).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a = fp.select(F.col("source").alias("src_a"), "fp")
     b = fp.select(F.col("source").alias("src_b"), "fp")
     per_src = fp.groupBy("source").agg(F.count(F.lit(1)).alias("__n_a"))
@@ -262,20 +269,15 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     families from chains. Ordered-triple join (a<b<c) counts each
     triangle once; edges are fingerprint-grouped (never all-pairs),
     and at 100 TB the same two node-keyed joins run on any
-    candidate-pair edge set."""
-    docs = read_table(spark, sf_dir, "documents")
-    prefix = F.concat_ws(
-        " ", F.slice(F.split(F.trim("text"), r"\s+", 9), 1, 8)
-    )
-    fps = docs.select("doc_id", F.md5(prefix).alias("fp")).distinct()
-    fa = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    fb = fps.select(F.col("doc_id").alias("id_b"), "fp")
-    pairs = (
-        fa.join(fb, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    candidate-pair edge set.
+
+    r7: shares :func:`extended19._dup_pairs` (pinned fingerprint
+    frame, the two no-op DISTINCTs dropped — doc_id is the primary
+    key, so both were pure shuffle tax), and the edge set is pinned
+    so the three triangle legs materialize it once."""
+    from fifa_data_pipeline_spark.plans.extended19 import _dup_pairs
+
+    pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=False)
     e1 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
     e2 = pairs.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
     e3 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))

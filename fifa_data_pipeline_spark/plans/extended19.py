@@ -35,7 +35,15 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is already one row per document and the ``id_a < id_b`` join
     emits each pair exactly once — the two DISTINCTs the oracle CTE
     spells out are no-ops here and were removed (one shuffle each;
-    1.51 → 1.22 s for the edge build at sf1)."""
+    1.51 → 1.22 s for the edge build at sf1).
+
+    The fingerprint frame is pinned (lazy ``localCheckpoint``): the
+    self-join's two legs otherwise each re-run the scan + split +
+    md5 over the full text column (different output aliases → no
+    ReusedExchange), which was the measured residual of the whole
+    family. A/B at sf1 (warm min-of-3, interleaved):
+    q_clustering_coeff 1.22-1.31 s → 0.79-0.82 s. The pinned frame
+    is narrow (id + 16-byte fp) — ~20 MB at sf1, block-local."""
     docs = read_table(spark, sf_dir, "documents")
     prefix = F.concat_ws(
         " ",
@@ -43,7 +51,9 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim("text"), r"\s+", FP_TOKENS + 1), 1, FP_TOKENS
         ),
     )
-    fps = docs.select("doc_id", F.md5(prefix).alias("fp"))
+    fps = docs.select("doc_id", F.md5(prefix).alias("fp")).localCheckpoint(
+        eager=False
+    )
     fa = fps.select(F.col("doc_id").alias("id_a"), "fp")
     fb = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (

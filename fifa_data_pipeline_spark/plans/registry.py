@@ -122,10 +122,11 @@ _WINDOW = [
     # (q_knn_ivf, q_agg_approx, q_hll_rollup, q_pagerank, q_bpe_vocab,
     # q_textrank, q_semantic_dedup, q_pca_project, q_stream_distinct,
     # q_stream_neardedup) for their weaker rows-only driver record,
-    # PLUS the three round-7 oracled additions (q_hard_negatives,
-    # q_dup_inflation, q_mixture_weights — mimic-green r7, never
-    # driver-windowed), plus re-checks of anything red from r7; the
-    # remaining ~37 slots re-confirm the highest-churn implementations
+    # PLUS the four round-7 oracled additions (q_hard_negatives,
+    # q_dup_inflation, q_mixture_weights, q_budget_select —
+    # mimic-green r7, never driver-windowed), plus re-checks of
+    # anything red from r7; the remaining ~36 slots re-confirm the
+    # highest-churn implementations
     # (whatever rounds 7-8 touched for performance: corpus pipeline,
     # clustering coefficient, tokenizer fertility, EWMA).
     "q_seasonal_anomaly", "q_winsorize", "q_mixture_sample",
