@@ -437,9 +437,11 @@ def decontaminate(
     hash set — eval suites are tiny relative to a 100 TB corpus — and
     is broadcast, so the corpus side is one scan + one map-side hash
     join + one groupBy(id) shuffle of only the HIT rows. Grams are
-    represented ONLY as :func:`position_gram_hashes` 64-bit slice
-    hashes (r6 — previously concat_ws gram strings md5-folded to
-    32-char hex): the gram text never materializes, and the join key
+    represented ONLY as :func:`position_gram_hashes` 64-bit hashes
+    (r7 token-hash-once: each token xxhash64-ed once, w-gram =
+    fixed-width xxhash64 over the w token-hashes; previously
+    concat_ws gram strings md5-folded to 32-char hex): the gram
+    text never materializes, and the join key
     is an 8-byte long. Gram identity via hash is exact up to xxhash64
     collisions (~2⁻⁶⁴ per pair), which cannot flip the ≥1-hit
     contamination verdict in practice.

@@ -284,7 +284,15 @@ def hard_negatives_pandas(
 
     Results match the HOF form at the shared 6-dp rounding +
     id tie-break (equivalence-tested); the id column keeps the
-    input's type (never coerced through a numpy dtype)."""
+    input's type (never coerced through a numpy dtype). NULL corpus
+    labels are masked out explicitly (numpy ``!=`` would treat None
+    as a distinct label and EMIT null-label rows as negatives, while
+    the HOF form's SQL ``<>`` is NULL and drops them — the mask keeps
+    the two forms equal on null-label corpora). Rounding-mode caveat:
+    this path rounds sims with numpy (half-to-even) vs the HOF form's
+    Spark ``round`` (half-up) — an exact .xxxxxx5 cosine would differ
+    (measure-zero on real doubles; same convention as
+    :func:`knn_bruteforce_pandas`)."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -323,8 +331,9 @@ def hard_negatives_pandas(
             sims = np.round(m @ am.T, 6)  # (batch, a)
             rows_ix: list[np.ndarray] = []
             a_ix: list[np.ndarray] = []
+            notnull = pd.notna(labels)
             for j in range(len(aids)):
-                valid = np.nonzero(labels != alabels[j])[0]
+                valid = np.nonzero((labels != alabels[j]) & notnull)[0]
                 if valid.size == 0:
                     continue
                 order = np.lexsort((ids[valid], -sims[valid, j]))[:k]

@@ -72,9 +72,19 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index over the first 200 documents: per token its
     document frequency, total term count, and the sorted posting
-    list (doc:tf strings)."""
+    list. The posting list is emitted as a space-joined string of
+    ``doc:tf`` entries: the correctness driver's canonicalizer
+    cannot sort array-typed cells (pandas ``sort_values`` raises
+    ``unhashable type: 'list'`` — r7 `err`), so driver-windowed
+    queries emit arrays in scalar form (registry HARD RULE)."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return inverted_index(docs, min_df=3)
+    idx = inverted_index(docs, min_df=3)
+    return idx.select(
+        "token",
+        "df",
+        "total_tf",
+        F.array_join("postings", " ").alias("postings"),
+    )
 
 
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,8 +175,9 @@ ORACLES = {
         SELECT token,
                CAST(COUNT(*) AS BIGINT) AS df,
                CAST(SUM(tf) AS BIGINT) AS total_tf,
-               list_sort(list(CAST(doc_id AS VARCHAR) || ':' ||
-                              CAST(tf AS VARCHAR))) AS postings
+               array_to_string(
+                 list_sort(list(CAST(doc_id AS VARCHAR) || ':' ||
+                                CAST(tf AS VARCHAR))), ' ') AS postings
         FROM tf GROUP BY token
         HAVING COUNT(*) >= 3
     """,

@@ -196,10 +196,16 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weight_ppm"),
         )
         .withColumn(
+            # greatest(natural_ppm, 1): a source whose share rounds to
+            # 0 ppm (< 0.5 ppm under extreme skew) must not divide by
+            # zero — Spark's non-ANSI div returns NULL there while
+            # DuckDB's // raises, so the two engines would diverge on
+            # adversarial corpora. Clamping in BOTH keeps them equal
+            # by construction (r8 advice).
             "boost_micro",
             F.expr(
-                "(2 * weight_ppm * 1000000 + natural_ppm)"
-                " div (2 * natural_ppm)"
+                "(2 * weight_ppm * 1000000 + greatest(natural_ppm, 1))"
+                " div (2 * greatest(natural_ppm, 1))"
             ).cast("bigint"),
         )
     )
@@ -231,8 +237,8 @@ ORACLES["q_mixture_weights"] = r"""
       FROM m, t
     )
     SELECT source, n_tokens, natural_ppm, weight_ppm,
-           CAST((2 * weight_ppm * 1000000 + natural_ppm)
-                // (2 * natural_ppm) AS BIGINT) AS boost_micro
+           CAST((2 * weight_ppm * 1000000 + greatest(natural_ppm, 1))
+                // (2 * greatest(natural_ppm, 1)) AS BIGINT) AS boost_micro
     FROM shares
 """
 

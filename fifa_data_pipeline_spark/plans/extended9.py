@@ -66,9 +66,19 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of every embedding with
     round-trip diagnostics (per-vector scale, quantized array,
-    reconstruction RMSE)."""
+    reconstruction RMSE). The quantized vector is emitted as a
+    comma-joined string: the correctness driver's canonicalizer
+    cannot sort array-typed cells (pandas ``sort_values`` raises
+    ``unhashable type: 'list'`` — r7 `err`), so driver-windowed
+    queries emit arrays in scalar form (registry HARD RULE)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return V.quantize_int8(emb, "vec_id", "embedding")
+    q = V.quantize_int8(emb, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join("q_vec", ",").alias("q_vec"),
+        "rmse",
+    )
 
 
 def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -529,7 +539,7 @@ ORACLES = {
         )
         SELECT vec_id,
                ROUND(scale, 9) AS scale,
-               q_vec,
+               array_to_string(q_vec, ',') AS q_vec,
                ROUND(sqrt(list_reduce(
                  list_transform(range(1, len(emb) + 1),
                    i -> (emb[i] - q_vec[i] * scale)

@@ -118,30 +118,44 @@ _WINDOW = [
     # 50 remaining oracled never-checked names (the list the r6 verdict
     # pre-approved, registry order), so a green r7 completes driver
     # coverage of every oracle-checkable query: cumulative 279/289.
-    # R8 ROTATION NOTE: r8 then rotates in the 10 rows-only queries
-    # (q_knn_ivf, q_agg_approx, q_hll_rollup, q_pagerank, q_bpe_vocab,
-    # q_textrank, q_semantic_dedup, q_pca_project, q_stream_distinct,
-    # q_stream_neardedup) for their weaker rows-only driver record,
-    # PLUS the four round-7 oracled additions (q_hard_negatives,
-    # q_dup_inflation, q_mixture_weights, q_budget_select —
-    # mimic-green r7, never driver-windowed), plus re-checks of
-    # anything red from r7; the remaining ~36 slots re-confirm the
-    # highest-churn implementations
-    # (whatever rounds 7-8 touched for performance: corpus pipeline,
-    # clustering coefficient, tokenizer fertility, EWMA).
-    "q_seasonal_anomaly", "q_winsorize", "q_mixture_sample",
-    "q_label_centroids", "q_embed_quantize", "q_lm_score",
-    "q_grouped_linreg", "q_hhi", "q_corr_matrix", "q_time_to_convert",
-    "q_path_trigrams", "q_windowed_distinct", "q_bitmap_distinct",
-    "q_tokenizer_fertility", "q_autocorr", "q_cusum", "q_rolling_median",
-    "q_benford", "q_mode_group", "q_asof_forward", "q_length_buckets",
-    "q_cross_source_dups", "q_rfm", "q_cosine_arrow", "q_media_pool",
-    "q_triangles", "q_feature_hash", "q_sql_udf", "q_weighted_sample",
-    "q_target_encode", "q_quantile_norm", "q_kanonymity", "q_zorder",
-    "q_postings", "q_bm25", "q_agg_merge", "q_bloom_join", "q_domain_cap",
-    "q_weighted_quantile", "q_rolling_corr", "q_theil_sen", "q_late_events",
-    "q_chi_square", "q_degree_dist", "q_clustering_coeff", "q_top_movers",
-    "q_udtf_topk", "q_png_decode", "q_wav_decode", "q_wds_decode",
+    #
+    # ROUND-8 ROTATION (this window). Composition, per the r7 verdict
+    # "Next round" item 1:
+    #  - the 4 round-7 oracled curation queries never driver-windowed
+    #    (q_hard_negatives, q_dup_inflation, q_mixture_weights,
+    #    q_budget_select — mimic-green r7, judge re-verified);
+    #  - the 2 r7 driver-`err` rows (q_embed_quantize, q_postings),
+    #    now emitting their array columns as joined strings so the
+    #    driver's pandas canonicalizer can sort them (HARD RULE: any
+    #    windowed query emits arrays/maps in scalar form; a full
+    #    schema sweep of all 293 queries confirmed these were the
+    #    only two offenders);
+    #  - the 10 rows-only queries for their weaker rows-only driver
+    #    record (each docstring cites its driver-green exact twin);
+    #  - 34 re-checks of the code rounds 7-8 touched: r7 perf surgery
+    #    (corpus_pipeline, clustering_coeff, ewma, triangles,
+    #    tokenizer_fertility, repeated/trim spans, decontaminate) and
+    #    the r8 perf targets (tpch_q21, late_events, the exact-
+    #    quantile family, spearman, weighted_quantile, the >2x
+    #    adjudication list) plus high-value anchors (flagship, dedup/
+    #    ANN family, dsir md5-fold, bm25 whose oracle file changed).
+    # A green r8 gives cumulative 283/283 oracled driver-green and a
+    # rows-only record for all 10 non-SQL-expressible queries.
+    "q_hard_negatives", "q_dup_inflation", "q_mixture_weights",
+    "q_budget_select", "q_embed_quantize", "q_postings",
+    "q_knn_ivf", "q_agg_approx", "q_hll_rollup", "q_pagerank",
+    "q_bpe_vocab", "q_textrank", "q_semantic_dedup", "q_pca_project",
+    "q_stream_distinct", "q_stream_neardedup",
+    "q_corpus_pipeline", "q_clustering_coeff", "q_ewma", "q_triangles",
+    "q_tokenizer_fertility", "q_repeated_spans", "q_trim_spans",
+    "q_decontaminate", "q_tpch_q21", "q_late_events",
+    "q_exact_quantiles", "q_exact_quantiles_cont", "q_percentile_disc",
+    "q_spearman", "q_weighted_quantile", "q_basket_pairs",
+    "q_heaps_fit", "q_zipf_fit", "q_quantile_norm", "q_text_quality",
+    "q_calibration_bins", "q_fk_discovery", "q_pit_join",
+    "q_grouped_topk", "q_flagship", "q_dsir_scores", "q_minhash_pairs",
+    "q_jaccard_prefix", "q_dedup_cc", "q_knn_exact", "q_knn_lsh",
+    "q_label_centroids", "q_bm25", "q_pmi_bigrams",
 ]
 
 

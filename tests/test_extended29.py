@@ -100,6 +100,36 @@ def test_hard_negatives_pandas_equals_hof_form(spark):
     assert {key(r): val(r) for r in hof} == {key(r): val(r) for r in arrow}
 
 
+def test_hard_negatives_pandas_drops_null_labels(spark):
+    """NULL-label corpus rows are negatives in NEITHER form: the HOF
+    form's SQL ``<>`` is NULL on them, and the Arrow form masks them
+    explicitly (numpy ``!=`` alone would treat None as a distinct
+    label and emit them — r8 advice fix)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.999, 0.02], None),  # nearest, but NULL label
+        (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    anchors = emb.filter(F.col("vec_id") == 0)
+    hof = hard_negatives(emb, anchors, k=3, n_blocks=2).collect()
+    arrow = hard_negatives_pandas(emb, anchors, k=3).collect()
+    assert {r.vec_id for r in hof} == {2, 3}
+    key = lambda r: (r.qid, r.rank)
+    val = lambda r: (r.vec_id, r.sim, r.anchor_label, r.neg_label)
+    assert {key(r): val(r) for r in hof} == {key(r): val(r) for r in arrow}
+
+
 def test_dup_inflation_exact_small_case(spark, tmp_path):
     """3 copies of A + 1 B in one source: n_docs 4, n_unique 2,
     inflation = (9 + 1) / 4 = 2.5 -> 2_500_000 micro."""
