@@ -1150,6 +1150,82 @@ def grouped_running_max(
     )
 
 
+def grouped_running_max_dense(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    max_cols: list[str],
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """:func:`grouped_running_max` specialized to a DENSE-ish integer
+    ``order_col`` (an arrival sequence / row id): the parallel split
+    is a DATA-DERIVED range bucket ``order_col div width`` instead of
+    ``spark_partition_id`` over a sampled range shuffle. Because the
+    bucket is a pure function of the row, the two consumers (local
+    prefix maxes, per-bucket totals) agree by construction — no
+    localCheckpoint pin, no range-sampling job, and the bucket+group
+    hash exchange the window inserts is the ONLY fact shuffle (AQE
+    reuses it for the totals aggregate; the generic operator pays a
+    range shuffle, a checkpoint materialization, AND a second full
+    hash shuffle because the checkpointed lineage forgets its
+    layout). Appends ``{col}_rmax``.
+
+    Exactness does not depend on density — any integer key works
+    because bucket order aligns with key order; density only keeps
+    the buckets BALANCED (a heavily clustered key could skew them).
+    The max(order_col) probe is a bounded driver scalar (parquet
+    footer-stats fast), the repo's documented convention for 1-row
+    frames."""
+    if num_buckets is None:
+        num_buckets = 2 * df.sparkSession.sparkContext.defaultParallelism
+    lo, hi = df.agg(
+        F.min(order_col).cast("long"), F.max(order_col).cast("long")
+    ).first()
+    if lo is None:
+        width = 1
+    else:
+        width = max((hi - lo) // num_buckets + 1, 1)
+    b = ((F.col(order_col).cast("long") - F.lit(lo)) / F.lit(width)).cast(
+        "long"
+    )
+    bucketed = df.withColumn("__bkt", b)
+    wloc = (
+        Window.partitionBy("__bkt", *group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "*", *[F.max(c).over(wloc).alias(f"__loc_{c}") for c in max_cols]
+    )
+    totals = bucketed.groupBy("__bkt", *group_cols).agg(
+        *[F.max(c).alias(f"__t_{c}") for c in max_cols]
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bkt",
+        *group_cols,
+        *[
+            F.max(f"__t_{c}").over(woff).alias(f"__off_{c}")
+            for c in max_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), ["__bkt", *group_cols])
+    for c in max_cols:
+        out = out.withColumn(
+            f"{c}_rmax",
+            F.greatest(F.col(f"__loc_{c}"), F.col(f"__off_{c}")),
+        )
+    return out.drop(
+        "__bkt",
+        *[f"__loc_{c}" for c in max_cols],
+        *[f"__off_{c}" for c in max_cols],
+    )
+
+
 def grouped_row_ranks(
     df: DataFrame,
     group_cols: list[str],

@@ -130,24 +130,26 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     choosing every ``withWatermark`` delay in the streaming layer.
 
     The high-water mark comes partition-parallel
-    (:func:`relational.grouped_running_max` — r6: the original
-    ``Window.partitionBy(event_type)`` running max funneled each
-    type's full history through ONE task, the same few-value-key
-    ceiling the rank machinery and EWMA shed); integer epoch seconds
-    end to end.
+    (:func:`relational.grouped_running_max_dense` — r6 shed the
+    original ``Window.partitionBy(event_type)`` running max that
+    funneled each type's full history through ONE task; r8 swapped
+    the spark_partition_id split for the event_id range bucket,
+    dropping the checkpoint materialization and one full fact
+    shuffle: 1.25 s -> see BASELINE.md at sf1); integer epoch
+    seconds end to end.
     """
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_running_max,
+        grouped_running_max_dense,
     )
 
     events = read_table(spark, sf_dir, "events")
     ep = F.unix_timestamp("ts").cast("bigint")
-    marked = grouped_running_max(
+    marked = grouped_running_max_dense(
         events.select(
             "event_type", F.col("event_id"), ep.alias("ep")
         ),
         ["event_type"],
-        ["event_id"],
+        "event_id",
         ["ep"],
     ).select(
         "event_type",

@@ -443,3 +443,51 @@ def test_grouped_running_max_matches_window_form(spark):
         for r in df.withColumn("rm", F.max("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_grouped_running_max_dense_matches_window_form(spark):
+    """The data-derived range-bucket variant must equal the single-
+    window running max — including cross-bucket handoff, a sparse /
+    offset id space (buckets derive from min..max, not 0..N), and a
+    group that is empty in some buckets."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_max_dense,
+    )
+
+    # ids offset by 10_000 and strided by 3: dense-ISH, not dense.
+    rows = [
+        (10_000 + 3 * i, f"g{i % 3}" if i % 7 else "rare",
+         float((i * 193) % 500) - 250.0)
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, ["i", "g", "v"])
+    got = {
+        (r["g"], r["i"]): r["v_rmax"]
+        for r in grouped_running_max_dense(
+            df, ["g"], "i", ["v"], num_buckets=7
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["i"]): r["rm"]
+        for r in df.withColumn("rm", F.max("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_running_max_dense_empty_frame(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_max_dense,
+    )
+
+    df = spark.createDataFrame([], "i long, g string, v double")
+    assert grouped_running_max_dense(df, ["g"], "i", ["v"]).count() == 0
