@@ -1150,6 +1150,92 @@ def grouped_running_max(
     )
 
 
+def grouped_running_sums_bucketed(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    sum_cols: list[str],
+    bounds: tuple[float, float] | None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """:func:`grouped_running_sums` with the parallel split derived
+    from the ORDER VALUE itself — ``floor((v − lo) / width)`` over
+    caller-supplied ``bounds`` — instead of ``spark_partition_id``
+    over a sampled range shuffle. Because the bucket is a pure
+    function of the row, the local-prefix pass and the offsets pass
+    agree by construction: no localCheckpoint pin, no range-sampling
+    job, and the spine shuffles ONCE (the window's bucket+group hash
+    exchange) instead of twice-plus-materialization. Appends
+    ``{col}_rsum`` per requested column.
+
+    ``bounds`` is (min, max) of ``order_col`` — probe it from the
+    RAW fact (parquet footer-stats cheap), never from ``df`` itself
+    when ``df`` is an aggregation, or the probe re-runs the
+    aggregate. ``bounds=None`` (empty input) degrades to a single
+    bucket. Exactness never depends on the value distribution —
+    bucket order aligns with value order by monotonicity of floor,
+    and NULL order values map to bucket −1, matching the window's
+    NULLS FIRST — only bucket BALANCE does: a heavily skewed domain
+    (one hot value) concentrates its rows in one bucket, the same
+    way one hot key skews any range split. Same contract otherwise:
+    ``df`` pre-aggregated to one row per (group, order value).
+    """
+    if num_buckets is None:
+        num_buckets = 2 * df.sparkSession.sparkContext.defaultParallelism
+    if bounds is None or bounds[0] is None:
+        lo, width = 0.0, float("inf")
+    else:
+        lo = float(bounds[0])
+        span = float(bounds[1]) - lo
+        width = (span / num_buckets) or 1.0
+    b = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.floor(
+                (F.col(order_col).cast("double") - F.lit(lo))
+                / F.lit(width)
+            ),
+            F.lit(num_buckets - 1),
+        )
+    )
+    bucketed = df.withColumn("__bkt", b)
+    wloc = (
+        Window.partitionBy("__bkt", *group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "*", *[F.sum(c).over(wloc).alias(f"__loc_{c}") for c in sum_cols]
+    )
+    totals = bucketed.groupBy("__bkt", *group_cols).agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    woff = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bkt",
+        *group_cols,
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(woff), F.lit(0)).alias(
+                f"__off_{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), ["__bkt", *group_cols])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_rsum", F.col(f"__loc_{c}") + F.col(f"__off_{c}")
+        )
+    return out.drop(
+        "__bkt",
+        *[f"__loc_{c}" for c in sum_cols],
+        *[f"__off_{c}" for c in sum_cols],
+    )
+
+
 def grouped_running_max_dense(
     df: DataFrame,
     group_cols: list[str],
@@ -1417,30 +1503,62 @@ def exact_group_quantiles(
     counts = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    cum = grouped_running_sums(
+    # Bounds probed on the RAW fact (footer-stats cheap, never
+    # re-runs the counts aggregate); the bucketed spine machinery
+    # shuffles the distinct-value spine once with no checkpoint pin
+    # (r8 — the generic grouped_running_sums pays a range shuffle, a
+    # localCheckpoint materialization, AND a second full hash shuffle
+    # on a spine that is nearly fact-sized for high-cardinality
+    # value columns).
+    bounds = tuple(
+        df.agg(F.min(value_col), F.max(value_col)).first()
+    )
+    cum = grouped_running_sums_bucketed(
         counts, [group_col], value_col, ["__cnt"],
-        num_partitions=num_partitions,
+        bounds=bounds, num_buckets=num_partitions,
     )
     tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
-    pm = F.explode(
-        F.array(*[F.lit(int(p)) for p in permille])
-    ).alias("quantile_pm")
-    return (
+    # One conditional MIN per requested permille in a SINGLE group
+    # aggregate (r8) — the earlier explode-per-pm form pushed
+    # |permille| copies of the spine through the final aggregate;
+    # this passes the spine once and unpivots the |permille|-column
+    # result afterwards (group-grain rows, free).
+    picked = (
         cum.join(F.broadcast(tot), group_col)
-        .select(group_col, value_col, "__cnt_rsum", "__n", pm)
-        .withColumn(
-            "__rank",
-            F.greatest(
-                F.lit(1),
-                F.expr("(quantile_pm * __n + 999) div 1000"),
-            ),
-        )
-        .filter(F.col("__cnt_rsum") >= F.col("__rank"))
-        .groupBy(group_col, "quantile_pm")
+        .groupBy(group_col)
         .agg(
-            F.min(value_col).alias("q_value"),
             F.max("__n").cast("bigint").alias("n_rows"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("__cnt_rsum")
+                        >= F.greatest(
+                            F.lit(1),
+                            F.expr(f"({int(p)} * __n + 999) div 1000"),
+                        ),
+                        F.col(value_col),
+                    )
+                ).alias(f"__q_{int(p)}")
+                for p in permille
+            ],
         )
+    )
+    unpivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(p)).alias("quantile_pm"),
+                    F.col(f"__q_{int(p)}").alias("q_value"),
+                )
+                for p in permille
+            ]
+        )
+    ).alias("__u")
+    return picked.select(group_col, unpivot, "n_rows").select(
+        group_col,
+        F.col("__u.quantile_pm").alias("quantile_pm"),
+        F.col("__u.q_value").alias("q_value"),
+        "n_rows",
     )
 
 
@@ -1476,48 +1594,73 @@ def exact_group_quantiles_cont(
     counts = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    cum = grouped_running_sums(
+    # Same bucketed-spine machinery as the discrete form (r8): one
+    # spine shuffle, no checkpoint; bounds probed on the raw fact.
+    bounds = tuple(
+        df.agg(F.min(value_col), F.max(value_col)).first()
+    )
+    cum = grouped_running_sums_bucketed(
         counts, [group_col], value_col, ["__cnt"],
-        num_partitions=num_partitions,
+        bounds=bounds, num_buckets=num_partitions,
     )
     tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
-    pm = F.explode(
-        F.array(*[F.lit(int(p)) for p in permille])
-    ).alias("quantile_pm")
-    based = (
+    # Both order statistics for every requested permille as
+    # conditional MINs in ONE group aggregate (r8 — replaces the
+    # explode-per-pm pass over the spine, see the discrete form):
+    # value at rank __lo = pos div 1000 + 1 is the smallest value
+    # whose cumulative count reaches it; rank __lo + 1 likewise
+    # (NULL when the interpolation needs no upper neighbour).
+    def _lo(p: int):
+        return F.expr(f"({p} * (__n - 1)) div 1000 + 1")
+
+    picked = (
         cum.join(F.broadcast(tot), group_col)
-        .select(group_col, value_col, "__cnt_rsum", "__cnt", "__n", pm)
-        .withColumn(
-            "__pos", F.expr("quantile_pm * (__n - 1)")
+        .groupBy(group_col)
+        .agg(
+            F.max("__n").cast("bigint").alias("n_rows"),
+            *[
+                agg
+                for p in permille
+                for agg in (
+                    F.min(
+                        F.when(
+                            F.col("__cnt_rsum") >= _lo(int(p)),
+                            F.col(value_col),
+                        )
+                    ).alias(f"__vlo_{int(p)}"),
+                    F.min(
+                        F.when(
+                            F.col("__cnt_rsum") >= _lo(int(p)) + 1,
+                            F.col(value_col),
+                        )
+                    ).alias(f"__vhi_{int(p)}"),
+                )
+            ],
         )
-        .withColumn("__lo", F.expr("__pos div 1000 + 1"))
-        .withColumn("__frac", F.expr("__pos % 1000"))
     )
-    # value at rank __lo: smallest value whose cumulative count
-    # reaches it; value at rank __lo + 1 likewise (NULL when the
-    # interpolation needs no upper neighbour).
-    lo_v = F.min(
-        F.when(F.col("__cnt_rsum") >= F.col("__lo"), F.col(value_col))
-    ).alias("__v_lo")
-    hi_v = F.min(
-        F.when(
-            F.col("__cnt_rsum") >= F.col("__lo") + 1, F.col(value_col)
+    unpivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(p)).alias("quantile_pm"),
+                    F.col(f"__vlo_{int(p)}").alias("__v_lo"),
+                    F.col(f"__vhi_{int(p)}").alias("__v_hi"),
+                    F.expr(f"({int(p)} * (n_rows - 1)) % 1000").alias(
+                        "__frac"
+                    ),
+                )
+                for p in permille
+            ]
         )
-    ).alias("__v_hi")
-    picked = based.groupBy(group_col, "quantile_pm").agg(
-        lo_v,
-        hi_v,
-        F.max("__frac").alias("__frac"),
-        F.max("__n").cast("bigint").alias("n_rows"),
-    )
+    ).alias("__u")
     interp = (
-        F.col("__v_lo")
-        + (F.coalesce("__v_hi", F.col("__v_lo")) - F.col("__v_lo"))
-        * (F.col("__frac") / F.lit(1000.0))
+        F.col("__u.__v_lo")
+        + (F.coalesce("__u.__v_hi", F.col("__u.__v_lo")) - F.col("__u.__v_lo"))
+        * (F.col("__u.__frac") / F.lit(1000.0))
     )
-    return picked.select(
+    return picked.select(group_col, unpivot, "n_rows").select(
         group_col,
-        "quantile_pm",
+        F.col("__u.quantile_pm").alias("quantile_pm"),
         F.round(interp, 6).alias("q_value"),
         "n_rows",
     )

@@ -165,43 +165,68 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discrete (type-1) per-priority order-value quantiles: the
     value at rank ceil(p·n), p ∈ {.25, .5, .75, .9} — real order
     values, not interpolations (the complement of the continuous
-    `q_percentiles`). Ranks come partition-parallel
-    (:func:`relational.grouped_row_ranks` — rewritten r5: the
-    per-priority window funneled each class through one sort task);
-    each row then tests the four candidate ranks locally and
-    explodes only matches, so there is no cross-row blowup at any
-    scale."""
+    `q_percentiles`). r8: located by COUNTING on the (priority,
+    price) spine — per-value counts, bucketed partition-parallel
+    prefix sums (:func:`relational.grouped_running_sums_bucketed`,
+    one spine shuffle, no checkpoint pin), then one conditional-MIN
+    aggregate per p (the value at row rank r in (price, orderkey)
+    order is the r-th smallest price counting duplicates, so the
+    orderkey tie-break of the earlier per-row ranked form is
+    value-irrelevant). The rank stays the oracle's own IEEE
+    ``ceil(p·n)`` — both engines evaluate the identical double
+    product, so the boundary cannot drift."""
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_row_ranks,
+        grouped_running_sums_bucketed,
     )
 
     orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderpriority", "o_totalprice", "o_orderkey"
+        "o_orderpriority", "o_totalprice"
     )
-    sizes = orders.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("__n")
+    counts = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
-    ranked = (
-        grouped_row_ranks(
-            orders, ["o_orderpriority"],
-            ["o_totalprice", "o_orderkey"], "__rn",
+    bounds = tuple(
+        orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    )
+    cum = grouped_running_sums_bucketed(
+        counts, ["o_orderpriority"], "o_totalprice", ["__cnt"],
+        bounds=bounds,
+    )
+    tot = counts.groupBy("o_orderpriority").agg(
+        F.sum("__cnt").alias("__n")
+    )
+    ps = (0.25, 0.5, 0.75, 0.9)
+    picked = (
+        cum.join(F.broadcast(tot), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("__cnt_rsum")
+                        >= F.ceil(F.lit(p) * F.col("__n")),
+                        F.col("o_totalprice"),
+                    )
+                ).alias(f"__v_{int(p * 100)}")
+                for p in ps
+            ]
         )
-        .join(F.broadcast(sizes), "o_orderpriority")
     )
-    ps = F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9)])
-    return (
-        ranked.select(
-            "o_orderpriority",
-            "o_totalprice",
-            F.explode(
-                F.filter(
-                    ps, lambda p: F.ceil(p * F.col("__n")) == F.col("__rn")
+    unpivot = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("p"),
+                    F.col(f"__v_{int(p * 100)}").alias("value"),
                 )
-            ).alias("p"),
+                for p in ps
+            ]
         )
-        .select(
-            "o_orderpriority", "p", F.col("o_totalprice").alias("value")
-        )
+    ).alias("__u")
+    return picked.select("o_orderpriority", unpivot).select(
+        "o_orderpriority",
+        F.col("__u.p").alias("p"),
+        F.col("__u.value").alias("value"),
     )
 
 

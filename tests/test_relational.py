@@ -445,6 +445,50 @@ def test_grouped_running_max_matches_window_form(spark):
     assert got == want
 
 
+def test_grouped_running_sums_bucketed_matches_window_form(spark):
+    """The value-range-bucketed prefix sum must equal the single-
+    window running sum for skewed doubles (most mass in one bucket),
+    negative values, and NULL order values (bucket −1 = NULLS
+    FIRST)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums_bucketed,
+    )
+
+    rows = [
+        (
+            f"g{i % 3}",
+            None if i % 97 == 0 else float(i * i % 701) - 100.0,
+            i % 5 + 1,
+        )
+        for i in range(1500)
+    ]
+    df = (
+        spark.createDataFrame(rows, ["g", "v", "c"])
+        .groupBy("g", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    bounds = tuple(df.agg(F.min("v"), F.max("v")).first())
+    got = {
+        (r["g"], r["v"]): r["c_rsum"]
+        for r in grouped_running_sums_bucketed(
+            df, ["g"], "v", ["c"], bounds=bounds, num_buckets=7
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.asc_nulls_first("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["v"]): r["rs"]
+        for r in df.withColumn("rs", F.sum("c").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_grouped_running_max_dense_matches_window_form(spark):
     """The data-derived range-bucket variant must equal the single-
     window running max — including cross-bucket handoff, a sparse /
