@@ -1394,6 +1394,7 @@ def grouped_tie_rank2(
     value_col: str,
     rank_col: str = "rank2",
     num_partitions: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Tie-averaged ranks within each group carried as INTEGER
     ``2·rank`` (a value preceded by ``less`` rows with ``cnt`` ties
@@ -1402,14 +1403,25 @@ def grouped_tie_rank2(
     value) counts (hash aggregate — the only pass over the raw rows)
     feed :func:`grouped_running_sums`, so no group ever sorts in one
     task. Returns one row per (group, value) with ``rank_col``;
-    callers join it back to the fact on (group, value)."""
+    callers join it back to the fact on (group, value).
+
+    Pass ``bounds`` = (min, max) of ``value_col`` (probed cheaply
+    from the raw fact) to route the prefix sum through
+    :func:`grouped_running_sums_bucketed` — one spine shuffle, no
+    checkpoint pin, no range-sampling job (r8)."""
     counts = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    cum = grouped_running_sums(
-        counts, [group_col], value_col, ["__cnt"],
-        num_partitions=num_partitions,
-    )
+    if bounds is not None:
+        cum = grouped_running_sums_bucketed(
+            counts, [group_col], value_col, ["__cnt"],
+            bounds=bounds, num_buckets=num_partitions,
+        )
+    else:
+        cum = grouped_running_sums(
+            counts, [group_col], value_col, ["__cnt"],
+            num_partitions=num_partitions,
+        )
     return cum.select(
         group_col,
         value_col,

