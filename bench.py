@@ -281,17 +281,30 @@ def main() -> None:
         "cold": cold,
         "n_queries": len(timings),
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL.json"),
-        "w",
-    ) as f:
-        json.dump(full, f)
     # The driver captures only the LAST 2000 chars of stdout; a
     # 143-query dict overflows that and the line becomes unparseable
     # (BENCH_r03 "parsed": null). Emit a compact line: summary fields
     # plus as many per-query timings as fit (slowest first — the ones
     # that matter for the perf read), full detail in BENCH_FULL.json.
+    # Quiet-session counterpart (r8, VERDICT r7 item 7): this box's
+    # timings inflate 2-3x under concurrent load, so a driver-run
+    # total can read as a "regression" that is pure box drift. The
+    # builder refreshes BENCH_QUIET.json from an idle-box session
+    # (tools/: run bench.py with nothing else on the machine, copy
+    # BENCH_FULL.json); when its sf matches, the compact line carries
+    # its total as quiet_session_total so the artifact itself shows
+    # the drift-free comparison point.
+    quiet_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"
+    )
+    quiet_total = None
+    try:
+        with open(quiet_path) as f:
+            quiet = json.load(f)
+        if quiet.get("sf") == sf:
+            quiet_total = quiet.get("value")
+    except (OSError, ValueError):
+        pass
     compact = {
         "metric": full["metric"],
         "value": total,
@@ -302,6 +315,15 @@ def main() -> None:
         "queries_full": "BENCH_FULL.json",
         "queries": {},
     }
+    if quiet_total is not None:
+        compact["quiet_session_total"] = quiet_total
+        full["quiet_session_total"] = quiet_total
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f)
     for name in sorted(timings, key=timings.get, reverse=True):
         compact["queries"][name] = timings[name]
         if len(json.dumps(compact, separators=(",", ":"))) > 1800:

@@ -1846,30 +1846,32 @@ def fk_containment(
     schema-inference runs over an undocumented 100 TB dump before
     trusting a join.
 
-    Plan shape: one distinct-aggregate per side (each a map-side-
-    combined shuffle on its own column only — never the full rows),
-    then ONE full-outer flag-join between the two distinct sets: a
-    single aggregate over the joined frame yields all three counts
-    (child distinct, parent distinct, intersection) — no per-count
-    re-aggregation, no re-scan of either input. Cost is
-    value-set-sized, not data-sized. Counts stay integers until the
+    Plan shape (r8 — replaced distinct+distinct+full-outer
+    sort-merge): tag each side's values and UNION them, then ONE
+    value-grain hash aggregate (``max`` of the tags = the side-
+    membership flags the full-outer join used to produce) and one
+    1-row fold. Each side partial-aggregates map-side before the
+    single exchange, so the shuffle is value-set-sized, and the
+    whole probe is HashAggregates — no sort anywhere (the SMJ form
+    sorted both distinct sets; measured 1.09 s -> see BASELINE.md
+    for the 3-probe query at sf1). Counts stay integers until the
     final division, so the DuckDB twin lands on the identical
     double."""
     rel = relationship or f"{child_col}->{parent_col}"
     c = (
         child.select(F.col(child_col).alias("__v"))
         .filter(F.col("__v").isNotNull())
-        .distinct()
-        .withColumn("__c", F.lit(1))
+        .select("__v", F.lit(1).alias("__c"), F.lit(0).alias("__p"))
     )
     p = (
         parent.select(F.col(parent_col).alias("__v"))
         .filter(F.col("__v").isNotNull())
-        .distinct()
-        .withColumn("__p", F.lit(1))
+        .select("__v", F.lit(0).alias("__c"), F.lit(1).alias("__p"))
     )
     return (
-        c.join(p, "__v", "full_outer")
+        c.unionByName(p)
+        .groupBy("__v")
+        .agg(F.max("__c").alias("__c"), F.max("__p").alias("__p"))
         .agg(
             F.sum("__c").alias("n_child_distinct"),
             F.sum("__p").alias("n_parent_distinct"),

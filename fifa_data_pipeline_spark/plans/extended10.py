@@ -108,7 +108,14 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     they bought". Because intervals tile each user's timeline, the
     PIT join is an equi-join on user_id plus a containment filter
     (see :func:`~...relational.point_in_time_join`): one shuffle,
-    exactly one surviving version per fact."""
+    exactly one surviving version per fact.
+
+    r8 adjudication (sf1, min-of-5 warm): 0.74 s vs DuckDB 0.29 s
+    (2.5×, band 0.57-0.74 across sessions). The cost is building the
+    SCD-2 interval table (its own windowed historization of the full
+    event log) plus the one fact equi-join — both shapes already
+    minimal; the ratio is the staged-execution constant on the
+    interval build, not a missing pushdown. Shape stands."""
     from fifa_data_pipeline_spark.plans.extended4 import q_scd2
 
     ivl = q_scd2(spark, sf_dir)

