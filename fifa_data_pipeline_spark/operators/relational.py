@@ -1153,7 +1153,7 @@ def grouped_running_max(
 def grouped_running_sums_bucketed(
     df: DataFrame,
     group_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     sum_cols: list[str],
     bounds: tuple[float, float] | None,
     num_buckets: int | None = None,
@@ -1179,7 +1179,17 @@ def grouped_running_sums_bucketed(
     (one hot value) concentrates its rows in one bucket, the same
     way one hot key skews any range split. Same contract otherwise:
     ``df`` pre-aggregated to one row per (group, order value).
+
+    ``order_col`` may be a composite list: the bucket derives from
+    the FIRST component (``bounds`` = its min/max), which aligns
+    with the lexicographic order because rows sharing a first-
+    component value share a bucket; remaining components only order
+    within the bucket.
     """
+    order_cols = (
+        [order_col] if isinstance(order_col, str) else list(order_col)
+    )
+    lead = order_cols[0]
     if num_buckets is None:
         num_buckets = 2 * df.sparkSession.sparkContext.defaultParallelism
     if bounds is None or bounds[0] is None:
@@ -1188,10 +1198,10 @@ def grouped_running_sums_bucketed(
         lo = float(bounds[0])
         span = float(bounds[1]) - lo
         width = (span / num_buckets) or 1.0
-    b = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+    b = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(
         F.least(
             F.floor(
-                (F.col(order_col).cast("double") - F.lit(lo))
+                (F.col(lead).cast("double") - F.lit(lo))
                 / F.lit(width)
             ),
             F.lit(num_buckets - 1),
@@ -1200,7 +1210,7 @@ def grouped_running_sums_bucketed(
     bucketed = df.withColumn("__bkt", b)
     wloc = (
         Window.partitionBy("__bkt", *group_cols)
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bucketed.select(

@@ -202,18 +202,24 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter than X" — the curation question — where the unweighted
     median answers only "half the DOCUMENTS are shorter". The
     cumulative weight comes partition-parallel
-    (:func:`relational.grouped_running_sums` — rewritten r5: the
-    per-language window funneled each language through one sort
-    task); the language total joins back as a broadcast.
+    (:func:`relational.grouped_running_sums_bucketed` — r5 shed the
+    per-language window funnel, r8 the checkpoint pin + second spine
+    shuffle: the bucket derives from n_chars over a footer-cheap
+    bounds probe); the language total joins back as a broadcast.
     """
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_running_sums,
+        grouped_running_sums_bucketed,
     )
 
     docs = read_table(spark, sf_dir, "documents").select(
         "lang",
         "n_chars",
         token_count_expr("text").alias("w"),
+    )
+    bounds = tuple(
+        read_table(spark, sf_dir, "documents")
+        .agg(F.min("n_chars"), F.max("n_chars"))
+        .first()
     )
     # Pre-aggregate to the (lang, value) SPINE before the prefix-sum
     # machinery (r6): the discrete weighted quantile selects the first
@@ -225,7 +231,9 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = docs.groupBy("lang", "n_chars").agg(F.sum("w").alias("w"))
     totals = spine.groupBy("lang").agg(F.sum("w").alias("totw"))
     cum = (
-        grouped_running_sums(spine, ["lang"], ["n_chars"], ["w"])
+        grouped_running_sums_bucketed(
+            spine, ["lang"], ["n_chars"], ["w"], bounds=bounds
+        )
         .join(F.broadcast(totals), "lang")
         .select(
             "lang", "n_chars", F.col("w_rsum").alias("cumw"), "totw"

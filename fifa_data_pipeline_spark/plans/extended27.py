@@ -141,16 +141,23 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.col("first_doc").alias("doc_id")
     ).agg(F.count(F.lit(1)).alias("v_new"))
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_running_sums,
+        grouped_running_sums_bucketed,
     )
 
     spine = (
         per_doc.join(new_types, ["source", "doc_id"], "left")
         .withColumn("v_new", F.coalesce("v_new", F.lit(0)))
     )
+    # doc_id bounds from the raw table (footer-cheap) feed the
+    # bucketed prefix machinery (r8): one spine shuffle, no
+    # checkpoint pin.
+    id_bounds = tuple(
+        docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    )
     curve = (
-        grouped_running_sums(
-            spine, ["source"], "doc_id", ["n_toks", "v_new"]
+        grouped_running_sums_bucketed(
+            spine, ["source"], "doc_id", ["n_toks", "v_new"],
+            bounds=id_bounds,
         )
         .withColumnRenamed("n_toks_rsum", "n_cum")
         .withColumnRenamed("v_new_rsum", "v_cum")
@@ -268,13 +275,16 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     |pairs| × |distinct lengths|, metadata-sized, and its prefix
     sums parallelize across range partitions."""
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_running_sums,
+        grouped_running_sums_bucketed,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     counts = _lang_pair_counts(docs)
-    cum = grouped_running_sums(
-        counts, ["lang_a", "lang_b"], "n_chars", ["ca", "cb"]
+    # n_chars bounds probe (footer-cheap) -> bucketed prefix sums
+    # (r8): one spine shuffle, no checkpoint pin.
+    cum = grouped_running_sums_bucketed(
+        counts, ["lang_a", "lang_b"], "n_chars", ["ca", "cb"],
+        bounds=tuple(docs.agg(F.min("n_chars"), F.max("n_chars")).first()),
     )
     totals = counts.groupBy("lang_a", "lang_b").agg(
         F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
@@ -356,7 +366,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_lang_pair_counts`,
     :func:`relational.grouped_running_sums`)."""
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_running_sums,
+        grouped_running_sums_bucketed,
     )
 
     docs = read_table(spark, sf_dir, "documents")
@@ -364,8 +374,11 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ct", F.col("ca") + F.col("cb")
     )
     ranked = (
-        grouped_running_sums(
-            counts, ["lang_a", "lang_b"], "n_chars", ["ct"]
+        grouped_running_sums_bucketed(
+            counts, ["lang_a", "lang_b"], "n_chars", ["ct"],
+            bounds=tuple(
+                docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+            ),
         )
         .withColumn("less", F.col("ct_rsum") - F.col("ct"))
         .withColumn(

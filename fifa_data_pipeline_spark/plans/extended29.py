@@ -264,7 +264,7 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     already exceeds the half budget select nothing and drop out —
     the SQL twin shares that inner-join semantics."""
     from fifa_data_pipeline_spark.operators.relational import (
-        grouped_running_sums,
+        grouped_running_sums_bucketed,
     )
     from fifa_data_pipeline_spark.operators.text import text_stats
 
@@ -280,8 +280,13 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = stats.withColumn(
         "__negq", F.lit(1_000_000) - F.col("q_micro")
     )
-    cum = grouped_running_sums(
-        ranked, ["source"], ["__negq", "doc_id"], ["n_tokens"]
+    # Bucketed prefix machinery on the composite (__negq, doc_id)
+    # order: __negq is a micro-unit in [0, 1e6] BY CONSTRUCTION, so
+    # the bucket bounds are static literals — no probe job at all
+    # (r8: one spine shuffle, no checkpoint pin).
+    cum = grouped_running_sums_bucketed(
+        ranked, ["source"], ["__negq", "doc_id"], ["n_tokens"],
+        bounds=(0, 1_000_000),
     )
     totals = stats.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
