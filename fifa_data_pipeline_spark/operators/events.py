@@ -292,11 +292,13 @@ def ewma(
     PARTITION-PARALLEL (r6): ``Window.partitionBy(<few-value key>)``
     was the last few-value-key funnel in the package — one task per
     event type sorts that type's entire history, a hard ceiling at
-    100×. The bounded lookback makes the window LOCAL: range-partition
-    on (key, ts, id) (layout pinned, same discipline as
-    ``relational.grouped_running_sums``), then let each partition see
-    the GHOST rows that precede it. Windows then partition on
-    (physical partition, key): parallelism scales with the cluster.
+    100×. The bounded lookback makes the window LOCAL: split the
+    timeline into DATA-DERIVED time buckets (r8 — previously a
+    pinned range shuffle on (key, ts, id); the bucket is a pure
+    function of ts, so no layout pin and one less fact shuffle),
+    then let each bucket see the GHOST rows that precede it. Windows
+    then partition on (bucket, key): parallelism scales with the
+    cluster.
 
     GHOSTS ARE COMPLETE BY CONSTRUCTION (r7, replacing the r6 guard):
     each (partition, key) run contributes its last ``lookback−1``
@@ -335,12 +337,29 @@ def ewma(
     )
     if num_partitions is None:
         num_partitions = 2 * df.sparkSession.sparkContext.defaultParallelism
-    part = df.repartitionByRange(
-        num_partitions, F.col(key_col), F.col(ts_col), F.col(id_col)
+    # r8: the parallel split is a DATA-DERIVED time bucket
+    # (floor((micros(ts) − lo) / width) over a cheap min/max probe)
+    # instead of spark_partition_id over a sampled range shuffle —
+    # the same move as relational.grouped_running_sums_bucketed.
+    # Because the bucket is a pure function of the row, every
+    # consumer (tails pool, ghosts, main window) agrees by
+    # construction: no localCheckpoint pin, and the range shuffle +
+    # the extra hash exchange the checkpointed (layout-forgetting)
+    # lineage forced before each window both disappear. Bucket order
+    # aligns with (ts, id) order per key since the bucket is
+    # monotone in ts and ties share a bucket; the ghost pool logic
+    # is split-id-agnostic (it re-ranks per key across earlier
+    # splits), so empty or uneven buckets change nothing.
+    mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lo, hi = df.agg(F.min(mic), F.max(mic)).first()
+    width = max(((hi - lo) // num_partitions + 1), 1) if lo is not None else 1
+    pinned = df.withColumn(
+        "__pid",
+        F.when(mic.isNull(), F.lit(-1)).otherwise(
+            ((mic - F.lit(lo if lo is not None else 0)) / F.lit(width))
+            .cast("long")
+        ),
     )
-    pinned = part.withColumn(
-        "__pid", F.spark_partition_id().cast("long")
-    ).localCheckpoint(eager=False)
     # candidate ghost pool: each (partition, key) run's last
     # lookback−1 rows. Metadata-sized; every run contributes at least
     # its own last row, so the pool also witnesses every (key, pid).

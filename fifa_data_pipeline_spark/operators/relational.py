@@ -1328,6 +1328,7 @@ def grouped_row_ranks(
     order_cols: list[str],
     rank_col: str = "row_rank",
     num_partitions: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Per-group 1-based ROW ranks in ``order_cols`` order (ascending;
     pre-negate a column for descending) computed partition-parallel —
@@ -1335,14 +1336,21 @@ def grouped_row_ranks(
     <few-value key> ORDER BY …)`` whose one-task-per-group sort is
     the 100 TB ceiling. ``(group, order_cols)`` must be unique (the
     same contract the deterministic window form needs). Just
-    :func:`grouped_running_sums` with a constant-1 weight."""
-    out = grouped_running_sums(
-        df.withColumn("__one", F.lit(1)),
-        group_cols,
-        order_cols,
-        ["__one"],
-        num_partitions=num_partitions,
-    )
+    :func:`grouped_running_sums` with a constant-1 weight; pass
+    ``bounds`` = (min, max) of the FIRST order column to route
+    through :func:`grouped_running_sums_bucketed` (one shuffle, no
+    checkpoint pin — r8)."""
+    one = df.withColumn("__one", F.lit(1))
+    if bounds is not None:
+        out = grouped_running_sums_bucketed(
+            one, group_cols, order_cols, ["__one"],
+            bounds=bounds, num_buckets=num_partitions,
+        )
+    else:
+        out = grouped_running_sums(
+            one, group_cols, order_cols, ["__one"],
+            num_partitions=num_partitions,
+        )
     return out.withColumnRenamed("__one_rsum", rank_col).drop("__one")
 
 

@@ -248,8 +248,11 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view", "purchase")
     ).select("event_id", "event_type", "value")
+    # value bounds probe (footer-cheap) -> bucketed row ranks (r8):
+    # one fact shuffle, no checkpoint pin.
     ranked = grouped_row_ranks(
-        ev, ["event_type"], ["value", "event_id"], "__rk"
+        ev, ["event_type"], ["value", "event_id"], "__rk",
+        bounds=tuple(ev.agg(F.min("value"), F.max("value")).first()),
     )
     ref = ranked.groupBy("__rk").agg(F.avg("value").alias("__ref"))
     return (

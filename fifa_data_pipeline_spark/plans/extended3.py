@@ -119,9 +119,14 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    # price bounds probe (footer-cheap) -> bucketed row ranks (r8):
+    # one fact shuffle, no checkpoint pin.
     ranked = grouped_row_ranks(
         orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"],
         "__i",
+        bounds=tuple(
+            orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+        ),
     )
     sizes = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("__n")
