@@ -907,6 +907,7 @@ def assign_dense_ids(
     order_cols: list[str],
     id_col: str = "row_id",
     num_partitions: int | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Dense, gap-free global row ids 1..N in ``order_cols`` order —
     WITHOUT the classic 100 TB trap of ``row_number() OVER (ORDER BY
@@ -937,7 +938,18 @@ def assign_dense_ids(
     out of scope. Unpinning before the final action would recompute
     the layout and break id/offset agreement; the checkpoint makes
     that impossible by construction (both passes read the same RDD).
+
+    Pass ``bounds`` = (min, max) of the FIRST order column to use
+    the data-derived bucket split instead (r8): global dense ids are
+    per-bucket row ranks plus per-bucket count offsets, i.e. exactly
+    :func:`grouped_row_ranks` with no group columns — one shuffle,
+    no checkpoint pin, no driver-side offset scan.
     """
+    if bounds is not None:
+        return grouped_row_ranks(
+            df, [], order_cols, id_col,
+            num_partitions=num_partitions, bounds=bounds,
+        )
     if num_partitions is None:
         # scale with the cluster, not a constant: 2× the scheduler's
         # parallelism keeps every core busy through the final stage

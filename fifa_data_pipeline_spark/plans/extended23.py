@@ -106,7 +106,15 @@ def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number() OVER (ORDER BY o_orderkey)`` (the oracle) but
     never collapsing the table into one task."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
-    return assign_dense_ids(orders, ["o_orderkey"])
+    # orderkey bounds probe (footer-cheap) -> bucketed split (r8):
+    # one shuffle, no checkpoint pin, no driver offset scan.
+    return assign_dense_ids(
+        orders,
+        ["o_orderkey"],
+        bounds=tuple(
+            orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+        ),
+    )
 
 
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:

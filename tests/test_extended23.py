@@ -130,6 +130,31 @@ def test_dense_ids_are_gapfree_and_windowless(spark, sf_dir):
     assert "ExistingRDD" in plan
 
 
+def test_dense_ids_bucketed_path_matches(spark, sf_dir):
+    """With bounds supplied, dense ids ride the bucketed row-rank
+    machinery: same gap-free 1..N contract, no checkpointed RDD in
+    the plan, and the only Window partitions by the derived bucket
+    (never a global single-task sort)."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        assign_dense_ids,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    b = tuple(orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first())
+    out = assign_dense_ids(
+        orders, ["o_orderkey"], num_partitions=7, bounds=b
+    )
+    rows = out.collect()
+    ids = sorted(r.row_id for r in rows)
+    assert ids == list(range(1, len(rows) + 1))
+    by_key = sorted(rows, key=lambda r: r.o_orderkey)
+    assert [r.row_id for r in by_key] == ids
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # no checkpoint pin
+
+
 def test_table_checksum_order_insensitive_and_sensitive(spark):
     from fifa_data_pipeline_spark.operators.relational import (
         table_checksum,
