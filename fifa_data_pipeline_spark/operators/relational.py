@@ -1225,11 +1225,31 @@ def grouped_running_sums_bucketed(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wpart = Window.partitionBy("__bkt", *group_cols)
     local = bucketed.select(
-        "*", *[F.sum(c).over(wloc).alias(f"__loc_{c}") for c in sum_cols]
+        "*",
+        *[F.sum(c).over(wloc).alias(f"__loc_{c}") for c in sum_cols],
+        F.row_number().over(
+            Window.partitionBy("__bkt", *group_cols).orderBy(*order_cols)
+        ).alias("__rsb_rn"),
+        F.count(F.lit(1)).over(wpart).alias("__rsb_cnt"),
     )
-    totals = bucketed.groupBy("__bkt", *group_cols).agg(
-        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    # Per-bucket totals = the LAST row of each bucket's local prefix
+    # (rn == cnt), filtered from ``local`` — NOT a fresh aggregate
+    # over ``bucketed``. A groupBy over ``bucketed`` plants a partial
+    # aggregate BELOW its own exchange, so the two exchange subplans
+    # differ and the whole ``df`` subtree (often an expensive
+    # tokenize or aggregate projection) computes twice — measured as
+    # 2x corpus tokenize on q_budget_select (r8). The filter form
+    # REFERENCES window outputs, so Catalyst cannot prune the Window
+    # and re-plan: both branches keep the identical
+    # hash(__bkt, group) exchange and ReuseExchange serves the
+    # totals branch from the first branch's shuffle files — one scan
+    # of ``df``, one extra sort of the spine (cheap, shuffle-local).
+    totals = local.filter(F.col("__rsb_rn") == F.col("__rsb_cnt")).select(
+        "__bkt",
+        *group_cols,
+        *[F.col(f"__loc_{c}").alias(f"__t_{c}") for c in sum_cols],
     )
     woff = (
         Window.partitionBy(*group_cols)
@@ -1253,6 +1273,8 @@ def grouped_running_sums_bucketed(
         )
     return out.drop(
         "__bkt",
+        "__rsb_rn",
+        "__rsb_cnt",
         *[f"__loc_{c}" for c in sum_cols],
         *[f"__off_{c}" for c in sum_cols],
     )

@@ -269,16 +269,23 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fifa_data_pipeline_spark.operators.text import text_stats
 
     docs = read_table(spark, sf_dir, "documents")
-    stats = text_stats(docs.select("source", "doc_id", "text")).select(
+    # Carry ONLY ``__negq`` (descending-quality order key) into the
+    # machinery and derive q_micro back as 1e6 − __negq afterwards:
+    # if q_micro rides alongside, Catalyst prunes it from the
+    # machinery's totals branch but not the main branch, the two
+    # window exchanges canonicalize differently, and ReuseExchange
+    # cannot unify them — the corpus tokenizes once per branch
+    # (measured 3× at r8). With an identical column set everywhere,
+    # ALL consumers (prefix window, per-bucket totals, per-source
+    # totals) share ONE exchange: one tokenize pass total.
+    ranked = text_stats(docs.select("source", "doc_id", "text")).select(
         "source",
         "doc_id",
         F.col("n_tokens"),
-        F.round(F.col("quality_score") * 1e6)
-        .cast("bigint")
-        .alias("q_micro"),
-    )
-    ranked = stats.withColumn(
-        "__negq", F.lit(1_000_000) - F.col("q_micro")
+        (
+            F.lit(1_000_000)
+            - F.round(F.col("quality_score") * 1e6).cast("bigint")
+        ).alias("__negq"),
     )
     # Bucketed prefix machinery on the composite (__negq, doc_id)
     # order: __negq is a micro-unit in [0, 1e6] BY CONSTRUCTION, so
@@ -287,10 +294,14 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = grouped_running_sums_bucketed(
         ranked, ["source"], ["__negq", "doc_id"], ["n_tokens"],
         bounds=(0, 1_000_000),
-    )
-    totals = stats.groupBy("source").agg(
+    ).withColumn("q_micro", F.lit(1_000_000) - F.col("__negq"))
+    # Per-source totals from the machinery OUTPUT, not from a second
+    # pass over the corpus: the full-order prefix sum's maximum IS
+    # the source total (n_tokens >= 0), so this branch rides the
+    # same reused window exchange instead of re-tokenizing.
+    totals = cum.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.max("n_tokens_rsum").cast("bigint").alias("tokens_total"),
     )
     kept = cum.join(F.broadcast(totals), "source").filter(
         2 * F.col("n_tokens_rsum") <= F.col("tokens_total")
