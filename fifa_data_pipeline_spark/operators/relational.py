@@ -1210,14 +1210,21 @@ def grouped_running_sums_bucketed(
         lo = float(bounds[0])
         span = float(bounds[1]) - lo
         width = (span / num_buckets) or 1.0
-    b = F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(
-        F.least(
-            F.floor(
-                (F.col(lead).cast("double") - F.lit(lo))
-                / F.lit(width)
-            ),
-            F.lit(num_buckets - 1),
-        )
+    # The outer coalesce never fires (the otherwise branch is
+    # non-null whenever ``lead`` is), but it marks the expression
+    # NON-NULLABLE so no branch-asymmetric isnotnull(__bkt) filter
+    # can be inferred — see :func:`grouped_running_max_dense`.
+    b = F.coalesce(
+        F.when(F.col(lead).isNull(), F.lit(-1)).otherwise(
+            F.least(
+                F.floor(
+                    (F.col(lead).cast("double") - F.lit(lo))
+                    / F.lit(width)
+                ),
+                F.lit(num_buckets - 1),
+            )
+        ),
+        F.lit(-1).cast("long"),
     )
     bucketed = df.withColumn("__bkt", b)
     wloc = (
@@ -1294,11 +1301,13 @@ def grouped_running_max_dense(
     bucket is a pure function of the row, the two consumers (local
     prefix maxes, per-bucket totals) agree by construction — no
     localCheckpoint pin, no range-sampling job, and the bucket+group
-    hash exchange the window inserts is the ONLY fact shuffle (AQE
-    reuses it for the totals aggregate; the generic operator pays a
-    range shuffle, a checkpoint materialization, AND a second full
-    hash shuffle because the checkpointed lineage forgets its
-    layout). Appends ``{col}_rmax``.
+    hash exchange the window inserts is the ONLY fact shuffle (the
+    totals branch is a last-prefix-row filter over the SAME window
+    output, so ReuseExchange genuinely serves it — see the one-scan
+    rule at :func:`grouped_running_sums_bucketed`; the generic
+    operator pays a range shuffle, a checkpoint materialization, AND
+    a second full hash shuffle because the checkpointed lineage
+    forgets its layout). Appends ``{col}_rmax``.
 
     Exactness does not depend on density — any integer key works
     because bucket order aligns with key order; density only keeps
@@ -1315,8 +1324,18 @@ def grouped_running_max_dense(
         width = 1
     else:
         width = max((hi - lo) // num_buckets + 1, 1)
-    b = ((F.col(order_col).cast("long") - F.lit(lo)) / F.lit(width)).cast(
-        "long"
+    # coalesce(-1) does two jobs: NULL order keys map to bucket -1
+    # (sorts first, matching the window's NULLS FIRST), and the
+    # expression becomes NON-NULLABLE — otherwise the machinery's
+    # internal join infers an isnotnull(__bkt) filter into ONE of
+    # the two branches, the exchange subtrees stop canonicalizing
+    # equal, and ReuseExchange silently stops firing (found on
+    # q_late_events, r8).
+    b = F.coalesce(
+        ((F.col(order_col).cast("long") - F.lit(lo)) / F.lit(width)).cast(
+            "long"
+        ),
+        F.lit(-1).cast("long"),
     )
     bucketed = df.withColumn("__bkt", b)
     wloc = (
@@ -1325,10 +1344,30 @@ def grouped_running_max_dense(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bucketed.select(
-        "*", *[F.max(c).over(wloc).alias(f"__loc_{c}") for c in max_cols]
+        "*",
+        *[F.max(c).over(wloc).alias(f"__loc_{c}") for c in max_cols],
+        F.row_number().over(
+            Window.partitionBy("__bkt", *group_cols).orderBy(order_col)
+        ).alias("__rsb_rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("__bkt", *group_cols))
+        .alias("__rsb_cnt"),
     )
-    totals = bucketed.groupBy("__bkt", *group_cols).agg(
-        *[F.max(c).alias(f"__t_{c}") for c in max_cols]
+    # Per-bucket totals = the LAST prefix row per (bucket, group)
+    # (the final running max IS the bucket max), filtered from the
+    # window output — same one-scan rule as
+    # :func:`grouped_running_sums_bucketed`: referencing window
+    # columns keeps this branch on the identical hash(bucket, group)
+    # exchange, so ReuseExchange serves it from shuffle files; a
+    # fresh groupBy over ``bucketed`` would re-plan a partial
+    # aggregate below its own exchange and recompute the whole input
+    # subtree.
+    totals = local.filter(
+        F.col("__rsb_rn") == F.col("__rsb_cnt")
+    ).select(
+        "__bkt",
+        *group_cols,
+        *[F.col(f"__loc_{c}").alias(f"__t_{c}") for c in max_cols],
     )
     woff = (
         Window.partitionBy(*group_cols)
@@ -1351,6 +1390,8 @@ def grouped_running_max_dense(
         )
     return out.drop(
         "__bkt",
+        "__rsb_rn",
+        "__rsb_cnt",
         *[f"__loc_{c}" for c in max_cols],
         *[f"__off_{c}" for c in max_cols],
     )
@@ -1428,7 +1469,10 @@ def parallel_ntile(
     ranked = grouped_row_ranks(
         df, group_cols, order_cols, "__i", num_partitions=num_partitions
     )
-    sizes = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    # Group sizes from the rank output (max rank = group size): the
+    # sizes branch rides the rank machinery's exchange/pin instead
+    # of scanning ``df`` a second time (one-scan rule, r8).
+    sizes = ranked.groupBy(*group_cols).agg(F.max("__i").alias("__n"))
     bucket = ntile_bucket_expr(k, "__i", "__n")
     joined = (
         ranked.join(F.broadcast(sizes), group_cols)
@@ -1581,7 +1625,13 @@ def exact_group_quantiles(
         counts, [group_col], value_col, ["__cnt"],
         bounds=bounds, num_buckets=num_partitions,
     )
-    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
+    # Group totals from the machinery OUTPUT (the final prefix sum
+    # IS the group total): this branch rides the reused spine
+    # exchange; aggregating ``counts`` again would recompute the
+    # fact hash-aggregate a second time (one-scan rule, r8).
+    tot = cum.groupBy(group_col).agg(
+        F.max("__cnt_rsum").alias("__n")
+    )
     # One conditional MIN per requested permille in a SINGLE group
     # aggregate (r8) — the earlier explode-per-pm form pushed
     # |permille| copies of the spine through the final aggregate;
@@ -1667,7 +1717,13 @@ def exact_group_quantiles_cont(
         counts, [group_col], value_col, ["__cnt"],
         bounds=bounds, num_buckets=num_partitions,
     )
-    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
+    # Group totals from the machinery OUTPUT (the final prefix sum
+    # IS the group total): this branch rides the reused spine
+    # exchange; aggregating ``counts`` again would recompute the
+    # fact hash-aggregate a second time (one-scan rule, r8).
+    tot = cum.groupBy(group_col).agg(
+        F.max("__cnt_rsum").alias("__n")
+    )
     # Both order statistics for every requested permille as
     # conditional MINs in ONE group aggregate (r8 — replaces the
     # explode-per-pm pass over the spine, see the discrete form):

@@ -199,8 +199,11 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, ["o_orderpriority"], "o_totalprice", ["__cnt"],
         bounds=bounds,
     )
-    tot = counts.groupBy("o_orderpriority").agg(
-        F.sum("__cnt").alias("__n")
+    # Totals from the machinery output (final prefix sum = group
+    # total) so this branch rides the reused spine exchange instead
+    # of recomputing the counts aggregate (one-scan rule, r8).
+    tot = cum.groupBy("o_orderpriority").agg(
+        F.max("__cnt_rsum").alias("__n")
     )
     ps = (0.25, 0.5, 0.75, 0.9)
     picked = (

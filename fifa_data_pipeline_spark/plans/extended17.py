@@ -229,12 +229,16 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows instead of one per document (also satisfying its
     # one-row-per-(group, order) contract without a doc_id tiebreak).
     spine = docs.groupBy("lang", "n_chars").agg(F.sum("w").alias("w"))
-    totals = spine.groupBy("lang").agg(F.sum("w").alias("totw"))
+    cum0 = grouped_running_sums_bucketed(
+        spine, ["lang"], ["n_chars"], ["w"], bounds=bounds
+    )
+    # Language totals from the machinery output (final prefix sum =
+    # group total; w >= 0): rides the reused spine exchange instead
+    # of recomputing the tokenize-bearing spine aggregate a second
+    # time (one-scan rule, r8).
+    totals = cum0.groupBy("lang").agg(F.max("w_rsum").alias("totw"))
     cum = (
-        grouped_running_sums_bucketed(
-            spine, ["lang"], ["n_chars"], ["w"], bounds=bounds
-        )
-        .join(F.broadcast(totals), "lang")
+        cum0.join(F.broadcast(totals), "lang")
         .select(
             "lang", "n_chars", F.col("w_rsum").alias("cumw"), "totw"
         )

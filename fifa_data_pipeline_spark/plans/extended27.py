@@ -286,8 +286,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts, ["lang_a", "lang_b"], "n_chars", ["ca", "cb"],
         bounds=tuple(docs.agg(F.min("n_chars"), F.max("n_chars")).first()),
     )
-    totals = counts.groupBy("lang_a", "lang_b").agg(
-        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    # Pair totals from the machinery output (final prefix sums = the
+    # group totals; counts >= 0): rides the reused spine exchange
+    # instead of recomputing the pair-counts aggregate a second time
+    # (one-scan rule, r8).
+    totals = cum.groupBy("lang_a", "lang_b").agg(
+        F.max("ca_rsum").alias("n_a"), F.max("cb_rsum").alias("n_b")
     )
     sized = cum.select(
         "lang_a", "lang_b",

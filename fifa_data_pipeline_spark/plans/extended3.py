@@ -128,8 +128,11 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
         ),
     )
-    sizes = orders.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("__n")
+    # Group sizes from the rank output (max rank = group size), not
+    # a second scan of orders — rides the rank machinery's reused
+    # exchange (one-scan rule, r8).
+    sizes = ranked.groupBy("o_orderpriority").agg(
+        F.max("__i").alias("__n")
     )
     return (
         ranked.join(F.broadcast(sizes), "o_orderpriority")
