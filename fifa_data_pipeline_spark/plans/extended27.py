@@ -623,7 +623,17 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered price spine) — this is the pinned floor, not a plan
     defect. BIGINT moments would shave ~0.1 s but overflow at
     Σ(2n)² beyond ~10⁶ rows per group, exactly the scale this form
-    exists for."""
+    exists for.
+
+    r8 second pass: the "two fact passes" claim above was silently
+    three — the prefix machinery's totals branch recomputed the
+    whole spine (payload columns __srx/__srx2 de-canonicalize the
+    shared exchange; SCALE.md r8 addendum). The spine now carries a
+    lazy localCheckpoint pin, so it materializes once and both
+    machinery branches read the block: genuinely two fact passes
+    (interleaved A/B at sf0.1: 3.02 vs 3.23 s min under equal load;
+    the structural win — one fewer fact scan + spine aggregate — is
+    what scales)."""
     from fifa_data_pipeline_spark.operators.relational import (
         grouped_running_sums_bucketed,
         grouped_tie_rank2,
@@ -651,6 +661,18 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec(F.col("rx"))).alias("__srx"),
             F.sum(dec(F.col("rx")) * dec(F.col("rx"))).alias("__srx2"),
         )
+        # Lazy pin: the spine carries PAYLOAD columns (__srx, __srx2)
+        # that the machinery's totals branch prunes away, so the two
+        # branches cannot canonicalize to one exchange (the one-scan
+        # rule's column-set condition, SCALE.md r8 addendum) — without
+        # the pin the totals branch recomputed the WHOLE spine: a
+        # second fact scan, broadcast join, and spine aggregate
+        # (measured: 5 parquet scans in the plan, 3 of them the fact).
+        # Materializing the spine once costs |distinct prices| rows;
+        # recomputing it costs a fact pass — at any scale where this
+        # operator matters the pin is the cheaper side. Bucket purity
+        # is untouched (bucket = f(price)).
+        .localCheckpoint(eager=False)
     )
     cum = grouped_running_sums_bucketed(
         spine, [g], "l_extendedprice", ["__cnt"], bounds=(plo, phi)
