@@ -1169,6 +1169,7 @@ def grouped_running_sums_bucketed(
     sum_cols: list[str],
     bounds: tuple[float, float] | None,
     num_buckets: int | None = None,
+    share_input: bool = True,
 ) -> DataFrame:
     """:func:`grouped_running_sums` with the parallel split derived
     from the ORDER VALUE itself — ``floor((v − lo) / width)`` over
@@ -1197,6 +1198,25 @@ def grouped_running_sums_bucketed(
     with the lexicographic order because rows sharing a first-
     component value share a bucket; remaining components only order
     within the bucket.
+
+    ``share_input`` picks how the per-bucket totals (the offsets
+    pass's input) are produced — a measured per-shape trade (r8):
+
+    - ``True`` (default): totals = last prefix row per bucket,
+      aggregated (``max_by`` on the order key) from the WINDOW
+      OUTPUT. Referencing window columns keeps both branches on one
+      canonical hash(bucket, group) exchange, so ReuseExchange
+      computes ``df`` ONCE; the totals branch pays a re-sort of the
+      spine from shuffle files. Right whenever ``df`` carries real
+      work (a tokenize, a join, an aggregate over a wider fact) or
+      the spine is bounded.
+    - ``False``: totals = a fresh aggregate over the pre-exchange
+      frame. Catalyst plants the partial agg below its own exchange,
+      so ``df`` computes twice — but no sort. Right when ``df`` is a
+      bare columnar scan (or a near-free projection) AND the spine
+      is near-fact-sized: re-scanning two pruned columns beats
+      re-sorting the whole spine (exact-quantile family over
+      near-unique values: 1.84 vs 2.26 s min interleaved at sf0.1).
     """
     order_cols = (
         [order_col] if isinstance(order_col, str) else list(order_col)
@@ -1232,32 +1252,40 @@ def grouped_running_sums_bucketed(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wpart = Window.partitionBy("__bkt", *group_cols)
     local = bucketed.select(
         "*",
         *[F.sum(c).over(wloc).alias(f"__loc_{c}") for c in sum_cols],
-        F.row_number().over(
-            Window.partitionBy("__bkt", *group_cols).orderBy(*order_cols)
-        ).alias("__rsb_rn"),
-        F.count(F.lit(1)).over(wpart).alias("__rsb_cnt"),
     )
     # Per-bucket totals = the LAST row of each bucket's local prefix
-    # (rn == cnt), filtered from ``local`` — NOT a fresh aggregate
-    # over ``bucketed``. A groupBy over ``bucketed`` plants a partial
-    # aggregate BELOW its own exchange, so the two exchange subplans
-    # differ and the whole ``df`` subtree (often an expensive
-    # tokenize or aggregate projection) computes twice — measured as
-    # 2x corpus tokenize on q_budget_select (r8). The filter form
-    # REFERENCES window outputs, so Catalyst cannot prune the Window
-    # and re-plan: both branches keep the identical
-    # hash(__bkt, group) exchange and ReuseExchange serves the
-    # totals branch from the first branch's shuffle files — one scan
-    # of ``df``, one extra sort of the spine (cheap, shuffle-local).
-    totals = local.filter(F.col("__rsb_rn") == F.col("__rsb_cnt")).select(
-        "__bkt",
-        *group_cols,
-        *[F.col(f"__loc_{c}").alias(f"__t_{c}") for c in sum_cols],
-    )
+    # (max_by on the order key; exact for any sign since the final
+    # prefix value IS the bucket total), aggregated from ``local`` —
+    # NOT a fresh aggregate over ``bucketed``. A groupBy over
+    # ``bucketed`` plants a partial aggregate BELOW its own exchange,
+    # so the two exchange subplans differ and the whole ``df``
+    # subtree (often an expensive tokenize or aggregate projection)
+    # computes twice — measured as 2x corpus tokenize on
+    # q_budget_select (r8). Aggregating the WINDOW OUTPUT references
+    # __loc_*, so Catalyst cannot prune the Window and re-plan: both
+    # branches keep the identical hash(__bkt, group) exchange and
+    # ReuseExchange serves the totals branch from the first branch's
+    # shuffle files — one scan of ``df``, one extra sort of the
+    # spine (cheap, shuffle-local). The agg itself needs no exchange
+    # (its keys equal the window partitioning); max_by's struct
+    # comparison ranks NULL order components smallest, matching the
+    # window's ASC NULLS FIRST, so "max struct" is exactly the last
+    # prefix row.
+    if share_input:
+        _ord = F.struct(*[F.col(c) for c in order_cols])
+        totals = local.groupBy("__bkt", *group_cols).agg(
+            *[
+                F.max_by(F.col(f"__loc_{c}"), _ord).alias(f"__t_{c}")
+                for c in sum_cols
+            ]
+        )
+    else:
+        totals = bucketed.groupBy("__bkt", *group_cols).agg(
+            *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+        )
     woff = (
         Window.partitionBy(*group_cols)
         .orderBy("__bkt")
@@ -1280,8 +1308,6 @@ def grouped_running_sums_bucketed(
         )
     return out.drop(
         "__bkt",
-        "__rsb_rn",
-        "__rsb_cnt",
         *[f"__loc_{c}" for c in sum_cols],
         *[f"__off_{c}" for c in sum_cols],
     )
@@ -1293,6 +1319,7 @@ def grouped_running_max_dense(
     order_col: str,
     max_cols: list[str],
     num_buckets: int | None = None,
+    share_input: bool = False,
 ) -> DataFrame:
     """:func:`grouped_running_max` specialized to a DENSE-ish integer
     ``order_col`` (an arrival sequence / row id): the parallel split
@@ -1302,12 +1329,13 @@ def grouped_running_max_dense(
     prefix maxes, per-bucket totals) agree by construction — no
     localCheckpoint pin, no range-sampling job, and the bucket+group
     hash exchange the window inserts is the ONLY fact shuffle (the
-    totals branch is a last-prefix-row filter over the SAME window
-    output, so ReuseExchange genuinely serves it — see the one-scan
-    rule at :func:`grouped_running_sums_bucketed`; the generic
-    operator pays a range shuffle, a checkpoint materialization, AND
-    a second full hash shuffle because the checkpointed lineage
-    forgets its layout). Appends ``{col}_rmax``.
+    generic operator pays a range shuffle, a checkpoint
+    materialization, AND a second full hash shuffle because the
+    checkpointed lineage forgets its layout). Appends
+    ``{col}_rmax``. ``share_input`` (default False — this machinery
+    runs at ROW grain, so the input is usually a bare pruned scan
+    and the spine IS the fact) follows the semantics documented at
+    :func:`grouped_running_sums_bucketed`.
 
     Exactness does not depend on density — any integer key works
     because bucket order aligns with key order; density only keeps
@@ -1346,29 +1374,35 @@ def grouped_running_max_dense(
     local = bucketed.select(
         "*",
         *[F.max(c).over(wloc).alias(f"__loc_{c}") for c in max_cols],
-        F.row_number().over(
-            Window.partitionBy("__bkt", *group_cols).orderBy(order_col)
-        ).alias("__rsb_rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("__bkt", *group_cols))
-        .alias("__rsb_cnt"),
     )
     # Per-bucket totals = the LAST prefix row per (bucket, group)
-    # (the final running max IS the bucket max), filtered from the
-    # window output — same one-scan rule as
-    # :func:`grouped_running_sums_bucketed`: referencing window
-    # columns keeps this branch on the identical hash(bucket, group)
+    # via max_by on the order key (the final running max IS the
+    # bucket max), aggregated from the WINDOW OUTPUT — same one-scan
+    # rule as :func:`grouped_running_sums_bucketed`: referencing
+    # __loc_* keeps this branch on the identical hash(bucket, group)
     # exchange, so ReuseExchange serves it from shuffle files; a
     # fresh groupBy over ``bucketed`` would re-plan a partial
     # aggregate below its own exchange and recompute the whole input
     # subtree.
-    totals = local.filter(
-        F.col("__rsb_rn") == F.col("__rsb_cnt")
-    ).select(
-        "__bkt",
-        *group_cols,
-        *[F.col(f"__loc_{c}").alias(f"__t_{c}") for c in max_cols],
-    )
+    if share_input:
+        totals = local.groupBy("__bkt", *group_cols).agg(
+            *[
+                F.max_by(F.col(f"__loc_{c}"), F.col(order_col)).alias(
+                    f"__t_{c}"
+                )
+                for c in max_cols
+            ]
+        )
+    else:
+        # This machinery runs at ROW grain (no spine): the totals
+        # re-sort under share_input=True is a full fact sort, while
+        # ``df`` is typically a bare pruned scan — recomputing the
+        # two-column aggregate is the cheaper side (share_input
+        # semantics documented at grouped_running_sums_bucketed;
+        # measured on q_late_events: 0.43 vs 0.58 s).
+        totals = bucketed.groupBy("__bkt", *group_cols).agg(
+            *[F.max(c).alias(f"__t_{c}") for c in max_cols]
+        )
     woff = (
         Window.partitionBy(*group_cols)
         .orderBy("__bkt")
@@ -1390,8 +1424,6 @@ def grouped_running_max_dense(
         )
     return out.drop(
         "__bkt",
-        "__rsb_rn",
-        "__rsb_cnt",
         *[f"__loc_{c}" for c in max_cols],
         *[f"__off_{c}" for c in max_cols],
     )
@@ -1621,17 +1653,17 @@ def exact_group_quantiles(
     bounds = tuple(
         df.agg(F.min(value_col), F.max(value_col)).first()
     )
+    # share_input=False + totals re-aggregated from ``counts``: the
+    # quantile spine is near-fact-sized for high-cardinality value
+    # columns, so re-sorting it from shuffle files costs more than
+    # re-running the two-column scan + hash aggregate (measured
+    # 1.84 vs 2.26 s min interleaved at sf0.1; trade documented at
+    # grouped_running_sums_bucketed).
     cum = grouped_running_sums_bucketed(
         counts, [group_col], value_col, ["__cnt"],
-        bounds=bounds, num_buckets=num_partitions,
+        bounds=bounds, num_buckets=num_partitions, share_input=False,
     )
-    # Group totals from the machinery OUTPUT (the final prefix sum
-    # IS the group total): this branch rides the reused spine
-    # exchange; aggregating ``counts`` again would recompute the
-    # fact hash-aggregate a second time (one-scan rule, r8).
-    tot = cum.groupBy(group_col).agg(
-        F.max("__cnt_rsum").alias("__n")
-    )
+    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
     # One conditional MIN per requested permille in a SINGLE group
     # aggregate (r8) — the earlier explode-per-pm form pushed
     # |permille| copies of the spine through the final aggregate;
@@ -1713,17 +1745,17 @@ def exact_group_quantiles_cont(
     bounds = tuple(
         df.agg(F.min(value_col), F.max(value_col)).first()
     )
+    # share_input=False + totals re-aggregated from ``counts``: the
+    # quantile spine is near-fact-sized for high-cardinality value
+    # columns, so re-sorting it from shuffle files costs more than
+    # re-running the two-column scan + hash aggregate (measured
+    # 1.84 vs 2.26 s min interleaved at sf0.1; trade documented at
+    # grouped_running_sums_bucketed).
     cum = grouped_running_sums_bucketed(
         counts, [group_col], value_col, ["__cnt"],
-        bounds=bounds, num_buckets=num_partitions,
+        bounds=bounds, num_buckets=num_partitions, share_input=False,
     )
-    # Group totals from the machinery OUTPUT (the final prefix sum
-    # IS the group total): this branch rides the reused spine
-    # exchange; aggregating ``counts`` again would recompute the
-    # fact hash-aggregate a second time (one-scan rule, r8).
-    tot = cum.groupBy(group_col).agg(
-        F.max("__cnt_rsum").alias("__n")
-    )
+    tot = counts.groupBy(group_col).agg(F.sum("__cnt").alias("__n"))
     # Both order statistics for every requested permille as
     # conditional MINs in ONE group aggregate (r8 — replaces the
     # explode-per-pm pass over the spine, see the discrete form):

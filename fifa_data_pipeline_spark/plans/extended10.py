@@ -195,15 +195,16 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = tuple(
         orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
     )
+    # share_input=False + totals from ``counts``: near-unique price
+    # spine — recomputing the pruned scan + hash aggregate beats
+    # re-sorting the spine from shuffle files (the per-shape trade
+    # documented at grouped_running_sums_bucketed, r8).
     cum = grouped_running_sums_bucketed(
         counts, ["o_orderpriority"], "o_totalprice", ["__cnt"],
-        bounds=bounds,
+        bounds=bounds, share_input=False,
     )
-    # Totals from the machinery output (final prefix sum = group
-    # total) so this branch rides the reused spine exchange instead
-    # of recomputing the counts aggregate (one-scan rule, r8).
-    tot = cum.groupBy("o_orderpriority").agg(
-        F.max("__cnt_rsum").alias("__n")
+    tot = counts.groupBy("o_orderpriority").agg(
+        F.sum("__cnt").alias("__n")
     )
     ps = (0.25, 0.5, 0.75, 0.9)
     picked = (

@@ -674,8 +674,13 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is untouched (bucket = f(price)).
         .localCheckpoint(eager=False)
     )
+    # share_input=False: the spine is PINNED, so the totals branch
+    # re-reads the materialized block (a near-free columnar read +
+    # hash aggregate) instead of re-sorting the near-fact-sized
+    # spine from shuffle files.
     cum = grouped_running_sums_bucketed(
-        spine, [g], "l_extendedprice", ["__cnt"], bounds=(plo, phi)
+        spine, [g], "l_extendedprice", ["__cnt"], bounds=(plo, phi),
+        share_input=False,
     )
     ranked = cum.withColumn(
         "ry",
