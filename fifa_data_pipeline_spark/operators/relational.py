@@ -1436,6 +1436,7 @@ def grouped_row_ranks(
     rank_col: str = "row_rank",
     num_partitions: int | None = None,
     bounds: tuple[float, float] | None = None,
+    share_input: bool = False,
 ) -> DataFrame:
     """Per-group 1-based ROW ranks in ``order_cols`` order (ascending;
     pre-negate a column for descending) computed partition-parallel —
@@ -1446,12 +1447,17 @@ def grouped_row_ranks(
     :func:`grouped_running_sums` with a constant-1 weight; pass
     ``bounds`` = (min, max) of the FIRST order column to route
     through :func:`grouped_running_sums_bucketed` (one shuffle, no
-    checkpoint pin — r8)."""
+    checkpoint pin — r8). ``share_input`` defaults False here: row
+    ranks run at ROW grain, so the "spine" IS the input and a
+    re-sort always loses to re-scanning a pruned projection (the
+    per-shape rule at :func:`grouped_running_sums_bucketed`); pass
+    True when ``df`` is itself an expensive derivation."""
     one = df.withColumn("__one", F.lit(1))
     if bounds is not None:
         out = grouped_running_sums_bucketed(
             one, group_cols, order_cols, ["__one"],
             bounds=bounds, num_buckets=num_partitions,
+            share_input=share_input,
         )
     else:
         out = grouped_running_sums(
