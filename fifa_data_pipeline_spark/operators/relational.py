@@ -1170,6 +1170,7 @@ def grouped_running_sums_bucketed(
     bounds: tuple[float, float] | None,
     num_buckets: int | None = None,
     share_input: bool = True,
+    emit_totals: bool = False,
 ) -> DataFrame:
     """:func:`grouped_running_sums` with the parallel split derived
     from the ORDER VALUE itself — ``floor((v − lo) / width)`` over
@@ -1217,7 +1218,18 @@ def grouped_running_sums_bucketed(
       is near-fact-sized: re-scanning two pruned columns beats
       re-sorting the whole spine (exact-quantile family over
       near-unique values: 1.84 vs 2.26 s min interleaved at sf0.1).
-    """
+
+    ``emit_totals=True`` additionally appends ``{col}_gsum`` = the
+    per-GROUP grand total of each sum column, on every output row.
+    It costs NOTHING extra: the grand total is the unbounded-frame
+    sum over the same metadata-sized per-bucket-totals frame the
+    offsets window already scans (same partitioning and ordering, so
+    Spark hosts both frames in ONE WindowExec), and it rides the
+    existing broadcast join back to the fact. Callers that would
+    otherwise aggregate per-group totals from the machinery OUTPUT
+    (a third fact-level sort+window pass over the reused exchange —
+    measured as the q_budget_select residual, r9) should take these
+    columns instead."""
     order_cols = (
         [order_col] if isinstance(order_col, str) else list(order_col)
     )
@@ -1291,6 +1303,14 @@ def grouped_running_sums_bucketed(
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Same partitioning + ordering as ``woff`` with an unbounded
+    # frame: Spark evaluates both in the one WindowExec over the
+    # metadata-sized totals frame.
+    wall = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     offsets = totals.select(
         "__bkt",
         *group_cols,
@@ -1300,6 +1320,14 @@ def grouped_running_sums_bucketed(
             )
             for c in sum_cols
         ],
+        *(
+            [
+                F.sum(f"__t_{c}").over(wall).alias(f"{c}_gsum")
+                for c in sum_cols
+            ]
+            if emit_totals
+            else []
+        ),
     )
     out = local.join(F.broadcast(offsets), ["__bkt", *group_cols])
     for c in sum_cols:
@@ -1385,11 +1413,16 @@ def grouped_running_max_dense(
     # aggregate below its own exchange and recompute the whole input
     # subtree.
     if share_input:
+        # max_by orders on struct(order_col), not the bare column:
+        # the struct is non-null even when its component is NULL (and
+        # struct comparison ranks NULL components smallest, matching
+        # the window's ASC NULLS FIRST), so the NULL bucket's rows
+        # still yield a total — bare-column max_by would skip them
+        # and their maxima would never reach later buckets' offsets.
+        _ord = F.struct(F.col(order_col))
         totals = local.groupBy("__bkt", *group_cols).agg(
             *[
-                F.max_by(F.col(f"__loc_{c}"), F.col(order_col)).alias(
-                    f"__t_{c}"
-                )
+                F.max_by(F.col(f"__loc_{c}"), _ord).alias(f"__t_{c}")
                 for c in max_cols
             ]
         )
@@ -1451,8 +1484,19 @@ def grouped_row_ranks(
     ranks run at ROW grain, so the "spine" IS the input and a
     re-sort always loses to re-scanning a pruned projection (the
     per-shape rule at :func:`grouped_running_sums_bucketed`); pass
-    True when ``df`` is itself an expensive derivation."""
+    True when ``df`` is itself an expensive derivation. Under
+    ``share_input=True`` the totals branch takes the LAST prefix row
+    per bucket via ``max_by`` on the order key, which is only exact
+    when that key is unique — row-grain inputs routinely carry ties,
+    so this wrapper appends a unique tiebreak column
+    (``monotonically_increasing_id``, consistent across both
+    consumers because they read the same reused exchange) before
+    routing; ranks among tied rows are arbitrary either way, and the
+    bucket totals become exact."""
     one = df.withColumn("__one", F.lit(1))
+    if share_input and bounds is not None:
+        one = one.withColumn("__tb", F.monotonically_increasing_id())
+        order_cols = [*order_cols, "__tb"]
     if bounds is not None:
         out = grouped_running_sums_bucketed(
             one, group_cols, order_cols, ["__one"],
@@ -1464,7 +1508,10 @@ def grouped_row_ranks(
             one, group_cols, order_cols, ["__one"],
             num_partitions=num_partitions,
         )
-    return out.withColumnRenamed("__one_rsum", rank_col).drop("__one")
+    out = out.withColumnRenamed("__one_rsum", rank_col).drop("__one")
+    if share_input and bounds is not None:
+        out = out.drop("__tb")
+    return out
 
 
 def ntile_bucket_expr(k: int, i: str = "__i", n: str = "__n") -> Column:

@@ -282,29 +282,26 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = _lang_pair_counts(docs)
     # n_chars bounds probe (footer-cheap) -> bucketed prefix sums
     # (r8): one spine shuffle, no checkpoint pin.
+    # emit_totals puts the pair totals (n_a, n_b) on every spine row
+    # from the machinery's metadata-sized offsets branch — r8's
+    # separate ``cum.groupBy(pair).agg(max(rsum))`` consumer was a
+    # whole extra sort+window pass over the reused spine exchange
+    # plus a broadcast join; both are gone (r9).
     cum = grouped_running_sums_bucketed(
         counts, ["lang_a", "lang_b"], "n_chars", ["ca", "cb"],
         bounds=tuple(docs.agg(F.min("n_chars"), F.max("n_chars")).first()),
+        emit_totals=True,
     )
-    # Pair totals from the machinery output (final prefix sums = the
-    # group totals; counts >= 0): rides the reused spine exchange
-    # instead of recomputing the pair-counts aggregate a second time
-    # (one-scan rule, r8).
-    totals = cum.groupBy("lang_a", "lang_b").agg(
-        F.max("ca_rsum").alias("n_a"), F.max("cb_rsum").alias("n_b")
-    )
-    sized = cum.select(
-        "lang_a", "lang_b",
-        F.col("ca_rsum").alias("ia"),
-        F.col("cb_rsum").alias("ib"),
-    ).join(F.broadcast(totals), ["lang_a", "lang_b"])
     return (
-        sized.groupBy("lang_a", "lang_b")
+        cum.groupBy("lang_a", "lang_b")
         .agg(
-            F.max("n_a").cast("bigint").alias("n_a"),
-            F.max("n_b").cast("bigint").alias("n_b"),
+            F.max("ca_gsum").cast("bigint").alias("n_a"),
+            F.max("cb_gsum").cast("bigint").alias("n_b"),
             F.max(
-                F.abs(F.col("ia") * F.col("n_b") - F.col("ib") * F.col("n_a"))
+                F.abs(
+                    F.col("ca_rsum") * F.col("cb_gsum")
+                    - F.col("cb_rsum") * F.col("ca_gsum")
+                )
             ).cast("bigint").alias("d_num"),
         )
         .withColumn(

@@ -286,29 +286,28 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1_000_000)
             - F.round(F.col("quality_score") * 1e6).cast("bigint")
         ).alias("__negq"),
+        F.lit(1).alias("__one"),
     )
     # Bucketed prefix machinery on the composite (__negq, doc_id)
     # order: __negq is a micro-unit in [0, 1e6] BY CONSTRUCTION, so
     # the bucket bounds are static literals — no probe job at all
-    # (r8: one spine shuffle, no checkpoint pin).
+    # (r8: one spine shuffle, no checkpoint pin). ``emit_totals``
+    # puts the per-source grand totals (tokens_total, n_docs via the
+    # constant-1 column) on every row from the machinery's
+    # metadata-sized offsets branch — r8's separate
+    # ``cum.groupBy(source)`` totals consumer was a third fact-level
+    # sort+window pass over the reused exchange (the measured 2.57×
+    # residual, r9 verdict #3); this removes it outright.
     cum = grouped_running_sums_bucketed(
-        ranked, ["source"], ["__negq", "doc_id"], ["n_tokens"],
-        bounds=(0, 1_000_000),
+        ranked, ["source"], ["__negq", "doc_id"], ["n_tokens", "__one"],
+        bounds=(0, 1_000_000), emit_totals=True,
     ).withColumn("q_micro", F.lit(1_000_000) - F.col("__negq"))
-    # Per-source totals from the machinery OUTPUT, not from a second
-    # pass over the corpus: the full-order prefix sum's maximum IS
-    # the source total (n_tokens >= 0), so this branch rides the
-    # same reused window exchange instead of re-tokenizing.
-    totals = cum.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.max("n_tokens_rsum").cast("bigint").alias("tokens_total"),
-    )
-    kept = cum.join(F.broadcast(totals), "source").filter(
-        2 * F.col("n_tokens_rsum") <= F.col("tokens_total")
+    kept = cum.filter(
+        2 * F.col("n_tokens_rsum") <= F.col("n_tokens_gsum")
     )
     return kept.groupBy("source").agg(
-        F.max("n_docs").alias("n_docs"),
-        F.max("tokens_total").alias("tokens_total"),
+        F.max("__one_gsum").cast("bigint").alias("n_docs"),
+        F.max("n_tokens_gsum").cast("bigint").alias("tokens_total"),
         F.count(F.lit(1)).cast("bigint").alias("n_selected"),
         F.max("n_tokens_rsum").cast("bigint").alias("tokens_selected"),
         F.min("q_micro").cast("bigint").alias("cutoff_q_micro"),

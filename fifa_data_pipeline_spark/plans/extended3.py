@@ -207,17 +207,31 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b").hint("SHUFFLE_HASH")
+    # The pair key is PACKED into one long map-side (p1 << 32 | p2 —
+    # exact while partkeys < 2^31, asserted by the generator's key
+    # stride; swap to a (p1, p2) struct key beyond that) so the
+    # pair-count exchange carries an 8-byte key + 8-byte count per
+    # row instead of two key columns — the exchange IS the measured
+    # floor here (12M mostly-unique pairs at sf1), so bytes-per-row
+    # is the only lever left. Decode by shift/mask after the
+    # aggregate + support filter, when only surviving pairs remain.
+    pk = F.shiftleft(F.col("a.l_partkey"), 32).bitwiseOR(
+        F.col("b.l_partkey")
+    )
     pairs = a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-    )
-    return (
-        pairs.groupBy("p1", "p2")
+    ).select(pk.alias("pk"))
+    agg = (
+        pairs.groupBy("pk")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
+    )
+    return agg.select(
+        F.shiftrightunsigned("pk", 32).alias("p1"),
+        F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("p2"),
+        "n_orders",
     )
 
 

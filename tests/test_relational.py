@@ -526,6 +526,109 @@ def test_grouped_running_max_dense_matches_window_form(spark):
     assert got == want
 
 
+def test_grouped_running_sums_bucketed_emit_totals(spark):
+    """emit_totals=True must append {col}_gsum = the per-group grand
+    total on every row, for both share_input branches, including
+    groups with NULL order values (bucket −1 contributes to the
+    total)."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums_bucketed,
+    )
+
+    rows = [
+        (f"g{i % 3}", None if i % 53 == 0 else float(i % 211), i, i % 7 + 1)
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "i", "c"])
+    want = {
+        r["g"]: r["t"]
+        for r in df.groupBy("g").agg(F.sum("c").alias("t")).collect()
+    }
+    for share in (True, False):
+        out = grouped_running_sums_bucketed(
+            df, ["g"], ["v", "i"], ["c"],
+            bounds=(0.0, 210.0), num_buckets=5,
+            share_input=share, emit_totals=True,
+        )
+        got = out.select("g", "c_gsum").distinct().collect()
+        assert {r["g"]: r["c_gsum"] for r in got} == want, share
+        assert len(got) == len(want), share
+
+
+def test_grouped_row_ranks_share_input_ties_exact(spark):
+    """share_input=True takes bucket totals from the LAST prefix row
+    via max_by on the order key; with duplicate (group, order) values
+    a bare key would pick an arbitrary tied row and undercount every
+    later bucket's offset (r9 ADVICE). The wrapper appends a unique
+    tiebreak, so per-group ranks must still be exactly 1..n even when
+    ties sit on bucket boundaries."""
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_row_ranks,
+    )
+
+    # Heavy ties: only 10 distinct order values per group, 1200 rows.
+    rows = [(f"g{i % 3}", float(i % 10), i) for i in range(1200)]
+    df = spark.createDataFrame(rows, ["g", "v", "payload"])
+    out = grouped_row_ranks(
+        df, ["g"], ["v"], bounds=(0.0, 9.0), num_partitions=7,
+        share_input=True,
+    )
+    assert "__tb" not in out.columns
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["g"], []).append(r["row_rank"])
+    for g, ranks in got.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), g
+
+
+def test_grouped_running_max_dense_share_input_null_order(spark):
+    """share_input=True totals use max_by; ordering on the BARE order
+    column makes max_by skip NULL-key rows so the NULL bucket (−1)
+    never contributes to later buckets' offsets (r9 ADVICE). Ordering
+    on struct(order_col) is non-null, so the result must match the
+    window form with NULLS FIRST even when the NULL rows hold the
+    global max."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_max_dense,
+    )
+
+    rows = [
+        (None if i % 11 == 0 else 10_000 + 3 * i,
+         f"g{i % 3}",
+         # NULL-order rows carry the LARGEST values: if they are
+         # dropped from the offsets, later buckets' rmax is wrong.
+         9_999.0 + i if i % 11 == 0 else float((i * 193) % 500))
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, ["i", "g", "v"])
+    # Tied (NULL) rows have order-dependent per-row prefixes in BOTH
+    # forms; the deterministic contract is that every NON-null row
+    # sees the whole NULL bucket as prefix — compare those only.
+    got = {
+        (r["g"], r["i"]): r["v_rmax"]
+        for r in grouped_running_max_dense(
+            df, ["g"], "i", ["v"], num_buckets=7, share_input=True
+        ).collect()
+        if r["i"] is not None
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy(F.asc_nulls_first("i"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["g"], r["i"]): r["rm"]
+        for r in df.withColumn("rm", F.max("v").over(w)).collect()
+        if r["i"] is not None
+    }
+    assert got == want
+
+
 def test_grouped_running_max_dense_empty_frame(spark):
     from pyspark.sql import functions as F  # noqa: F401
 
