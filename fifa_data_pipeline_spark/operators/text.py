@@ -1032,9 +1032,14 @@ def ln_ols(
     moments by double arithmetic written IDENTICALLY in the DuckDB
     twins. Returns group cols + ``n`` + slope/intercept/r2 (4/4/6 dp).
 
-    Range: moments fit int64 while n·(quantum·|x|max)² < 2⁶³ — at
-    quantum 10⁴ and |x| ≤ ln(10⁹), about 10⁸ rows per group; lower
-    ``quantum`` to 10³ for groups beyond that."""
+    Range: the BIGINT moment sums fit int64 while
+    n·(quantum·|x|max)² < 2⁶³ — at quantum 10⁴ and |x| ≤ ln(10⁹),
+    about 10⁸ rows per group; lower ``quantum`` to 10³ for groups
+    beyond that. The moment COMBINATION (n·Σxy − Σx·Σy) overflows
+    int64 ~n× earlier — found live at sf10 (60 M rows, ANSI throw) —
+    so it runs in DECIMAL(38,0): exact integers, group-count-sized
+    rows, zero aggregate-side cost; DuckDB's side is already exact
+    there (SUM(BIGINT) → HUGEINT)."""
     q = F.lit(quantum)
     xm = F.round(x * q, 0).cast("bigint")
     ym = F.round(y * q, 0).cast("bigint")
@@ -1047,9 +1052,10 @@ def ln_ols(
         F.sum(ym * ym).alias("__syy"),
         *(extra_aggs or []),
     )
-    dnum = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
-    dxx = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
-    dyy = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    dnum = dec("n") * dec("__sxy") - dec("__sx") * dec("__sy")
+    dxx = dec("n") * dec("__sxx") - dec("__sx") * dec("__sx")
+    dyy = dec("n") * dec("__syy") - dec("__sy") * dec("__sy")
     s = dnum.cast("double") / dxx
     return (
         m.withColumn(slope, F.when(dxx > 0, F.round(s, 4)))

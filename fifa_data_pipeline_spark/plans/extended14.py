@@ -273,14 +273,14 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     directions) becomes edges, and PageRank scores centrality — the
     unsupervised keyword extractor, composed entirely from existing
     operators (token window lag → edge list → ``graph.pagerank``).
-    Top 25 tokens by rank (6-dp round, token tie-break). Rows-only:
-    the FLOAT iterative fixpoint isn't engine-portable (see
-    ``q_textrank_exact`` in plans/extended27.py for the
-    integer-exact, fully oracle-checked twin); the PageRank
-    kernel itself is pinned by its numpy power-iteration reference
-    test, and determinism by the fixed iteration count (6 — keyword
-    ORDER stabilizes within a few rounds; each extra round is a full
-    join+agg+checkpoint cycle of fixed cost)."""
+    Top 25 tokens by rank (6-dp round BEFORE the order/limit, token
+    tie-break — so the top-25 SET is deterministic across engines).
+    Oracle-checked since r9: the DuckDB twin unrolls the identical
+    FLOAT recurrence at 6 iterations
+    (``extended27._pagerank_oracle_float``); the 6-dp round absorbs
+    SUM-order float divergence. The kernel is additionally pinned by
+    its numpy power-iteration reference test and the integer-exact
+    ``q_textrank_exact`` twin."""
     from pyspark.sql import Window
 
     from fifa_data_pipeline_spark.operators.graph import pagerank

@@ -509,6 +509,66 @@ def _pagerank_oracle(
 ORACLES["q_pagerank_exact"] = _pagerank_oracle()
 
 
+def _pagerank_oracle_float(
+    edges_sql: str,
+    n_iter: int,
+    final_select: str,
+) -> str:
+    """Unrolled FLOAT PageRank recurrence — the DuckDB twin of
+    ``graph.pagerank`` itself (damping 0.85, uniform dangling-mass
+    redistribution), upgrading q_pagerank / q_textrank from
+    rows-only to oracle-checked (r9 verdict #5). Every arithmetic
+    step mirrors the Spark operator's IEEE-double expression order
+    (including ``(1.0 - 0.85)`` evaluated as a double subtraction,
+    not the literal 0.15); the only cross-engine divergence left is
+    SUM accumulation order, ~1e-13 absolute — invisible at the 6-dp
+    round both sides apply. Every multiply-referenced CTE is
+    MATERIALIZED: DuckDB otherwise INLINES each reference, and at 10
+    unrolled iterations the edge subquery's parquet scans multiply
+    past the process fd limit ("Too many open files")."""
+    iters = ""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        iters += f"""
+        , in{i} AS (
+          SELECT e.d AS node, SUM(r.rank / g.deg) AS cin
+          FROM e JOIN {prev} r ON e.s = r.node
+                 JOIN deg g ON e.s = g.s
+          GROUP BY e.d
+        ), dang{i} AS (
+          SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+          FROM {prev} r LEFT JOIN deg g ON r.node = g.s
+          WHERE g.s IS NULL
+        ), r{i} AS MATERIALIZED (
+          SELECT nd.node,
+                 (1.0 - 0.85) / nn.n
+                   + 0.85 * (COALESCE(i.cin, 0.0) + d.dm / nn.n)
+                   AS rank
+          FROM nodes nd
+          LEFT JOIN in{i} i ON nd.node = i.node
+          CROSS JOIN dang{i} d CROSS JOIN nn
+        )"""
+        prev = f"r{i}"
+    return f"""
+      WITH e AS MATERIALIZED ({edges_sql}
+      ), nodes AS MATERIALIZED (
+        SELECT s AS node FROM e UNION SELECT d FROM e
+      ), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+      deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+      r0 AS MATERIALIZED (
+        SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+      ){iters}
+      {final_select.format(last=prev)}
+    """
+
+
+ORACLES["q_pagerank"] = _pagerank_oracle_float(
+    _PURCHASE_EDGES,
+    n_iter=10,
+    final_select="SELECT node, ROUND(rank, 6) AS rank FROM {last}",
+)
+
+
 def q_textrank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank keywords with the engine-exact integer PageRank
     kernel: same token-adjacency graph as the float q_textrank
@@ -572,6 +632,17 @@ ORACLES["q_textrank_exact"] = _pagerank_oracle(
     final_select=(
         "SELECT node AS token, rank_micro FROM {last} "
         "ORDER BY rank_micro DESC, node LIMIT 25"
+    ),
+)
+
+# Float TextRank twin (6 iterations, 6-dp round BEFORE the order/
+# limit so the top-25 set is tie-broken identically in both engines).
+ORACLES["q_textrank"] = _pagerank_oracle_float(
+    _TEXTRANK_EDGES,
+    n_iter=6,
+    final_select=(
+        "SELECT node AS token, ROUND(rank, 6) AS score FROM {last} "
+        "ORDER BY score DESC, token LIMIT 25"
     ),
 )
 

@@ -66,9 +66,11 @@ def purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the purchase graph, 10 power iterations —
-    suppliers accumulate rank through their parts' buyers. Rounded
-    to 6 dp for cross-run stability of the rows-only hash. The
-    iteration kernel's exact semantics are hash-pinned by
+    suppliers accumulate rank through their parts' buyers. Oracle-
+    checked since r9: the DuckDB twin unrolls the identical FLOAT
+    recurrence (``extended27._pagerank_oracle_float``), and the 6-dp
+    round absorbs the ~1e-13 SUM-order divergence between engines.
+    The kernel's exact semantics are additionally hash-pinned by
     ``q_pagerank_exact`` (driver-green r5: integer pico-unit ranks,
     unrolled-CTE DuckDB twin, bit-equal)."""
     ranks = pagerank(purchase_graph(spark, sf_dir), n_iter=10)

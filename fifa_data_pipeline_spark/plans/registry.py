@@ -141,21 +141,38 @@ _WINDOW = [
     #    ANN family, dsir md5-fold, bm25 whose oracle file changed).
     # A green r8 gives cumulative 283/283 oracled driver-green and a
     # rows-only record for all 10 non-SQL-expressible queries.
-    "q_hard_negatives", "q_dup_inflation", "q_mixture_weights",
-    "q_budget_select", "q_embed_quantize", "q_postings",
-    "q_knn_ivf", "q_agg_approx", "q_hll_rollup", "q_pagerank",
-    "q_bpe_vocab", "q_textrank", "q_semantic_dedup", "q_pca_project",
-    "q_stream_distinct", "q_stream_neardedup",
-    "q_corpus_pipeline", "q_clustering_coeff", "q_ewma", "q_triangles",
-    "q_tokenizer_fertility", "q_repeated_spans", "q_trim_spans",
-    "q_decontaminate", "q_tpch_q21", "q_late_events",
+    # ROUND-9 ROTATION. Composition, per the r8 verdict "Next round":
+    #  - every query the r9 code touched: the emit_totals rewires
+    #    (q_budget_select, q_ks_test), the packed-pair-key
+    #    q_basket_pairs, the ADVICE re-validations (q_ntile,
+    #    q_mann_whitney — totals-derivation changes whose last oracle
+    #    rows predated r8), the ln_ols DECIMAL(38,0) combination fix
+    #    found by the sf10 probe (q_heaps_fit, q_zipf_fit), and the
+    #    bucketed-machinery family that inherits the share_input
+    #    tiebreak/NULL hardening;
+    #  - q_pagerank and q_textrank, upgraded rows-only → ORACLED
+    #    (verdict #5: unrolled float-recurrence DuckDB twins) — their
+    #    first hash-checked driver rows — plus their integer-exact
+    #    kernel anchors;
+    #  - the remaining 8 rows-only queries for the rows-only record;
+    #  - high-value anchors (flagship, dedup/ANN family, curation
+    #    set) for regression cover of the round's operator edits.
+    "q_budget_select", "q_ks_test", "q_basket_pairs", "q_ntile",
+    "q_mann_whitney", "q_heaps_fit", "q_zipf_fit",
+    "q_pagerank", "q_textrank", "q_pagerank_exact", "q_textrank_exact",
+    "q_quantile_norm", "q_dense_ids", "q_late_events", "q_ewma",
+    "q_weighted_quantile", "q_spearman",
     "q_exact_quantiles", "q_exact_quantiles_cont", "q_percentile_disc",
-    "q_spearman", "q_weighted_quantile", "q_basket_pairs",
-    "q_heaps_fit", "q_zipf_fit", "q_quantile_norm", "q_text_quality",
-    "q_calibration_bins", "q_fk_discovery", "q_pit_join",
-    "q_grouped_topk", "q_flagship", "q_dsir_scores", "q_minhash_pairs",
-    "q_jaccard_prefix", "q_dedup_cc", "q_knn_exact", "q_knn_lsh",
-    "q_label_centroids", "q_bm25", "q_pmi_bigrams",
+    "q_tpch_q21", "q_tokenizer_fertility", "q_calibration_bins",
+    "q_knn_ivf", "q_agg_approx", "q_hll_rollup",
+    "q_bpe_vocab", "q_semantic_dedup", "q_pca_project",
+    "q_stream_distinct", "q_stream_neardedup",
+    "q_flagship", "q_hard_negatives", "q_dup_inflation",
+    "q_mixture_weights", "q_embed_quantize", "q_postings",
+    "q_dedup_exact", "q_minhash_pairs", "q_jaccard_prefix",
+    "q_dedup_cc", "q_knn_exact", "q_knn_lsh", "q_dsir_scores",
+    "q_bm25", "q_grouped_topk", "q_text_quality",
+    "q_repeated_spans", "q_trim_spans", "q_pit_join",
 ]
 
 
