@@ -609,7 +609,19 @@ def embedding_near_dup_pairs(
     """Near-duplicate pairs by embedding cosine ≥ threshold. SRP
     buckets generate candidates (plus hamming-1 multi-probe on one
     side so near-threshold pairs straddling a hyperplane aren't all
-    lost), exact cosine verifies."""
+    lost), exact cosine verifies.
+
+    SCALE DIAL (r9, found by the sf10 probe): ``n_planes`` sets the
+    bucket count (2^n_planes) and therefore the candidate-join
+    fan-out — size it so n/2^n_planes stays a per-task-sortable
+    bucket (n_planes ≈ log2(n / 10k); the probe hung the 200k-vector
+    replica set on the default 4 planes = 16 buckets ≈ 12B candidate
+    pairs). The default stays 4 because the pair SET is part of the
+    operator's oracle-checked semantics at the gate SF — more planes
+    trade recall for fan-out, so the dial belongs to the caller, not
+    to a data-dependent heuristic that would make results
+    irreproducible across cluster sizes. Recall lost per added plane
+    is bounded by the hamming-1 probe ring."""
     planes = random_hyperplanes(n_planes, dim, seed)
     bucketed = spread(df).select(
         F.col(id_col),
