@@ -1403,26 +1403,27 @@ def grouped_running_max_dense(
         "*",
         *[F.max(c).over(wloc).alias(f"__loc_{c}") for c in max_cols],
     )
-    # Per-bucket totals = the LAST prefix row per (bucket, group)
-    # via max_by on the order key (the final running max IS the
-    # bucket max), aggregated from the WINDOW OUTPUT — same one-scan
-    # rule as :func:`grouped_running_sums_bucketed`: referencing
-    # __loc_* keeps this branch on the identical hash(bucket, group)
-    # exchange, so ReuseExchange serves it from shuffle files; a
-    # fresh groupBy over ``bucketed`` would re-plan a partial
-    # aggregate below its own exchange and recompute the whole input
-    # subtree.
+    # Per-bucket totals aggregated from the WINDOW OUTPUT — same
+    # one-scan rule as :func:`grouped_running_sums_bucketed`:
+    # referencing __loc_* keeps this branch on the identical
+    # hash(bucket, group) exchange, so ReuseExchange serves it from
+    # shuffle files; a fresh groupBy over ``bucketed`` would re-plan
+    # a partial aggregate below its own exchange and recompute the
+    # whole input subtree.
     if share_input:
-        # max_by orders on struct(order_col), not the bare column:
-        # the struct is non-null even when its component is NULL (and
-        # struct comparison ranks NULL components smallest, matching
-        # the window's ASC NULLS FIRST), so the NULL bucket's rows
-        # still yield a total — bare-column max_by would skip them
-        # and their maxima would never reach later buckets' offsets.
-        _ord = F.struct(F.col(order_col))
+        # Plain MAX over the prefix column: the running-max prefix is
+        # monotone within a (bucket, group), so max(__loc_c) == the
+        # bucket max regardless of how ties on the order key resolve
+        # (r9 used max_by(struct(order_col)), whose tie resolution on
+        # equal structs — the whole NULL bucket, or duplicate integer
+        # keys — is undocumented and version-fragile; the r10 ADVICE
+        # fix). MAX ignores NULL *values* but the prefix of an
+        # all-NULL bucket is NULL anyway, so the semantics match the
+        # window's, and the aggregate still references the window
+        # output so exchange reuse is preserved at identical cost.
         totals = local.groupBy("__bkt", *group_cols).agg(
             *[
-                F.max_by(F.col(f"__loc_{c}"), _ord).alias(f"__t_{c}")
+                F.max(F.col(f"__loc_{c}")).alias(f"__t_{c}")
                 for c in max_cols
             ]
         )

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fifa_data_pipeline_spark.sources.io import read_table
+from fifa_data_pipeline_spark.sources.io import (
+    footer_max_int as _footer_max_int,
+    read_table,
+)
 
 
 # --- statistical aggregates ------------------------------------------------
@@ -207,31 +210,47 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b").hint("SHUFFLE_HASH")
-    # The pair key is PACKED into one long map-side (p1 << 32 | p2 —
-    # exact while partkeys < 2^31, asserted by the generator's key
-    # stride; swap to a (p1, p2) struct key beyond that) so the
-    # pair-count exchange carries an 8-byte key + 8-byte count per
-    # row instead of two key columns — the exchange IS the measured
-    # floor here (12M mostly-unique pairs at sf1), so bytes-per-row
-    # is the only lever left. Decode by shift/mask after the
-    # aggregate + support filter, when only surviving pairs remain.
-    pk = F.shiftleft(F.col("a.l_partkey"), 32).bitwiseOR(
-        F.col("b.l_partkey")
-    )
-    pairs = a.join(
+    joined = a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(pk.alias("pk"))
-    agg = (
-        pairs.groupBy("pk")
+    )
+    # The pair key is PACKED into one long map-side (p1 << 32 | p2)
+    # so the pair-count exchange carries an 8-byte key + 8-byte count
+    # per row instead of two key columns — the exchange IS the
+    # measured floor here (12M mostly-unique pairs at sf1), so
+    # bytes-per-row is the only lever left. Decode by shift/mask
+    # after the aggregate + support filter, when only surviving pairs
+    # remain. Packing is exact only while partkeys fit 31 bits; that
+    # is now GUARDED (r10 ADVICE): a driver-side parquet-footer
+    # max(l_partkey) probe (milliseconds, no Spark job) routes to a
+    # two-column key when keys reach 2^31 or footer stats are absent,
+    # so a generator/SF change degrades to the safe plan instead of
+    # silently corrupting pair counts.
+    max_pk = _footer_max_int(f"{sf_dir}/lineitem.parquet", "l_partkey")
+    if max_pk is not None and max_pk < (1 << 31):
+        pk = F.shiftleft(F.col("a.l_partkey"), 32).bitwiseOR(
+            F.col("b.l_partkey")
+        )
+        agg = (
+            joined.select(pk.alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= 2)
+        )
+        return agg.select(
+            F.shiftrightunsigned("pk", 32).alias("p1"),
+            F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("p2"),
+            "n_orders",
+        )
+    return (
+        joined.select(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
-    )
-    return agg.select(
-        F.shiftrightunsigned("pk", 32).alias("p1"),
-        F.col("pk").bitwiseAND(F.lit(0xFFFFFFFF)).alias("p2"),
-        "n_orders",
     )
 
 

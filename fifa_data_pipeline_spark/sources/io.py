@@ -138,6 +138,62 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: footer_max_int cache — testdata is immutable, so a (path, col)
+#: probe result never changes within a process.
+_FOOTER_MAX_CACHE: dict[tuple[str, str], int | None] = {}
+
+
+def footer_max_int(path: str, col: str) -> int | None:
+    """Driver-side MAX of an integer column read from parquet footer
+    statistics only — milliseconds and zero Spark jobs, the cheap
+    bounds probe plans use to pick between an exactness-sensitive
+    fast path and a safe fallback (e.g. ``q_basket_pairs``' packed
+    63-bit pair key needs partkeys < 2^31). Returns ``None`` when any
+    row group lacks max stats, which callers must treat as "unknown →
+    take the safe plan". Accepts a single file or a directory of
+    part-files (the layouts ``make_sfN.py`` and Spark writers emit).
+
+    100 TB note: footers are O(row-groups) metadata, read without
+    touching data pages; on object stores this is one ranged GET per
+    file tail — still metadata-cheap, but for thousand-file tables
+    prefer running it once and threading the bound in."""
+    key = (path, col)
+    if key in _FOOTER_MAX_CACHE:
+        return _FOOTER_MAX_CACHE[key]
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    mx: int | None = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.to_arrow_schema().names.index(col)
+        except ValueError:
+            mx = None
+            break
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mx = st.max if mx is None else max(mx, st.max)
+        if not ok:
+            mx = None
+            break
+    _FOOTER_MAX_CACHE[key] = mx
+    return mx
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each table as a temp view (S9: ``createOrReplaceTempView``).
 

@@ -20,7 +20,9 @@ def main() -> int:
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
 
-    sys.path.insert(0, "/root/repo")
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
     import __spark_entry__ as entrymod
     from fifa_data_pipeline_spark.session import get_spark
 
