@@ -163,19 +163,22 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost per language) and mean tokens per document — two sums and a
     count in one aggregate over per-row token counts.
 
-    Perf pin (r7, sf1): the entire cost is the BPE alternation regex
-    scan over the corpus (~1.1 s Spark vs ~0.5 s DuckDB twin). That
-    gap is Java-regex-vs-RE2, not plan shape: ``regexp_count`` is
-    RuntimeReplaceable to ``size(regexp_extract_all(...))`` so the
-    array/count forms share one physical plan, and the measured
-    alternatives (three single-class scans 2.1 s, possessive
-    quantifiers ±0) are no better. The plan itself is the 100× plan:
-    one projection + one partial-agg shuffle of 5 rows/partition."""
+    Perf history: the entire cost is the BPE alternation regex scan
+    over the corpus, and through r9 that ran on java.util.regex
+    (``regexp_count``; ~0.90 s sf1 vs ~0.47 s DuckDB/RE2 — plan-shape
+    alternatives all measured no better: three single-class scans
+    2.1 s, possessive quantifiers ±0, and the array/count forms share
+    one physical plan). r10 closes most of the engine gap by counting
+    in an Arrow/RE2 kernel (:func:`text.token_counts_arrow` —
+    equality-gated A/B in ``tools/ab_tokenize.py``): 0.90→0.65 s sf1,
+    8.16→3.62 s sf10, identical integer counts. The plan is otherwise
+    unchanged and remains the 100× plan: one map-only projection +
+    one partial-agg shuffle of 5 rows/partition."""
     docs = read_table(spark, sf_dir, "documents")
-    per = docs.select(
-        "lang",
-        F.length("text").cast("bigint").alias("__chars"),
-        X.bpe_ish_token_count_expr("text").alias("__toks"),
+    per = X.token_counts_arrow(
+        docs.select("lang", "text"),
+        bpe_alias="__toks",
+        chars_alias="__chars",
     )
     return per.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -179,18 +179,25 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts only (the per-row score is an int/int division,
     IEEE-identical across engines), so the twin matches bit-exactly;
     the cross-bin ECE sum is deliberately left to the reader to keep
-    the result free of order-dependent float accumulation."""
+    the result free of order-dependent float accumulation.
+
+    Perf (r10): the per-row counts come from the Arrow/RE2 kernel
+    (:func:`text.token_counts_arrow`) instead of the r9 JVM
+    split+filter expressions — equality-gated A/B
+    (``tools/ab_tokenize.py``): 1.29→1.11 s sf1, 9.20→7.45 s sf10,
+    identical integer counts, same one-exchange plan."""
     from pyspark.sql import functions as F
 
-    from fifa_data_pipeline_spark.operators.text import STOPWORDS, tokens
+    from fifa_data_pipeline_spark.operators.text import token_counts_arrow
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    ).cast("bigint")
-    ratio = stop_hits / F.size(toks).cast("bigint")
-    binned = docs.select(
+    per = token_counts_arrow(
+        docs.select("lang", "text"),
+        ws_alias="__n_tok",
+        stop_alias="__stop",
+    )
+    ratio = F.col("__stop") / F.col("__n_tok")
+    binned = per.select(
         F.least(F.floor(ratio * 10), F.lit(9)).cast("long").alias("bin"),
         (F.col("lang") == "en").cast("long").alias("is_en"),
     )

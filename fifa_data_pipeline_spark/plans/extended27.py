@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import zipf_fit
-from fifa_data_pipeline_spark.sources.io import read_table
+from fifa_data_pipeline_spark.sources.io import (
+    footer_minmax_int as _footer_minmax_int,
+    read_table,
+)
 
 
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,31 +114,31 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id into fixed strides and cumulate bucket subtotals) so the
     fit sees thousands of points, not billions.
 
-    r7: the per-doc token counts come from the array-free
-    ``regexp_count`` counting pass (``text.token_count_expr``), not
-    the exploded leg — the explode now feeds ONLY the (source,
-    token) first-occurrence aggregate, so the corpus is tokenized
-    once, not twice. Controlled same-session A/B at sf1 (rebuild per
-    run, interleaved): new form ≤ old in every pairing (0.47-0.53 s
-    vs 0.50-0.62 s warm). NOTE this query's wall clock is strongly
-    session-warmup-dependent (first-query-in-session min-of-3 runs
-    ~3 s; after ANY prior heavy scan+agg query, ~0.5-0.7 s steady —
-    JVM/JIT infra warmup, not plan cost); in-suite bench numbers sit
-    between, per RUNBOOK §5."""
+    r7: the per-doc token counts come from an array-free counting
+    pass, not the exploded leg — the corpus is tokenized once per
+    leg, not twice in one. r10: both legs moved off java.util.regex
+    onto Arrow/RE2 kernels — the first-occurrence leg to
+    :func:`text.token_first_id_partials_arrow` (RE2 split + in-batch
+    Acero min, so the shuffle carries batch-vocab rows, not token
+    occurrences) and the count leg to :func:`text.token_counts_arrow`
+    — interleaved result-equal A/B: 1.87→1.73 s sf1, 12.2→9.5 s sf10.
+    NOTE this query's wall clock is strongly session-warmup-dependent
+    (first-query-in-session min-of-3 runs ~3 s; after ANY prior heavy
+    scan+agg query much less — JVM/JIT infra warmup, not plan cost);
+    in-suite bench numbers sit between, per RUNBOOK §5."""
     from fifa_data_pipeline_spark.operators.text import (
-        token_count_expr,
-        tokens,
+        token_counts_arrow,
+        token_first_id_partials_arrow,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", "doc_id", F.explode(tokens("text")).alias("token")
+    per_doc = token_counts_arrow(
+        docs.select("source", "doc_id", "text"), ws_alias="n_toks"
     )
-    per_doc = docs.select(
-        "source", "doc_id", token_count_expr("text").alias("n_toks")
-    )
-    first_occ = toks.groupBy("source", "token").agg(
-        F.min("doc_id").alias("first_doc")
+    first_occ = token_first_id_partials_arrow(
+        docs, "source", "doc_id"
+    ).groupBy("source", "token").agg(
+        F.min("id_min").alias("first_doc")
     )
     new_types = first_occ.groupBy(
         "source", F.col("first_doc").alias("doc_id")
@@ -148,12 +151,12 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.join(new_types, ["source", "doc_id"], "left")
         .withColumn("v_new", F.coalesce("v_new", F.lit(0)))
     )
-    # doc_id bounds from the raw table (footer-cheap) feed the
-    # bucketed prefix machinery (r8): one spine shuffle, no
-    # checkpoint pin.
-    id_bounds = tuple(
-        docs.agg(F.min("doc_id"), F.max("doc_id")).first()
-    )
+    # doc_id bounds for the bucketed prefix machinery, from parquet
+    # footer stats when present (r10 — zero Spark jobs; exact on the
+    # raw unfiltered table), else the r8 aggregate probe.
+    id_bounds = _footer_minmax_int(
+        f"{sf_dir}/documents.parquet", "doc_id"
+    ) or tuple(docs.agg(F.min("doc_id"), F.max("doc_id")).first())
     curve = (
         grouped_running_sums_bucketed(
             spine, ["source"], "doc_id", ["n_toks", "v_new"],

@@ -266,7 +266,7 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fifa_data_pipeline_spark.operators.relational import (
         grouped_running_sums_bucketed,
     )
-    from fifa_data_pipeline_spark.operators.text import text_stats
+    from fifa_data_pipeline_spark.operators.text import token_counts_arrow
 
     docs = read_table(spark, sf_dir, "documents")
     # Carry ONLY ``__negq`` (descending-quality order key) into the
@@ -278,13 +278,31 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 3× at r8). With an identical column set everywhere,
     # ALL consumers (prefix window, per-bucket totals, per-source
     # totals) share ONE exchange: one tokenize pass total.
-    ranked = text_stats(docs.select("source", "doc_id", "text")).select(
+    #
+    # r10: that one tokenize pass now runs in the Arrow/RE2 kernel
+    # (:func:`text.token_counts_arrow`, integer counts bit-identical
+    # to ``text_stats``'s JVM expressions — ``tools/ab_tokenize.py``);
+    # the quality score is rebuilt from the counts with exactly
+    # ``text_stats``'s arithmetic, so __negq is unchanged.
+    per = token_counts_arrow(
+        docs.select("source", "doc_id", "text"),
+        ws_alias="n_tokens",
+        stop_alias="__stop",
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens"), F.lit(50)) / F.lit(50.0)
+        * (
+            F.lit(1.0)
+            - F.round(F.col("__stop") / F.col("n_tokens"), 6)
+        ),
+        6,
+    )
+    ranked = per.select(
         "source",
         "doc_id",
         F.col("n_tokens"),
         (
-            F.lit(1_000_000)
-            - F.round(F.col("quality_score") * 1e6).cast("bigint")
+            F.lit(1_000_000) - F.round(quality * 1e6).cast("bigint")
         ).alias("__negq"),
         F.lit(1).alias("__one"),
     )

@@ -138,28 +138,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: footer_max_int cache — testdata is immutable, so a (path, col)
+#: footer probe cache — testdata is immutable, so a (path, col)
 #: probe result never changes within a process.
-_FOOTER_MAX_CACHE: dict[tuple[str, str], int | None] = {}
+_FOOTER_MINMAX_CACHE: dict[tuple[str, str], tuple | None] = {}
 
 
-def footer_max_int(path: str, col: str) -> int | None:
-    """Driver-side MAX of an integer column read from parquet footer
-    statistics only — milliseconds and zero Spark jobs, the cheap
-    bounds probe plans use to pick between an exactness-sensitive
-    fast path and a safe fallback (e.g. ``q_basket_pairs``' packed
-    63-bit pair key needs partkeys < 2^31). Returns ``None`` when any
-    row group lacks max stats, which callers must treat as "unknown →
+def footer_minmax_int(path: str, col: str) -> tuple | None:
+    """Driver-side (MIN, MAX) of an integer column read from parquet
+    footer statistics only — milliseconds and zero Spark jobs, the
+    cheap bounds probe plans use for bucketed-machinery bounds and
+    for picking between an exactness-sensitive fast path and a safe
+    fallback. Returns ``None`` when any row group lacks stats, which
+    callers must treat as "unknown → probe with a Spark aggregate or
     take the safe plan". Accepts a single file or a directory of
     part-files (the layouts ``make_sfN.py`` and Spark writers emit).
+
+    Exact only on an UNFILTERED table (footer stats bound the file's
+    rows, not a predicate's) — for machinery *bounds* a superset
+    range is still correct, just coarser buckets.
 
     100 TB note: footers are O(row-groups) metadata, read without
     touching data pages; on object stores this is one ranged GET per
     file tail — still metadata-cheap, but for thousand-file tables
     prefer running it once and threading the bound in."""
     key = (path, col)
-    if key in _FOOTER_MAX_CACHE:
-        return _FOOTER_MAX_CACHE[key]
+    if key in _FOOTER_MINMAX_CACHE:
+        return _FOOTER_MINMAX_CACHE[key]
     import os
 
     import pyarrow.parquet as pq
@@ -172,13 +176,14 @@ def footer_max_int(path: str, col: str) -> int | None:
         )
     else:
         files = [path]
+    mn: int | None = None
     mx: int | None = None
     for f in files:
         md = pq.ParquetFile(f).metadata
         try:
             idx = md.schema.to_arrow_schema().names.index(col)
         except ValueError:
-            mx = None
+            mn = mx = None
             break
         ok = True
         for rg in range(md.num_row_groups):
@@ -186,12 +191,20 @@ def footer_max_int(path: str, col: str) -> int | None:
             if st is None or not st.has_min_max:
                 ok = False
                 break
+            mn = st.min if mn is None else min(mn, st.min)
             mx = st.max if mx is None else max(mx, st.max)
         if not ok:
-            mx = None
+            mn = mx = None
             break
-    _FOOTER_MAX_CACHE[key] = mx
-    return mx
+    out = None if mx is None else (mn, mx)
+    _FOOTER_MINMAX_CACHE[key] = out
+    return out
+
+
+def footer_max_int(path: str, col: str) -> int | None:
+    """MAX-only view of :func:`footer_minmax_int`."""
+    mm = footer_minmax_int(path, col)
+    return None if mm is None else mm[1]
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
