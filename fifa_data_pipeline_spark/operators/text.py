@@ -249,6 +249,122 @@ def _token_partials_arrow(
     return df.select(*carry, text_col).mapInArrow(kernel, out_schema)
 
 
+#: Below this UNCOMPRESSED corpus size the JVM expression forms beat
+#: the Arrow kernels: the RE2-per-byte win needs bytes to amortize
+#: the fixed Python-runner/IPC cost (~0.15-0.45 s per pass, measured
+#: r10 at sf0.1 = 1.5 MB where JVM wins every pairing; at sf1 =
+#: 17 MB Arrow wins every pairing). Callers probe the corpus with
+#: :func:`sources.io.footer_uncompressed_bytes` (metadata-only) and
+#: pass it as ``input_bytes``; ``None`` means "assume scale" — the
+#: 100 TB default.
+ARROW_TOKENIZE_MIN_BYTES = 8 << 20
+
+
+def _use_arrow(input_bytes: int | None) -> bool:
+    return input_bytes is None or input_bytes >= ARROW_TOKENIZE_MIN_BYTES
+
+
+def token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    bpe_alias: str | None = None,
+    ws_alias: str | None = None,
+    stop_alias: str | None = None,
+    chars_alias: str | None = None,
+    input_bytes: int | None = None,
+) -> DataFrame:
+    """Size-adaptive per-row token/char counts: the Arrow/RE2 kernel
+    (:func:`token_counts_arrow`) at scale — the default — or the
+    bit-identical JVM column expressions below
+    ``ARROW_TOKENIZE_MIN_BYTES`` (tiny inputs shouldn't pay Python
+    interop; same switch pattern as ``dedup.all_pairs_jaccard``).
+    Both branches drop ``text_col`` and append the same BIGINT
+    columns; equality is pinned by a unit test that runs both on the
+    same frame."""
+    if _use_arrow(input_bytes):
+        return token_counts_arrow(
+            df,
+            text_col,
+            bpe_alias=bpe_alias,
+            ws_alias=ws_alias,
+            stop_alias=stop_alias,
+            chars_alias=chars_alias,
+        )
+    carry = [c for c in df.columns if c != text_col]
+    exprs = []
+    if bpe_alias:
+        exprs.append(bpe_ish_token_count_expr(text_col).alias(bpe_alias))
+    if stop_alias:
+        # ws + stop share ONE split (codegen subexpression reuse):
+        # size(split) == count('\s+')+1 on every input (pinned at
+        # token_count_expr).
+        toks = tokens(text_col)
+        if ws_alias:
+            exprs.append(F.size(toks).cast("bigint").alias(ws_alias))
+        exprs.append(
+            F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            .cast("bigint")
+            .alias(stop_alias)
+        )
+    elif ws_alias:
+        exprs.append(token_count_expr(text_col).alias(ws_alias))
+    if chars_alias:
+        exprs.append(
+            F.length(text_col).cast("bigint").alias(chars_alias)
+        )
+    return df.select(*carry, *exprs)
+
+
+def token_first_id_table(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str = "text",
+    input_bytes: int | None = None,
+) -> DataFrame:
+    """Exact global ``(group, token) → min(id)`` first-occurrence
+    table, size-adaptive: Arrow batch partials + Spark min at scale
+    (:func:`token_first_id_partials_arrow`), JVM explode + min below
+    the byte threshold. Output columns: group_col, token,
+    ``first_id``."""
+    if _use_arrow(input_bytes):
+        partials = token_first_id_partials_arrow(
+            df, group_col, id_col, text_col
+        )
+        return partials.groupBy(group_col, "token").agg(
+            F.min("id_min").alias("first_id")
+        )
+    toks = df.select(
+        group_col, id_col, F.explode(tokens(text_col)).alias("token")
+    )
+    return toks.groupBy(group_col, "token").agg(
+        F.min(id_col).alias("first_id")
+    )
+
+
+def token_freq_table(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    input_bytes: int | None = None,
+) -> DataFrame:
+    """Exact global ``(group, token) → freq`` table, size-adaptive
+    like :func:`token_first_id_table`. Output columns: group_col,
+    token, ``freq``."""
+    if _use_arrow(input_bytes):
+        partials = token_count_partials_arrow(df, group_col, text_col)
+        return partials.groupBy(group_col, "token").agg(
+            F.sum("cnt").alias("freq")
+        )
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(text_col)).alias("token")
+    )
+    return toks.groupBy(group_col, "token").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+
+
 def token_first_id_partials_arrow(
     df: DataFrame,
     group_col: str,
@@ -1190,6 +1306,7 @@ def zipf_fit(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Per-group Zipf-law fit: OLS of ln(frequency) on ln(rank) over
     the group's token frequency table (rank 1 = most frequent; ties
@@ -1201,10 +1318,10 @@ def zipf_fit(
     r2)`` via :func:`ln_ols` — exact integer moments, one pass over
     the ranked vocabulary, no totals join, run-order-deterministic.
 
-    Plan shape: Arrow/RE2 batch partials
-    (:func:`token_count_partials_arrow` — r10; the JVM
-    explode→hash-agg leg it replaces paid java.util.regex per byte) →
-    (group, token) sum aggregate → per-group rank window → per-group
+    Plan shape: size-adaptive frequency table
+    (:func:`token_freq_table` — r10: Arrow/RE2 batch partials at
+    scale, where the JVM explode→hash-agg leg it replaces paid
+    java.util.regex per byte) → per-group rank window → per-group
     regression aggregate. Only the VOCABULARY — not the corpus —
     crosses the rank window, so the sorted partition is bounded by
     types-per-group. At 100 TB with a very large per-group
@@ -1213,9 +1330,8 @@ def zipf_fit(
     rank = 1 + Σ counts of strictly-higher frequencies, ties resolved
     within the equal-frequency bucket) to keep every stage a hash
     aggregate."""
-    partials = token_count_partials_arrow(df, group_col, text_col)
-    counts = partials.groupBy(group_col, "token").agg(
-        F.sum("cnt").alias("freq")
+    counts = token_freq_table(
+        df, group_col, text_col, input_bytes=input_bytes
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("token"))
     ranked = counts.withColumn("rank", F.row_number().over(w))

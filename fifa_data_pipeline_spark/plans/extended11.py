@@ -18,7 +18,10 @@ from pyspark.sql import functions as F
 from fifa_data_pipeline_spark.operators import dedup as D
 from fifa_data_pipeline_spark.operators import relational as R
 from fifa_data_pipeline_spark.operators import text as X
-from fifa_data_pipeline_spark.sources.io import read_table
+from fifa_data_pipeline_spark.sources.io import (
+    footer_uncompressed_bytes as _footer_bytes,
+    read_table,
+)
 
 #: Engine-portable epoch seconds.
 _EPOCH = "CAST(FLOOR(extract(epoch FROM ts)) AS BIGINT)"
@@ -175,10 +178,11 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged and remains the 100× plan: one map-only projection +
     one partial-agg shuffle of 5 rows/partition."""
     docs = read_table(spark, sf_dir, "documents")
-    per = X.token_counts_arrow(
+    per = X.token_counts(
         docs.select("lang", "text"),
         bpe_alias="__toks",
         chars_alias="__chars",
+        input_bytes=_footer_bytes(f"{sf_dir}/documents.parquet"),
     )
     return per.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

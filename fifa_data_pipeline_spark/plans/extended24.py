@@ -188,13 +188,19 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integer counts, same one-exchange plan."""
     from pyspark.sql import functions as F
 
-    from fifa_data_pipeline_spark.operators.text import token_counts_arrow
+    from fifa_data_pipeline_spark.operators.text import token_counts
+    from fifa_data_pipeline_spark.sources.io import (
+        footer_uncompressed_bytes,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    per = token_counts_arrow(
+    per = token_counts(
         docs.select("lang", "text"),
         ws_alias="__n_tok",
         stop_alias="__stop",
+        input_bytes=footer_uncompressed_bytes(
+            f"{sf_dir}/documents.parquet"
+        ),
     )
     ratio = F.col("__stop") / F.col("__n_tok")
     binned = per.select(

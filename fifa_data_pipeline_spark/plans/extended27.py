@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from fifa_data_pipeline_spark.operators.text import zipf_fit
 from fifa_data_pipeline_spark.sources.io import (
     footer_minmax_int as _footer_minmax_int,
+    footer_uncompressed_bytes as _footer_bytes,
     read_table,
 )
 
@@ -30,7 +31,10 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source Zipf-law fit over the documents table — see
     :func:`fifa_data_pipeline_spark.operators.text.zipf_fit`."""
     docs = read_table(spark, sf_dir, "documents")
-    return zipf_fit(docs, "source", "text")
+    return zipf_fit(
+        docs, "source", "text",
+        input_bytes=_footer_bytes(f"{sf_dir}/documents.parquet"),
+    )
 
 
 QUERIES = {
@@ -127,19 +131,19 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan+agg query much less — JVM/JIT infra warmup, not plan cost);
     in-suite bench numbers sit between, per RUNBOOK §5."""
     from fifa_data_pipeline_spark.operators.text import (
-        token_counts_arrow,
-        token_first_id_partials_arrow,
+        token_counts,
+        token_first_id_table,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    per_doc = token_counts_arrow(
-        docs.select("source", "doc_id", "text"), ws_alias="n_toks"
+    nbytes = _footer_bytes(f"{sf_dir}/documents.parquet")
+    per_doc = token_counts(
+        docs.select("source", "doc_id", "text"), ws_alias="n_toks",
+        input_bytes=nbytes,
     )
-    first_occ = token_first_id_partials_arrow(
-        docs, "source", "doc_id"
-    ).groupBy("source", "token").agg(
-        F.min("id_min").alias("first_doc")
-    )
+    first_occ = token_first_id_table(
+        docs, "source", "doc_id", input_bytes=nbytes
+    ).withColumnRenamed("first_id", "first_doc")
     new_types = first_occ.groupBy(
         "source", F.col("first_doc").alias("doc_id")
     ).agg(F.count(F.lit(1)).alias("v_new"))

@@ -266,7 +266,10 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fifa_data_pipeline_spark.operators.relational import (
         grouped_running_sums_bucketed,
     )
-    from fifa_data_pipeline_spark.operators.text import token_counts_arrow
+    from fifa_data_pipeline_spark.operators.text import token_counts
+    from fifa_data_pipeline_spark.sources.io import (
+        footer_uncompressed_bytes,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
     # Carry ONLY ``__negq`` (descending-quality order key) into the
@@ -284,10 +287,13 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to ``text_stats``'s JVM expressions — ``tools/ab_tokenize.py``);
     # the quality score is rebuilt from the counts with exactly
     # ``text_stats``'s arithmetic, so __negq is unchanged.
-    per = token_counts_arrow(
+    per = token_counts(
         docs.select("source", "doc_id", "text"),
         ws_alias="n_tokens",
         stop_alias="__stop",
+        input_bytes=footer_uncompressed_bytes(
+            f"{sf_dir}/documents.parquet"
+        ),
     )
     quality = F.round(
         F.least(F.col("n_tokens"), F.lit(50)) / F.lit(50.0)

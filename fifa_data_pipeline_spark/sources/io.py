@@ -207,6 +207,42 @@ def footer_max_int(path: str, col: str) -> int | None:
     return None if mm is None else mm[1]
 
 
+_FOOTER_BYTES_CACHE: dict[str, int] = {}
+
+
+def footer_uncompressed_bytes(path: str) -> int:
+    """Total UNCOMPRESSED byte size of a parquet file/directory from
+    footer metadata (sum of row-group ``total_byte_size``) —
+    milliseconds, zero Spark jobs. The size proxy size-adaptive
+    operators switch on: compressed file size is useless for that
+    (synthetic/repetitive text compresses ~100×, so an sf1 corpus
+    can be barely larger ON DISK than sf0.1 while being 10× the
+    scan/tokenize work)."""
+    if path in _FOOTER_BYTES_CACHE:
+        return _FOOTER_BYTES_CACHE[path]
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ]
+    else:
+        files = [path]
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total += sum(
+            md.row_group(i).total_byte_size
+            for i in range(md.num_row_groups)
+        )
+    _FOOTER_BYTES_CACHE[path] = total
+    return total
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register each table as a temp view (S9: ``createOrReplaceTempView``).
 

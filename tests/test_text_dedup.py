@@ -473,3 +473,55 @@ def test_star_components_match_label_propagation(spark):
 def test_star_components_empty_input(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert D.connected_components_star(df).count() == 0
+
+
+def test_token_counts_size_adaptive_branches_equal(spark):
+    """The r10 size-adaptive switch: the Arrow/RE2 kernel branch
+    (input_bytes=None → scale default) and the JVM expression branch
+    (input_bytes=0 → below threshold) must produce bit-identical
+    counts on the hostile edge set — NULL text, empty string,
+    whitespace-only, adjacent stopwords, punctuation-attached
+    stopwords, and multi-space runs."""
+    rows = [
+        ("x", 1, "the a a  the"),
+        ("x", 2, ""),
+        ("x", 3, None),
+        ("x", 4, "   "),
+        ("y", 5, "  a the banana a. the, THE"),
+        ("y", 6, "digits 42 and sym!bols"),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, text string")
+    kw = dict(
+        bpe_alias="bpe", ws_alias="ws", stop_alias="st",
+        chars_alias="ch",
+    )
+    arrow = X.token_counts(df, input_bytes=None, **kw)
+    jvm = X.token_counts(df, input_bytes=0, **kw)
+    assert arrow.columns == jvm.columns
+    a = sorted(map(tuple, arrow.collect()))
+    j = sorted(map(tuple, jvm.collect()))
+    assert a == j
+    # spot-check absolute semantics (not just cross-branch equality)
+    by_id = {r.id: r for r in arrow.collect()}
+    assert by_id[1].st == 4 and by_id[1].ws == 4
+    assert by_id[2].ws == 1 and by_id[2].st == 0  # split('')==['']
+    assert by_id[3].ws is None and by_id[3].st is None
+    assert by_id[5].st == 2  # 'a.' / 'the,' / 'THE' are NOT hits
+
+
+def test_token_tables_size_adaptive_branches_equal(spark):
+    rows = [
+        ("x", 1, "b a a c"),
+        ("x", 2, "a d"),
+        ("y", 3, "a a"),
+        ("y", 4, None),
+        ("y", 5, ""),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, text string")
+    for fn in (
+        lambda b: X.token_first_id_table(df, "g", "id", input_bytes=b),
+        lambda b: X.token_freq_table(df, "g", input_bytes=b),
+    ):
+        a = sorted(map(tuple, fn(None).collect()))
+        j = sorted(map(tuple, fn(0).collect()))
+        assert a == j and len(a) > 0
