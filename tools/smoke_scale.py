@@ -12,8 +12,10 @@ entries (exercised by their own replay tests).
 
 Usage::
 
-    python tools/smoke_scale.py [sf_dir] [budget_sec]
+    SPARK_GRAFT_DRIVER_MEM=24g python tools/smoke_scale.py [sf_dir] [budget_sec]
 
+Set the 24g heap (RUNBOOK §7: moderate-heap-beats-huge, but the 12g
+default GC-thrashes at sf10 — measured ~1 min/query vs ~12 s/query).
 Defaults: .benchdata/sf10, 2400 s. Prints one JSON line
 {"ran": N, "failures": [...], "slow": {...}} and logs progress to
 /tmp/smoke_scale.log. Record the result in SCALE.md per round.
