@@ -120,30 +120,51 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r7: the per-doc token counts come from an array-free counting
     pass, not the exploded leg — the corpus is tokenized once per
-    leg, not twice in one. r10: both legs moved off java.util.regex
-    onto Arrow/RE2 kernels — the first-occurrence leg to
-    :func:`text.token_first_id_partials_arrow` (RE2 split + in-batch
-    Acero min, so the shuffle carries batch-vocab rows, not token
-    occurrences) and the count leg to :func:`text.token_counts_arrow`
-    — interleaved result-equal A/B: 1.87→1.73 s sf1, 12.2→9.5 s sf10.
+    leg, not twice in one. r10: at scale BOTH legs now come from ONE
+    Arrow/RE2 scan (:func:`text.token_doc_vocab_union_arrow` — RE2
+    split once per batch, per-doc counts + in-batch Acero min-doc
+    vocab partials in a union-shaped frame). The two consumers group
+    on different keys, so exchange reuse cannot serve them from one
+    scan; the union is materialized once via
+    ``localCheckpoint(eager=False)`` — the q_doc_similarity
+    three-consumer precedent, and the checkpoint holds the NARROW
+    union (|docs| + batch-vocab rows), not the corpus. Interleaved
+    result-equal A/Bs: two JVM scans → two Arrow scans 12.2→9.5 s
+    sf10; → one fused scan 9.77→6.55 s sf10 and 2.04→1.47 s sf1.
+    Below the size threshold the r9 JVM two-leg form runs unchanged.
     NOTE this query's wall clock is strongly session-warmup-dependent
     (first-query-in-session min-of-3 runs ~3 s; after ANY prior heavy
     scan+agg query much less — JVM/JIT infra warmup, not plan cost);
     in-suite bench numbers sit between, per RUNBOOK §5."""
     from fifa_data_pipeline_spark.operators.text import (
+        ARROW_TOKENIZE_MIN_BYTES,
         token_counts,
+        token_doc_vocab_union_arrow,
         token_first_id_table,
     )
 
     docs = read_table(spark, sf_dir, "documents")
     nbytes = _footer_bytes(f"{sf_dir}/documents.parquet")
-    per_doc = token_counts(
-        docs.select("source", "doc_id", "text"), ws_alias="n_toks",
-        input_bytes=nbytes,
-    )
-    first_occ = token_first_id_table(
-        docs, "source", "doc_id", input_bytes=nbytes
-    ).withColumnRenamed("first_id", "first_doc")
+    if nbytes >= ARROW_TOKENIZE_MIN_BYTES:
+        u = token_doc_vocab_union_arrow(
+            docs, "source", "doc_id"
+        ).localCheckpoint(eager=False)
+        per_doc = u.filter(F.col("token").isNull()).select(
+            "source", "doc_id", "n_toks"
+        )
+        first_occ = (
+            u.filter(F.col("token").isNotNull())
+            .groupBy("source", "token")
+            .agg(F.min("id_min").alias("first_doc"))
+        )
+    else:
+        per_doc = token_counts(
+            docs.select("source", "doc_id", "text"),
+            ws_alias="n_toks", input_bytes=nbytes,
+        )
+        first_occ = token_first_id_table(
+            docs, "source", "doc_id", input_bytes=nbytes
+        ).withColumnRenamed("first_id", "first_doc")
     new_types = first_occ.groupBy(
         "source", F.col("first_doc").alias("doc_id")
     ).agg(F.count(F.lit(1)).alias("v_new"))

@@ -525,3 +525,32 @@ def test_token_tables_size_adaptive_branches_equal(spark):
         a = sorted(map(tuple, fn(None).collect()))
         j = sorted(map(tuple, fn(0).collect()))
         assert a == j and len(a) > 0
+
+
+def test_token_doc_vocab_union_matches_two_leg_form(spark):
+    """The fused one-scan union (r10, q_heaps_fit's scale path) must
+    reproduce both legs exactly: per-doc whitespace token counts and
+    the (group, token) -> min(id) first-occurrence table."""
+    rows = [
+        ("x", 1, "b a a c"),
+        ("x", 2, "a d"),
+        ("y", 3, "a a"),
+        ("y", 4, None),
+        ("y", 5, ""),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, text string")
+    u = X.token_doc_vocab_union_arrow(df, "g", "id")
+    per_doc = u.filter(F.col("token").isNull()).select("g", "id", "n_toks")
+    first = (
+        u.filter(F.col("token").isNotNull())
+        .groupBy("g", "token")
+        .agg(F.min("id_min").alias("first_id"))
+    )
+    ref_counts = X.token_counts(df, ws_alias="n_toks", input_bytes=0)
+    assert sorted(map(tuple, per_doc.collect())) == sorted(
+        map(tuple, ref_counts.select("g", "id", "n_toks").collect())
+    )
+    ref_first = X.token_first_id_table(df, "g", "id", input_bytes=0)
+    assert sorted(map(tuple, first.collect())) == sorted(
+        map(tuple, ref_first.collect())
+    )
