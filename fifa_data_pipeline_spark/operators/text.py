@@ -59,9 +59,20 @@ def bpe_ish_token_count_expr(text: Column | str) -> Column:
     ).cast("bigint")
 
 
+#: Java's ``\s`` class spelled out: ``[ \t\n\x0B\f\r]``. RE2's ``\s``
+#: EXCLUDES ``\x0B`` (vertical tab), so the Arrow kernels must use
+#: this explicit class — not ``\s`` — to stay bit-identical to their
+#: JVM expression twins on every input (r10 ADVICE). The escape means
+#: the same thing in java.util.regex and RE2, so the shared BPE
+#: pattern below can embed it directly.
+JAVA_WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 #: The BPE-ish pre-tokenizer alternation shared by the JVM and Arrow
 #: counting paths (GPT-2-style word pieces / digit runs / symbols).
-BPE_SPLIT_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+#: Whitespace is the explicit Java class (see :data:`JAVA_WS_CLASS`)
+#: so the same string compiles to the same language under both
+#: engines.
+BPE_SPLIT_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]"
 
 
 def token_counts_arrow(
@@ -87,7 +98,10 @@ def token_counts_arrow(
       ``count('\\s+') + 1`` when only the count is needed, or as the
       split list's length when ``stop_alias`` forces the split,
     - ``stop_alias``: whole-token STOPWORDS hits — the trimmed text
-      is RE2-split on ``'\\s+'`` and exact-matched tokens are counted
+      (``utf8_trim(' ')`` — ASCII space only, mirroring Spark trim)
+      is RE2-split on :data:`JAVA_WS_CLASS` ``+`` (Java's ``\\s``
+      spelled out; RE2's ``\\s`` drops ``\\x0B``) and exact-matched
+      tokens are counted
       per row (flatten → ``is_in`` → parent-index ``bincount``; the
       list offsets ARE the row mapping, no per-row Python),
     - ``chars_alias``: ``length(text)`` (code points, = Arrow
@@ -140,8 +154,11 @@ def token_counts_arrow(
             if stop_alias:
                 # One RE2 split serves both counts; the flattened
                 # token array maps back to rows via the list offsets.
-                tr = pc.utf8_trim_whitespace(t)
-                lst = pc.split_pattern_regex(tr, r"\s+")
+                # trim(' ') mirrors Spark trim (ASCII space ONLY —
+                # utf8_trim_whitespace strips all Unicode ws and
+                # diverges from the JVM twin on tab/newline edges).
+                tr = pc.utf8_trim(t, " ")
+                lst = pc.split_pattern_regex(tr, JAVA_WS_CLASS + "+")
                 if ws_alias:
                     cols.append(
                         pc.cast(pc.list_value_length(lst), pa.int64())
@@ -168,11 +185,14 @@ def token_counts_arrow(
                 cols.append(stop_arr)
                 names.append(stop_alias)
             elif ws_alias:
-                tr = pc.utf8_trim_whitespace(t)
+                tr = pc.utf8_trim(t, " ")
                 cols.append(
                     pc.cast(
                         pc.add(
-                            pc.count_substring_regex(tr, r"\s+"), 1
+                            pc.count_substring_regex(
+                                tr, JAVA_WS_CLASS + "+"
+                            ),
+                            1,
                         ),
                         pa.int64(),
                     )
@@ -205,15 +225,11 @@ def _token_partials_arrow(
     the explode ever materializes JVM-side (and on RE2 instead of
     java.util.regex)."""
     carry = [group_col] + ([id_col] if id_col else [])
-    id_t = (
-        dict(
-            (f.name, f.dataType.simpleString())
-            for f in df.schema.fields
-        )[id_col]
-        if id_col
-        else None
-    )
-    out_schema = f"{group_col} string, token string, " + (
+    types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    id_t = types[id_col] if id_col else None
+    out_schema = f"{group_col} {types[group_col]}, token string, " + (
         f"{out_alias} {id_t}" if id_col else f"{out_alias} bigint"
     )
 
@@ -222,8 +238,8 @@ def _token_partials_arrow(
         import pyarrow.compute as pc
 
         for b in batches:
-            t = pc.utf8_trim_whitespace(b.column(text_col))
-            lst = pc.split_pattern_regex(t, r"\s+")
+            t = pc.utf8_trim(b.column(text_col), " ")
+            lst = pc.split_pattern_regex(t, JAVA_WS_CLASS + "+")
             flat = pc.list_flatten(lst)
             par = pc.list_parent_indices(lst)
             cols = {
@@ -383,23 +399,24 @@ def token_doc_vocab_union_arrow(
     The two consumers split on ``token IS NULL``. Because they group
     on DIFFERENT keys, exchange reuse cannot serve them from one
     scan — the CALLER must materialize the union once
-    (``localCheckpoint(eager=False)``, the q_doc_similarity
-    three-consumer precedent) or the kernel runs twice and the
-    fusion is lost. Measured vs the two-scan form (interleaved,
-    result-equal): q_heaps_fit 2.04→1.47 s sf1, 9.77→6.55 s sf10.
+    (:func:`~...operators.util.materialize_once`, the
+    q_doc_similarity three-consumer precedent) or the kernel runs
+    twice and the fusion is lost. Measured vs the two-scan form
+    (interleaved, result-equal): q_heaps_fit 2.04→1.47 s sf1,
+    9.77→6.55 s sf10.
 
     100 TB posture: map-only kernel, union output ≈ |docs| +
-    Σ batch-vocab (both ≪ token occurrences); the checkpoint
-    materializes that narrow union, not the corpus. At cluster scale
-    prefer writing the union to a short-lived table over
-    localCheckpoint (executor-local blocks don't survive executor
-    loss)."""
-    id_t = dict(
-        (f.name, f.dataType.simpleString()) for f in df.schema.fields
-    )[id_col]
+    Σ batch-vocab (both ≪ token occurrences); the pin materializes
+    that narrow union, not the corpus. On a cluster run with
+    ``$SPARK_GRAFT_MATERIALIZE=table`` so the pin survives executor
+    loss (localCheckpoint blocks are executor-local)."""
+    types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields
+    }
+    id_t = types[id_col]
     out_schema = (
-        f"{group_col} string, {id_col} {id_t}, n_toks long, "
-        f"token string, id_min {id_t}"
+        f"{group_col} {types[group_col]}, {id_col} {id_t}, "
+        f"n_toks long, token string, id_min {id_t}"
     )
 
     def kernel(batches):
@@ -407,8 +424,8 @@ def token_doc_vocab_union_arrow(
         import pyarrow.compute as pc
 
         for b in batches:
-            t = pc.utf8_trim_whitespace(b.column(text_col))
-            lst = pc.split_pattern_regex(t, r"\s+")
+            t = pc.utf8_trim(b.column(text_col), " ")
+            lst = pc.split_pattern_regex(t, JAVA_WS_CLASS + "+")
             n = len(t)
             yield pa.RecordBatch.from_arrays(
                 [

@@ -489,6 +489,15 @@ def test_token_counts_size_adaptive_branches_equal(spark):
         ("x", 4, "   "),
         ("y", 5, "  a the banana a. the, THE"),
         ("y", 6, "digits 42 and sym!bols"),
+        # non-space whitespace (r10 ADVICE): Spark trim strips ONLY
+        # ASCII space and Java \s includes \x0B (vertical tab) where
+        # RE2's \s does not — these rows pin the Arrow kernels to the
+        # JVM semantics on tabs, newlines, and vertical tabs.
+        ("z", 7, "\tthe a\n"),
+        ("z", 8, "a\x0Bthe"),
+        ("z", 9, "\n\t"),
+        ("z", 10, " \t the \x0B a \r\n"),
+        ("z", 11, "one\ftwo\rthree"),
     ]
     df = spark.createDataFrame(rows, "g string, id long, text string")
     kw = dict(
@@ -516,6 +525,8 @@ def test_token_tables_size_adaptive_branches_equal(spark):
         ("y", 3, "a a"),
         ("y", 4, None),
         ("y", 5, ""),
+        ("z", 6, "\ta b\x0Bc\n"),
+        ("z", 7, " \r\n a "),
     ]
     df = spark.createDataFrame(rows, "g string, id long, text string")
     for fn in (
@@ -525,6 +536,18 @@ def test_token_tables_size_adaptive_branches_equal(spark):
         a = sorted(map(tuple, fn(None).collect()))
         j = sorted(map(tuple, fn(0).collect()))
         assert a == j and len(a) > 0
+    # non-string group column (r11 ADVICE): the Arrow partials derive
+    # the group column's DDL type from the schema, not `string`.
+    dfi = df.select(
+        (F.length("g") + 10).alias("g"), "id", "text"
+    )
+    a = sorted(
+        map(tuple, X.token_freq_table(dfi, "g", input_bytes=None).collect())
+    )
+    j = sorted(
+        map(tuple, X.token_freq_table(dfi, "g", input_bytes=0).collect())
+    )
+    assert a == j and len(a) > 0
 
 
 def test_token_doc_vocab_union_matches_two_leg_form(spark):
@@ -537,6 +560,8 @@ def test_token_doc_vocab_union_matches_two_leg_form(spark):
         ("y", 3, "a a"),
         ("y", 4, None),
         ("y", 5, ""),
+        ("z", 6, "\ta b\x0Bc\n"),
+        ("z", 7, " \r\n a "),
     ]
     df = spark.createDataFrame(rows, "g string, id long, text string")
     u = X.token_doc_vocab_union_arrow(df, "g", "id")
