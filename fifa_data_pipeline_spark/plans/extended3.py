@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.sources.io import (
-    footer_max_int as _footer_max_int,
+    footer_minmax_int as _footer_minmax_int,
     read_table,
 )
 
@@ -223,12 +223,13 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after the aggregate + support filter, when only surviving pairs
     # remain. Packing is exact only while partkeys fit 31 bits; that
     # is now GUARDED (r10 ADVICE): a driver-side parquet-footer
-    # max(l_partkey) probe (milliseconds, no Spark job) routes to a
-    # two-column key when keys reach 2^31 or footer stats are absent,
-    # so a generator/SF change degrades to the safe plan instead of
-    # silently corrupting pair counts.
-    max_pk = _footer_max_int(f"{sf_dir}/lineitem.parquet", "l_partkey")
-    if max_pk is not None and max_pk < (1 << 31):
+    # min/max(l_partkey) probe (milliseconds, no Spark job) routes to
+    # a two-column key when keys reach 2^31, are NEGATIVE (sign
+    # extension would smear p1's shift into p2's bits), or footer
+    # stats are absent, so a generator/SF change degrades to the safe
+    # plan instead of silently corrupting pair counts.
+    mm = _footer_minmax_int(f"{sf_dir}/lineitem.parquet", "l_partkey")
+    if mm is not None and mm[0] >= 0 and mm[1] < (1 << 31):
         pk = F.shiftleft(F.col("a.l_partkey"), 32).bitwiseOR(
             F.col("b.l_partkey")
         )

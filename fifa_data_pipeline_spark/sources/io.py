@@ -138,9 +138,40 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: footer probe cache — testdata is immutable, so a (path, col)
-#: probe result never changes within a process.
-_FOOTER_MINMAX_CACHE: dict[tuple[str, str], tuple | None] = {}
+#: footer probe caches. Keys include a cheap stat() fingerprint of
+#: the file(s) — (mtime_ns, size) per part — so a rebuilt dataset at
+#: the same path (bench rebuild loops regenerating testdata
+#: in-process) re-probes instead of serving stale doc_id bounds to
+#: the bucketed machinery or stale byte sizes to the size-adaptive
+#: switch (r10 ADVICE). One stat per file, still metadata-cheap.
+_FOOTER_MINMAX_CACHE: dict[tuple, tuple | None] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """(mtime_ns, size) of the file, or of each part-file of a dir —
+    a change-detection key for the footer caches. Missing paths map
+    to an empty tuple (the probe itself will raise)."""
+    import os
+
+    try:
+        if os.path.isdir(path):
+            return tuple(
+                (f, st.st_mtime_ns, st.st_size)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+                for st in (os.stat(os.path.join(path, f)),)
+            )
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
+def clear_footer_caches() -> None:
+    """Explicit reset hook for rebuild tooling (the fingerprint keys
+    already catch rewritten files; this also drops dead entries)."""
+    _FOOTER_MINMAX_CACHE.clear()
+    _FOOTER_BYTES_CACHE.clear()
 
 
 def footer_minmax_int(path: str, col: str) -> tuple | None:
@@ -161,7 +192,7 @@ def footer_minmax_int(path: str, col: str) -> tuple | None:
     touching data pages; on object stores this is one ranged GET per
     file tail — still metadata-cheap, but for thousand-file tables
     prefer running it once and threading the bound in."""
-    key = (path, col)
+    key = (path, col, _path_fingerprint(path))
     if key in _FOOTER_MINMAX_CACHE:
         return _FOOTER_MINMAX_CACHE[key]
     import os
@@ -207,7 +238,7 @@ def footer_max_int(path: str, col: str) -> int | None:
     return None if mm is None else mm[1]
 
 
-_FOOTER_BYTES_CACHE: dict[str, int] = {}
+_FOOTER_BYTES_CACHE: dict[tuple, int] = {}
 
 
 def footer_uncompressed_bytes(path: str) -> int:
@@ -218,8 +249,9 @@ def footer_uncompressed_bytes(path: str) -> int:
     (synthetic/repetitive text compresses ~100×, so an sf1 corpus
     can be barely larger ON DISK than sf0.1 while being 10× the
     scan/tokenize work)."""
-    if path in _FOOTER_BYTES_CACHE:
-        return _FOOTER_BYTES_CACHE[path]
+    key = (path, _path_fingerprint(path))
+    if key in _FOOTER_BYTES_CACHE:
+        return _FOOTER_BYTES_CACHE[key]
     import os
 
     import pyarrow.parquet as pq
@@ -239,7 +271,7 @@ def footer_uncompressed_bytes(path: str) -> int:
             md.row_group(i).total_byte_size
             for i in range(md.num_row_groups)
         )
-    _FOOTER_BYTES_CACHE[path] = total
+    _FOOTER_BYTES_CACHE[key] = total
     return total
 
 

@@ -55,6 +55,20 @@ def test_minmax_by_deterministic_on_unique_key(spark, sf_dir):
     assert row.price_last == round(top[0].o_totalprice, 6)
 
 
+def test_basket_pairs_negative_partkey_routes_to_safe_key(spark, tmp_path):
+    # r11 (ADVICE): the packed 8-byte pair key is exact only for
+    # partkeys in [0, 2^31); a NEGATIVE partkey would sign-extend
+    # across p2's bits. The footer min/max guard must route such data
+    # to the two-column key and still count pairs exactly.
+    li = spark.createDataFrame(
+        [(1, -5), (1, 7), (2, -5), (2, 7), (3, -5)],
+        "l_orderkey long, l_partkey long",
+    )
+    li.coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = X3.q_basket_pairs(spark, str(tmp_path)).collect()
+    assert {(r.p1, r.p2): r.n_orders for r in rows} == {(-5, 7): 2}
+
+
 def test_basket_pair_expansion_handles_duplicate_parts(spark):
     # order 1 basket [5, 5, 7]: the self-join semantics (p1 < p2 strict)
     # give (5,7) twice and never (5,5); order 2 makes the pair pass the

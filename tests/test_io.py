@@ -364,3 +364,31 @@ def test_file_provenance_identifies_source_files(spark, sf_dir, tmp_path):
     )
     for r in idx.collect():
         assert r.lo == 0 and r.hi == r.n - 1
+
+
+def test_footer_probes_detect_in_place_rewrite(spark, tmp_path):
+    """r11 (ADVICE): the footer probe caches are keyed by a stat()
+    fingerprint, so rewriting a dataset at the SAME path (bench
+    rebuild loops) must re-probe instead of serving stale bounds to
+    the bucketed machinery or stale byte sizes to the size-adaptive
+    switch. Covers both file and directory layouts."""
+    import os
+    import time
+
+    d = str(tmp_path / "t.parquet")
+    df1 = spark.range(10).select(F.col("id").alias("k"))
+    df1.coalesce(1).write.parquet(d)
+    assert io.footer_minmax_int(d, "k") == (0, 9)
+    b1 = io.footer_uncompressed_bytes(d)
+    assert b1 > 0
+    # rewrite in place with different bounds and more bytes; nudge
+    # mtime in case the filesystem's resolution is coarse.
+    df2 = spark.range(1000).select((F.col("id") + 100).alias("k"))
+    df2.coalesce(1).write.mode("overwrite").parquet(d)
+    for f in os.listdir(d):
+        os.utime(os.path.join(d, f), ns=(time.time_ns(), time.time_ns()))
+    assert io.footer_minmax_int(d, "k") == (100, 1099)
+    assert io.footer_uncompressed_bytes(d) > b1
+    # the explicit reset hook for rebuild tooling stays callable.
+    io.clear_footer_caches()
+    assert io.footer_minmax_int(d, "k") == (100, 1099)
