@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import materialize_once
+
 
 # ---------------------------------------------------------------------------
 # Projections / filters (P1-P4)
@@ -931,13 +933,17 @@ def assign_dense_ids(
     split ties across partitions, which would make ids of tied rows
     depend on placement.
 
-    Lifecycle: the pin is a ``localCheckpoint`` (not ``persist``), so
-    it never enters the CacheManager — no plan-substitution leakage
-    into later queries, no clearCache() bookkeeping — and its blocks
-    are released by the ContextCleaner once the returned frame goes
-    out of scope. Unpinning before the final action would recompute
-    the layout and break id/offset agreement; the checkpoint makes
-    that impossible by construction (both passes read the same RDD).
+    Lifecycle: the pin is
+    :func:`~...operators.util.materialize_once` (``localCheckpoint``
+    by default, never ``persist``), so it never enters the
+    CacheManager — no plan-substitution leakage into later queries,
+    no clearCache() bookkeeping — and its blocks are released by the
+    ContextCleaner once the returned frame goes out of scope
+    (``$SPARK_GRAFT_MATERIALIZE=table`` swaps in a short-lived table
+    for executor-loss durability). Unpinning before the final action
+    would recompute the layout and break id/offset agreement; the pin
+    makes that impossible by construction (both passes read the same
+    materialized rows).
 
     Pass ``bounds`` = (min, max) of the FIRST order column to use
     the data-derived bucket split instead (r8): global dense ids are
@@ -961,13 +967,15 @@ def assign_dense_ids(
     # would otherwise evaluate the range shuffle twice, and AQE may
     # coalesce its partitions DIFFERENTLY per evaluation (the two
     # queries have different shapes) — shifting every (pid, local)
-    # pair between the offset map and the output. localCheckpoint
-    # (lazy) pins one evaluation as an RDD both passes share, without
-    # the CacheManager entry a persist() would leave behind; on a
-    # real cluster swap for reliable checkpoint/stable storage.
-    with_mid = part.withColumn(
-        "__mid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=False)
+    # pair between the offset map and the output. materialize_once
+    # pins one evaluation both passes share (lazy localCheckpoint by
+    # default — no CacheManager entry a persist() would leave behind;
+    # $SPARK_GRAFT_MATERIALIZE=table for executor-loss durability on
+    # a real cluster).
+    with_mid = materialize_once(
+        part.withColumn("__mid", F.monotonically_increasing_id()),
+        name="dense_ids_pin",
+    )
     with_pid = with_mid.withColumn(
         "__pid", F.shiftrightunsigned("__mid", 33).cast("long")
     ).withColumn(
@@ -1013,8 +1021,10 @@ def grouped_running_sums(
 
     1. ``repartitionByRange`` on (group, order) — one range shuffle;
        sampling-based bounds are deterministic for a fixed input —
-       then pin the partition assignment (lazy ``localCheckpoint``;
-       swap for a reliable checkpoint on a real cluster) so the
+       then pin the partition assignment
+       (:func:`~...operators.util.materialize_once`: lazy
+       ``localCheckpoint`` default, short-lived table under
+       ``$SPARK_GRAFT_MATERIALIZE=table`` on a real cluster) so the
        offsets pass and the output pass see the SAME split.
     2. Running sums WITHIN each physical partition via
        ``Window.partitionBy(__pid, *group)`` — parallelism scales
@@ -1043,15 +1053,16 @@ def grouped_running_sums(
     part = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in keys]
     )
-    # Lazy localCheckpoint, not persist(): pins one evaluation of the
-    # range shuffle (offsets pass and output pass read the SAME RDD)
-    # without a CacheManager entry — persist() here leaked cached
-    # partitions across the 289-query bench/driver run and substituted
-    # itself into unrelated plans (ADVICE r5). ContextCleaner frees
-    # the blocks when the frame goes out of scope.
-    pinned = part.withColumn(
-        "__pid", F.spark_partition_id().cast("long")
-    ).localCheckpoint(eager=False)
+    # materialize_once (lazy localCheckpoint default), not persist():
+    # pins one evaluation of the range shuffle (offsets pass and
+    # output pass read the SAME rows) without a CacheManager entry —
+    # persist() here leaked cached partitions across the 289-query
+    # bench/driver run and substituted itself into unrelated plans
+    # (ADVICE r5). $SPARK_GRAFT_MATERIALIZE=table on a real cluster.
+    pinned = materialize_once(
+        part.withColumn("__pid", F.spark_partition_id().cast("long")),
+        name="rsum_pin",
+    )
     wloc = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy(*order_cols)
@@ -1122,9 +1133,10 @@ def grouped_running_max(
     part = df.repartitionByRange(
         num_partitions, *[F.col(c) for c in keys]
     )
-    pinned = part.withColumn(
-        "__pid", F.spark_partition_id().cast("long")
-    ).localCheckpoint(eager=False)
+    pinned = materialize_once(
+        part.withColumn("__pid", F.spark_partition_id().cast("long")),
+        name="rmax_pin",
+    )
     wloc = (
         Window.partitionBy("__pid", *group_cols)
         .orderBy(*order_cols)

@@ -44,3 +44,71 @@ def exploded(
     else:
         gen = F.explode_outer(arr).alias(alias)
     return df.select(*cols, gen).filter(F.col(alias).isNotNull())
+
+
+#: Environment override for :func:`materialize_once` — set to
+#: ``table`` on a real cluster so every pin site gains executor-loss
+#: durability without code changes.
+MATERIALIZE_MODE_ENV = "SPARK_GRAFT_MATERIALIZE"
+
+
+def materialize_once(
+    df: DataFrame,
+    *,
+    mode: str | None = None,
+    eager: bool = False,
+    name: str = "pin",
+) -> DataFrame:
+    """Materialize one evaluation of ``df`` so several consumers (or
+    a multi-pass algorithm) read the SAME rows — the shared helper
+    behind every pin site (r11; retires the per-site docstring
+    caveats):
+
+    - multi-consumer reuse: a narrow derived frame feeding 2–3
+      differently-keyed aggregations, where exchange reuse cannot
+      serve them from one scan (q_doc_similarity's TF-IDF weights,
+      q_heaps_fit's doc/vocab union);
+    - layout pinning: the bucketed prefix machinery's
+      range-shuffle pin, where the offsets pass and the output pass
+      MUST see one evaluation of a nondeterministic layout
+      (``monotonically_increasing_id`` / ``spark_partition_id``).
+
+    ``mode``:
+
+    - ``'local'`` (default): lazy ``localCheckpoint`` — free of
+      CacheManager plan-substitution leakage (the r5 persist()
+      incident), blocks released by the ContextCleaner when the
+      frame goes out of scope. Executor-LOCAL blocks: right for the
+      single-JVM bench box, NOT durable to executor loss.
+    - ``'table'``: write the frame to a short-lived parquet table
+      under the warehouse dir and read it back — survives executor
+      loss, the cluster-scale choice. Both nondeterministic layout
+      columns and derived values are frozen at write time, so the
+      pin semantics are identical. Callers own the TTL sweep of
+      ``<warehouse>/__graft_mat/`` (these are scratch tables, not
+      outputs).
+
+    Default resolves from ``$SPARK_GRAFT_MATERIALIZE`` when ``mode``
+    is None, so a cluster deployment flips every site at once.
+    ``eager`` applies to ``'local'`` only ('table' is always eager —
+    the write runs now)."""
+    import os
+
+    if mode is None:
+        mode = os.environ.get(MATERIALIZE_MODE_ENV, "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode != "table":
+        raise ValueError(
+            f"materialize_once: unknown mode {mode!r}"
+            " (expected 'local' or 'table')"
+        )
+    import uuid
+
+    spark = df.sparkSession
+    base = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    )
+    path = f"{base}/__graft_mat/{name}_{uuid.uuid4().hex}"
+    df.write.parquet(path)
+    return spark.read.parquet(path)

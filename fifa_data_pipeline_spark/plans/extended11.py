@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from fifa_data_pipeline_spark.operators import dedup as D
 from fifa_data_pipeline_spark.operators import relational as R
 from fifa_data_pipeline_spark.operators import text as X
+from fifa_data_pipeline_spark.operators.util import materialize_once
 from fifa_data_pipeline_spark.sources.io import (
     footer_uncompressed_bytes as _footer_bytes,
     read_table,
@@ -90,13 +91,12 @@ def q_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin runs the same algebra brute-force-small."""
     docs = read_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     # the weight table feeds THREE consumers (norms + both join
-    # sides); localCheckpoint materializes the tokenize+tf+idf work
-    # once instead of re-deriving it per consumer (measured 1.24s →
-    # 0.82s warm at sf0.1)
-    w = (
-        X.tfidf(docs, "doc_id", "text")
-        .filter(F.col("tfidf") > 0)
-        .localCheckpoint(eager=False)
+    # sides); materialize_once pins the tokenize+tf+idf work once
+    # instead of re-deriving it per consumer (measured 1.24s → 0.82s
+    # warm at sf0.1; 'table' mode for cluster durability).
+    w = materialize_once(
+        X.tfidf(docs, "doc_id", "text").filter(F.col("tfidf") > 0),
+        name="tfidf_w",
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("__nrm")

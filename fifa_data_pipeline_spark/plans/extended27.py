@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import zipf_fit
+from fifa_data_pipeline_spark.operators.util import materialize_once
 from fifa_data_pipeline_spark.sources.io import (
     footer_minmax_int as _footer_minmax_int,
     footer_uncompressed_bytes as _footer_bytes,
@@ -126,9 +127,12 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab partials in a union-shaped frame). The two consumers group
     on different keys, so exchange reuse cannot serve them from one
     scan; the union is materialized once via
-    ``localCheckpoint(eager=False)`` — the q_doc_similarity
-    three-consumer precedent, and the checkpoint holds the NARROW
-    union (|docs| + batch-vocab rows), not the corpus. Interleaved
+    :func:`~...operators.util.materialize_once` — the
+    q_doc_similarity three-consumer precedent; lazy localCheckpoint
+    on the bench box, a short-lived table under
+    ``$SPARK_GRAFT_MATERIALIZE=table`` for cluster durability — and
+    the pin holds the NARROW union (|docs| + batch-vocab rows), not
+    the corpus. Interleaved
     result-equal A/Bs: two JVM scans → two Arrow scans 12.2→9.5 s
     sf10; → one fused scan 9.77→6.55 s sf10 and 2.04→1.47 s sf1.
     Below the size threshold the r9 JVM two-leg form runs unchanged.
@@ -146,9 +150,10 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     nbytes = _footer_bytes(f"{sf_dir}/documents.parquet")
     if nbytes >= ARROW_TOKENIZE_MIN_BYTES:
-        u = token_doc_vocab_union_arrow(
-            docs, "source", "doc_id"
-        ).localCheckpoint(eager=False)
+        u = materialize_once(
+            token_doc_vocab_union_arrow(docs, "source", "doc_id"),
+            name="heaps_union",
+        )
         per_doc = u.filter(F.col("token").isNull()).select(
             "source", "doc_id", "n_toks"
         )

@@ -638,3 +638,64 @@ def test_grouped_running_max_dense_empty_frame(spark):
 
     df = spark.createDataFrame([], "i long, g string, v double")
     assert grouped_running_max_dense(df, ["g"], "i", ["v"]).count() == 0
+
+
+def test_materialize_once_modes_agree_and_table_mode_is_durable(
+    spark, monkeypatch
+):
+    """r11: the shared pin helper behind the multi-consumer and
+    bucketed-machinery sites. Both modes must return the same rows;
+    'table' mode must round-trip through a short-lived parquet table
+    under the warehouse dir (the executor-loss-durable cluster path)
+    and freeze nondeterministic layout columns; the env var flips the
+    default; junk modes fail loudly."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums,
+    )
+    from fifa_data_pipeline_spark.operators.util import (
+        MATERIALIZE_MODE_ENV,
+        materialize_once,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("i"),
+        (F.col("id") * 2).alias("v"),
+    )
+    rows = sorted(map(tuple, df.collect()))
+    local = materialize_once(df, mode="local")
+    table = materialize_once(df, mode="table", name="t_modes")
+    assert sorted(map(tuple, local.collect())) == rows
+    assert sorted(map(tuple, table.collect())) == rows
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    assert glob.glob(os.path.join(wh, "__graft_mat", "t_modes_*"))
+    # 'table' freezes nondeterministic columns at write time: two
+    # reads of the pin see identical monotonically_increasing_id.
+    pin = materialize_once(
+        df.withColumn("mid", F.monotonically_increasing_id()),
+        mode="table", name="t_pin",
+    )
+    assert sorted(map(tuple, pin.collect())) == sorted(
+        map(tuple, pin.collect())
+    )
+    # env default flips every pin site at once: the bucketed
+    # machinery must produce the same result under 'table'.
+    base = sorted(
+        map(tuple, grouped_running_sums(df, ["g"], "i", ["v"]).collect())
+    )
+    monkeypatch.setenv(MATERIALIZE_MODE_ENV, "table")
+    tbl = sorted(
+        map(tuple, grouped_running_sums(df, ["g"], "i", ["v"]).collect())
+    )
+    assert base == tbl and len(base) == 100
+    monkeypatch.setenv(MATERIALIZE_MODE_ENV, "bogus")
+    try:
+        materialize_once(df)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("bogus mode must raise")
