@@ -292,8 +292,13 @@ def main() -> None:
     # builder refreshes BENCH_QUIET.json from an idle-box session
     # (tools/: run bench.py with nothing else on the machine, copy
     # BENCH_FULL.json); when its sf matches, the compact line carries
-    # its total as quiet_session_total so the artifact itself shows
-    # the drift-free comparison point.
+    # its total as prior_quiet_total so the artifact itself shows the
+    # drift-free comparison point. Named "prior_" (r11, VERDICT r10
+    # #3) because the field is the PREVIOUS quiet artifact's total
+    # read at run time — when BENCH_FULL.json is later copied over
+    # BENCH_QUIET.json, the field must read as "what this run was
+    # compared against", never as this artifact's own total (which
+    # is `value`).
     quiet_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"
     )
@@ -316,8 +321,8 @@ def main() -> None:
         "queries": {},
     }
     if quiet_total is not None:
-        compact["quiet_session_total"] = quiet_total
-        full["quiet_session_total"] = quiet_total
+        compact["prior_quiet_total"] = quiet_total
+        full["prior_quiet_total"] = quiet_total
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_FULL.json"),
