@@ -555,7 +555,14 @@ def _pagerank_oracle_float(
     (including ``(1.0 - 0.85)`` evaluated as a double subtraction,
     not the literal 0.15); the only cross-engine divergence left is
     SUM accumulation order, ~1e-13 absolute — invisible at the 6-dp
-    round both sides apply. Every multiply-referenced CTE is
+    round both sides apply. Measured margin on the driver's fixed
+    sf0.01 data (r11): the tightest unrounded rank sits 1.4e-10
+    (q_pagerank, node p:1301) / 1.7e-7 (q_textrank) from the nearest
+    6-dp rounding boundary — 10^3-10^6 x the accumulation noise, so
+    the hash cannot flake there unless the arithmetic itself
+    changes. If it ever does fire, the pre-agreed fallback is a 5-dp
+    round or the integer-exact ``_exact`` twins. Every
+    multiply-referenced CTE is
     MATERIALIZED: DuckDB otherwise INLINES each reference, and at 10
     unrolled iterations the edge subquery's parquet scans multiply
     past the process fd limit ("Too many open files")."""
