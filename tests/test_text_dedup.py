@@ -518,6 +518,43 @@ def test_token_counts_size_adaptive_branches_equal(spark):
     assert by_id[5].st == 2  # 'a.' / 'the,' / 'THE' are NOT hits
 
 
+def test_token_counts_branch_equality_fuzz(spark):
+    """Seeded adversarial sweep of the size-adaptive switch: random
+    concatenations of stopwords, unicode whitespace (NBSP, en/thin
+    space, ideographic space, ZWSP, NEL — all OUTSIDE Java's ``\\s``,
+    so neither branch may split on them), Java-``\\s`` members
+    including ``\\x0B``, control chars, astral emoji / ZWJ sequences,
+    and regex metacharacters. Both branches must agree on every row.
+    A 6-seed x 3000-row version of this sweep ran clean when the
+    whitespace-parity fix landed (r11); this pins one seed of it."""
+    import random
+
+    atoms = (
+        "abcde THE the a an of to".split()
+        + [" ", "\t", "\n", "\x0b", "\f", "\r", "\r\n",
+           "\xa0", "\u2002", "\u2009", "\u3000", "\u200b", "\x85",
+           "the", "a.", ",the", "THE", "tHe",
+           "42", "3.14", "sym!bols", "!", "é", "naïve",
+           "日本語", "\U0001f389", "\U0001f469‍\U0001f467",
+           "\x00", "\x1f", "x" * 50, "", "\\s", "[a-z]", "$1"]
+    )
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12))))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    kw = dict(bpe_alias="bpe", ws_alias="ws", stop_alias="st",
+              chars_alias="ch")
+    a = sorted(
+        map(tuple, X.token_counts(df, input_bytes=None, **kw).collect())
+    )
+    j = sorted(
+        map(tuple, X.token_counts(df, input_bytes=0, **kw).collect())
+    )
+    assert a == j and len(a) == 1500
+
+
 def test_token_tables_size_adaptive_branches_equal(spark):
     rows = [
         ("x", 1, "b a a c"),
