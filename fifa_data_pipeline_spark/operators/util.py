@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -84,8 +84,10 @@ def materialize_once(
       under the warehouse dir and read it back — survives executor
       loss, the cluster-scale choice. Both nondeterministic layout
       columns and derived values are frozen at write time, so the
-      pin semantics are identical. Callers own the TTL sweep of
-      ``<warehouse>/__graft_mat/`` (these are scratch tables, not
+      pin semantics are identical. :func:`sweep_materialized` is the
+      TTL sweep of ``<warehouse>/__graft_mat/`` — run it from a cron
+      with ``max_age_sec`` above the longest job lifetime (these are
+      scratch tables, not
       outputs).
 
     Default resolves from ``$SPARK_GRAFT_MATERIALIZE`` when ``mode``
@@ -103,12 +105,65 @@ def materialize_once(
             f"materialize_once: unknown mode {mode!r}"
             " (expected 'local' or 'table')"
         )
+    import time
     import uuid
 
     spark = df.sparkSession
     base = spark.conf.get(
         "spark.sql.warehouse.dir", "spark-warehouse"
     )
-    path = f"{base}/__graft_mat/{name}_{uuid.uuid4().hex}"
+    # Creation time goes IN the directory name: object stores report
+    # unreliable (often zero) directory mtimes, so the TTL sweep
+    # parses the name and only falls back to FS mtime for dirs that
+    # predate this naming.
+    path = (
+        f"{base}/__graft_mat/"
+        f"{name}_{int(time.time())}_{uuid.uuid4().hex}"
+    )
     df.write.parquet(path)
     return spark.read.parquet(path)
+
+
+def sweep_materialized(
+    spark: SparkSession,
+    *,
+    max_age_sec: float = 24 * 3600,
+    base: str | None = None,
+) -> int:
+    """Delete ``materialize_once(mode='table')`` scratch dirs older
+    than ``max_age_sec`` under ``<warehouse>/__graft_mat/``; returns
+    the number removed. Filesystem-agnostic (local / HDFS / object
+    stores) via the Hadoop FileSystem API, so a cluster cron or a
+    pipeline epilogue can call it directly. Age comes from the
+    timestamp embedded in the dir name (object-store dir mtimes are
+    unreliable), falling back to FS modification time for dirs that
+    predate the naming. Pick ``max_age_sec`` longer than the longest
+    job lifetime — a dir is only safe to delete once no running job
+    can still be reading its pin."""
+    import time
+
+    if base is None:
+        base = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(  # noqa: SLF001
+        f"{base}/__graft_mat"
+    )
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    )
+    if not fs.exists(jpath):
+        return 0
+    cutoff = time.time() - max_age_sec
+    removed = 0
+    for st in fs.listStatus(jpath):
+        dirname = st.getPath().getName()
+        parts = dirname.rsplit("_", 2)
+        try:
+            born = float(parts[-2])
+        except (IndexError, ValueError):
+            born = st.getModificationTime() / 1000.0
+        if born < cutoff:
+            fs.delete(st.getPath(), True)
+            removed += 1
+    return removed

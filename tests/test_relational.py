@@ -699,3 +699,37 @@ def test_materialize_once_modes_agree_and_table_mode_is_durable(
         pass
     else:
         raise AssertionError("bogus mode must raise")
+
+
+def test_sweep_materialized_removes_only_expired_dirs(spark):
+    """r11: the TTL sweep companion of table-mode pins. Age comes
+    from the timestamp embedded in the dir name; dirs predating that
+    naming fall back to FS mtime; fresh dirs survive."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.util import (
+        materialize_once,
+        sweep_materialized,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("i"))
+    fresh = materialize_once(df, mode="table", name="t_sweep_fresh")
+    assert fresh.count() == 10
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    root = os.path.join(wh, "__graft_mat")
+    # forge an EXPIRED dir (embedded timestamp one hour in the past)
+    old = os.path.join(root, f"t_sweep_old_{int(time.time()) - 3600}_ab")
+    os.makedirs(old, exist_ok=True)
+    # and a legacy dir with no parseable timestamp (falls back to FS
+    # mtime, which is "now" -> survives a 10-min TTL)
+    legacy = os.path.join(root, "t_sweep_legacy")
+    os.makedirs(legacy, exist_ok=True)
+    removed = sweep_materialized(spark, max_age_sec=600)
+    assert removed == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(legacy)
+    assert fresh.count() == 10  # live pin untouched
+    os.rmdir(legacy)
