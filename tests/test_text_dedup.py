@@ -587,6 +587,51 @@ def test_token_tables_size_adaptive_branches_equal(spark):
     assert a == j and len(a) > 0
 
 
+def test_token_tables_branch_equality_fuzz(spark):
+    """Seeded adversarial sweep of the Acero batch-partial kernels
+    (freq table, first-id table) and the fused doc/vocab union
+    against their JVM twins — same hostile atom set as the
+    token_counts fuzz. These are the paths a pyarrow/Acero upgrade
+    could silently change; a 4-seed x 2000-row sweep ran clean when
+    this was pinned (r11)."""
+    import random
+
+    atoms = (
+        "abcde THE the a an of to".split()
+        + [" ", "\t", "\n", "\x0b", "\f", "\r", "\r\n",
+           "\xa0", "\u2002", "\u3000", "\u200b", "\x85",
+           "the", "a.", ",the", "THE", "42", "sym!bols", "é",
+           "日本語", "\U0001f389", "\x00", "x" * 50, "\\s", "[a-z]"]
+    )
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 5}", i,
+         "".join(rng.choice(atoms) for _ in range(rng.randint(0, 10))))
+        for i in range(800)
+    ] + [("g0", 99990, None), ("g1", 99991, "")]
+    df = spark.createDataFrame(rows, "g string, id long, text string")
+    for fn in (
+        lambda b: X.token_first_id_table(df, "g", "id", input_bytes=b),
+        lambda b: X.token_freq_table(df, "g", input_bytes=b),
+    ):
+        a = sorted(map(tuple, fn(None).collect()))
+        j = sorted(map(tuple, fn(0).collect()))
+        assert a == j and len(a) > 0
+    u = X.token_doc_vocab_union_arrow(df, "g", "id")
+    vocab = sorted(map(tuple, (
+        u.filter(F.col("token").isNotNull())
+         .groupBy("g", "token").agg(F.min("id_min").alias("first_id"))
+         .collect())))
+    assert vocab == sorted(map(tuple, X.token_first_id_table(
+        df, "g", "id", input_bytes=0).collect()))
+    docs_leg = sorted(map(tuple, (
+        u.filter(F.col("token").isNull())
+         .select("g", "id", "n_toks").collect())))
+    assert docs_leg == sorted(map(tuple, X.token_counts(
+        df, ws_alias="n_toks", input_bytes=0)
+        .select("g", "id", "n_toks").collect()))
+
+
 def test_token_doc_vocab_union_matches_two_leg_form(spark):
     """The fused one-scan union (r10, q_heaps_fit's scale path) must
     reproduce both legs exactly: per-doc whitespace token counts and
