@@ -36,7 +36,7 @@ from fifa_data_pipeline_spark.operators.text import (
     shingles,
     tokens,
 )
-from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.operators.util import exploded, pin
 from fifa_data_pipeline_spark.sources.io import spread
 
 
@@ -230,7 +230,7 @@ def jaccard_verify_pairs(
     per-invocation (honest cost, no cross-run caching); the trade is
     one materialized tiny table + broken lineage below it."""
     if prune_candidates:
-        pairs = pairs.localCheckpoint(eager=True)
+        pairs = pairs.transform(pin("dedup", eager=True))
         ids = (
             pairs.select(F.col("id_a").alias(id_col))
             .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -529,13 +529,13 @@ def connected_components(
         # checkpointed: edges are read EVERY round, and the upstream
         # pair pipeline (often a full LSH candidate generation) must
         # not re-run per iteration
-        .localCheckpoint(eager=False)
+        .transform(pin("dedup"))
     )
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(pin("dedup", eager=True))
     )
     for _ in range(max_iter):
         prop = edges.join(
@@ -543,7 +543,7 @@ def connected_components(
         ).select(F.col("s").alias("node"), F.col("label"))
         new_labels = (
             labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        ).transform(pin("dedup", eager=True))
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -588,13 +588,13 @@ def connected_components_star(
         )
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin("dedup"))
     )
     nodes = (
         e.select(F.col("lo").alias("node"))
         .union(e.select(F.col("hi").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin("dedup"))
     )
 
     def _sig(edges: DataFrame) -> tuple:
@@ -625,7 +625,7 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("lo"), F.col("m").alias("hi"))
         )
-        e1 = _canon(large).localCheckpoint(eager=False)
+        e1 = _canon(large).transform(pin("dedup"))
         # small-star: orient edges large→small; for every node u,
         # attach u and all its SMALLER neighbors to the minimum
         ori = e1.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
@@ -635,7 +635,7 @@ def connected_components_star(
             .select(F.col("v").alias("lo"), F.col("m").alias("hi"))
             .union(m_s.select(F.col("u").alias("lo"), F.col("m").alias("hi")))
         )
-        e = _canon(small).localCheckpoint(eager=False)
+        e = _canon(small).transform(pin("dedup"))
         new_sig = _sig(e)
         if new_sig == sig:
             break
@@ -810,7 +810,7 @@ def all_pairs_jaccard(
     # PAIR (n× redundant work); the checkpoint is ≤ crossover rows
     sets = df.select(
         F.col(id_col), shingles(text_col, k).alias("__set")
-    ).localCheckpoint(eager=False)
+    ).transform(pin("dedup"))
     a = sets.select(
         F.col(id_col).alias("id_a"), F.col("__set").alias("__sa")
     )
@@ -918,7 +918,7 @@ def _dup_span_positions(
         id_col,
         (F.col("__p") + 1).alias("pos"),
         "__gh",
-    ).localCheckpoint(eager=False)
+    ).transform(pin("dedup"))
     # "occurs in >= 2 distinct docs" as min != max — one single-pass
     # hash aggregate instead of countDistinct's partial-distinct
     # two-phase plan (measured ~18% off the wide stage at sf1)
@@ -1052,7 +1052,7 @@ def winnow_pairs(
     fps = (
         winnow_fingerprints(df, id_col, text_col, k, window)
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin("dedup"))
     )
     sized = (
         fps.groupBy("fp")

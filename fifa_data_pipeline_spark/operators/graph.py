@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import pin
+
 
 def pagerank(
     edges: DataFrame,
@@ -76,7 +78,7 @@ def pagerank(
                     * (F.coalesce("__in", F.lit(0.0)) + F.col("__dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .transform(pin("graph", eager=True))
         )
     return ranks.select("node", "rank")
 
@@ -90,7 +92,7 @@ def _pagerank_prep(edges: DataFrame, src: str, dst: str):
     ``localCheckpoint``-ed — they are read n_iter times."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
-    ew = e.join(deg, "s").localCheckpoint()
+    ew = e.join(deg, "s").transform(pin("graph", eager=True))
     nodes = (
         e.select(F.col("s").alias("node"))
         .union(e.select(F.col("d").alias("node")))
@@ -101,7 +103,7 @@ def _pagerank_prep(edges: DataFrame, src: str, dst: str):
             "left",
         )
         .withColumn("__sink", F.coalesce("__sink", F.lit(True)))
-        .localCheckpoint()
+        .transform(pin("graph", eager=True))
     )
     return ew, nodes, nodes.count()
 
@@ -171,7 +173,7 @@ def pagerank_micro(
                     )
                 ).cast("bigint").alias("rank_micro"),
             )
-            .localCheckpoint()
+            .transform(pin("graph", eager=True))
         )
     return ranks.select("node", "rank_micro")
 
@@ -206,10 +208,10 @@ def bfs_hops(
     nothing collected."""
     e = edges.select(
         F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).localCheckpoint(eager=False)
+    ).transform(pin("graph"))
     dist = seeds.select(
         F.col(node_col).alias("node"), F.lit(0).alias("hops")
-    ).localCheckpoint(eager=False)
+    ).transform(pin("graph"))
     for _ in range(n_iter):
         relaxed = (
             dist.join(e, dist["node"] == e["__s"])
@@ -219,6 +221,6 @@ def bfs_hops(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint()
+            .transform(pin("graph", eager=True))
         )
     return dist.select("node", F.col("hops").cast("bigint").alias("hops"))

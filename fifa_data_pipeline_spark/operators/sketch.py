@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import pin
+
 
 def misra_gries_candidates(
     items: DataFrame, item_col: str, k: int
@@ -95,9 +97,7 @@ def heavy_hitters_exact(
     of a third counting scan. The tiny intermediates (candidate set,
     per-key counts) are ``localCheckpoint``-ed so their downstream
     double-use cannot re-trigger the big scans."""
-    cands = misra_gries_candidates(items, item_col, k).localCheckpoint(
-        eager=False
-    )
+    cands = misra_gries_candidates(items, item_col, k).transform(pin("sketch"))
     marked = (
         items.filter(F.col(item_col).isNotNull())
         .join(
@@ -112,7 +112,7 @@ def heavy_hitters_exact(
     counts = (
         marked.groupBy("__key")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)
+        .transform(pin("sketch"))
     )
     total = counts.agg(F.sum("cnt").alias("__total"))
     return (

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.operators.util import exploded, pin
 from fifa_data_pipeline_spark.sources.io import spread
 
 #: Tiny English-stopword list used by the heuristic scorer/lang-id.
@@ -1080,7 +1080,7 @@ def bpe_train(
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .select("__w", "__cnt", F.split("__w", "").alias("__syms"))
-        .localCheckpoint()
+        .transform(pin("text", eager=True))
     )
     pair_structs = F.expr(
         "CASE WHEN size(__syms) >= 2 THEN "
@@ -1119,7 +1119,7 @@ def bpe_train(
                 .otherwise(F.concat(acc, F.array(x)))
             ),
         )
-        cur = cur.withColumn("__syms", fold).localCheckpoint()
+        cur = cur.withColumn("__syms", fold).transform(pin("text", eager=True))
         merges.append((step, a, b, merged, n))
     return spark.createDataFrame(
         merges, "step int, a string, b string, merged string, pair_count long"
@@ -1352,7 +1352,7 @@ def dsir_scores(
     doc_counts = (
         base.groupBy(id_col, "__t", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)
+        .transform(pin("text"))
     )
     bucket = (
         doc_counts.groupBy("__b")
@@ -1362,7 +1362,7 @@ def dsir_scores(
                 "__tgt"
             ),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin("text"))
     )
     totals = bucket.agg(
         F.sum("__raw").alias("__nraw"), F.sum("__tgt").alias("__ntgt")

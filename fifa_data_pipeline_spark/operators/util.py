@@ -91,7 +91,11 @@ def materialize_once(
       outputs).
 
     Default resolves from ``$SPARK_GRAFT_MATERIALIZE`` when ``mode``
-    is None, so a cluster deployment flips every site at once.
+    is None, so a cluster deployment flips every site at once — and
+    since r11 EVERY batch-side pin in the engine routes through here
+    (directly or via :func:`pin`); only streaming ``foreachBatch``
+    pins stay on raw ``localCheckpoint`` (micro-batch replay already
+    covers them).
     ``eager`` applies to ``'local'`` only ('table' is always eager —
     the write runs now)."""
     import os
@@ -122,6 +126,36 @@ def materialize_once(
     )
     df.write.parquet(path)
     return spark.read.parquet(path)
+
+
+def pin(
+    name: str = "pin",
+    *,
+    eager: bool = False,
+    mode: str | None = None,
+):
+    """Postfix-chainable form of :func:`materialize_once` for use
+    with ``DataFrame.transform``::
+
+        edges = (pairs.select(...).distinct()
+                 .transform(pin("cc_edges")))
+
+    is ``materialize_once(..., name="cc_edges")`` without breaking
+    the method chain. Every batch-side lineage-truncation /
+    multi-consumer pin in the engine routes through this (r11), so
+    ``$SPARK_GRAFT_MATERIALIZE=table`` flips the WHOLE engine to the
+    executor-loss-durable posture at once — including the per-round
+    pins inside iterative algorithms (connected components, PageRank,
+    BPE merges), where 'table' mode is the classic reliable-
+    checkpoint-per-round cluster posture. Streaming ``foreachBatch``
+    pins deliberately stay on raw ``localCheckpoint``: micro-batch
+    replay already provides fault tolerance there, so a durable
+    scratch write per batch would be pure overhead."""
+
+    def _pin(df: DataFrame) -> DataFrame:
+        return materialize_once(df, mode=mode, eager=eager, name=name)
+
+    return _pin
 
 
 def sweep_materialized(

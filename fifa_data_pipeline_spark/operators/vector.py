@@ -29,7 +29,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.operators.util import exploded, pin
 from fifa_data_pipeline_spark.sources.io import spread
 
 
@@ -1213,9 +1213,7 @@ def kmeans_micro(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * scale, 0).cast("bigint"),
     )
-    emb = df.select(F.col(id_col).alias("vid"), qv.alias("qv")).localCheckpoint(
-        eager=False
-    )
+    emb = df.select(F.col(id_col).alias("vid"), qv.alias("qv")).transform(pin("vector"))
     cents = (
         emb.orderBy("vid")
         .limit(k)
@@ -1223,7 +1221,7 @@ def kmeans_micro(
             (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
             F.col("qv").alias("cv"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin("vector"))
     )
     dist = F.aggregate(
         F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
@@ -1261,7 +1259,7 @@ def kmeans_micro(
             cents.select("cid", F.col("cv").alias("__old"))
             .join(new_c, "cid", "left")
             .select("cid", F.coalesce("cv", "__old").alias("cv"))
-            .localCheckpoint(eager=False)
+            .transform(pin("vector"))
         )
     counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
     return (

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import pin
+
 from fifa_data_pipeline_spark.operators.text import STOPWORDS
 from fifa_data_pipeline_spark.sources.io import read_table, register_views
 
@@ -91,7 +93,7 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         docs.select("source", F.md5(prefix).alias("fp"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin("ext13"))
     )
     a = fp.select(F.col("source").alias("src_a"), "fp")
     b = fp.select(F.col("source").alias("src_b"), "fp")
@@ -277,7 +279,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the three triangle legs materialize it once."""
     from fifa_data_pipeline_spark.plans.extended19 import _dup_pairs
 
-    pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _dup_pairs(spark, sf_dir).transform(pin("ext13"))
     e1 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
     e2 = pairs.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
     e3 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))

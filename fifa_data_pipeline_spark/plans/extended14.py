@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.operators.util import exploded, pin
 from fifa_data_pipeline_spark.operators.text import tokens
 from fifa_data_pipeline_spark.sources.io import read_table
 
@@ -80,7 +80,7 @@ def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distance filter, re-hashing each row several times
     # (measured 0.97 s → 0.54 s warm at sf0.1). In production the
     # coordinates are stored data and no barrier is needed.
-    pts = pts.localCheckpoint(eager=False)
+    pts = pts.transform(pin("ext14"))
     regions = spark.createDataFrame(
         REGIONS, "region_id int, cx int, cy int, r int"
     )

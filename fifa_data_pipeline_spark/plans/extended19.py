@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import pin
+
 from fifa_data_pipeline_spark.sources.io import read_table
 
 #: Fingerprint prefix length (tokens) shared with q_cross_source_dups.
@@ -51,9 +53,7 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim("text"), r"\s+", FP_TOKENS + 1), 1, FP_TOKENS
         ),
     )
-    fps = docs.select("doc_id", F.md5(prefix).alias("fp")).localCheckpoint(
-        eager=False
-    )
+    fps = docs.select("doc_id", F.md5(prefix).alias("fp")).transform(pin("ext19"))
     fa = fps.select(F.col("doc_id").alias("id_a"), "fp")
     fb = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -154,7 +154,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pin was already in place and the residual is the edge-build
     scan, shared and unavoidable). The r6-reported 2.2× included
     bench-session residue — see RUNBOOK §5."""
-    pairs = _dup_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = _dup_pairs(spark, sf_dir).transform(pin("ext19"))
     e1 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
     e2 = pairs.select(F.col("id_a").alias("y"), F.col("id_b").alias("z"))
     e3 = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("z"))

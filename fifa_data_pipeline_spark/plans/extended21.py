@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import tokens
-from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.operators.util import exploded, pin
 from fifa_data_pipeline_spark.sources.io import read_table
 
 #: Bigram LM smoothing constant.
@@ -72,7 +72,7 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bg.1").alias("w2"),
         )
         .filter(F.col("w2").isNotNull())
-        .localCheckpoint(eager=False)
+        .transform(pin("ext21"))
     )
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))

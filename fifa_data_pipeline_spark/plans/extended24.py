@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from fifa_data_pipeline_spark.operators.relational import column_checksums
+from fifa_data_pipeline_spark.operators.util import pin
 from fifa_data_pipeline_spark.operators.sketch import (
     _cms_fold_duckdb,
     kmv_distinct,
@@ -133,7 +134,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the cell matrix (|langs|² rows) feeds THREE aggregates;
         # without the pin each would re-scan and re-tokenize the
         # whole corpus — at 100 TB that is 3 passes instead of 1
-        .localCheckpoint(eager=False)
+        .transform(pin("ext24"))
     )
     rows_m = cells.groupBy(F.col("lang").alias("k")).agg(
         F.sum("n").alias("r")

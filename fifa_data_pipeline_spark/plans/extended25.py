@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fifa_data_pipeline_spark.operators.util import pin
+
 from fifa_data_pipeline_spark.operators import dedup as D
 from fifa_data_pipeline_spark.sources.io import read_table
 
@@ -377,7 +379,7 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("src"),
             F.col("b.doc_id").alias("dst"),
         )
-        .localCheckpoint(eager=False)
+        .transform(pin("ext25"))
     )
     edges.createOrReplaceTempView("__rcte_edges")
     return spark.sql(r"""

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import zipf_fit
-from fifa_data_pipeline_spark.operators.util import materialize_once
+from fifa_data_pipeline_spark.operators.util import materialize_once, pin
 from fifa_data_pipeline_spark.sources.io import (
     footer_minmax_int as _footer_minmax_int,
     footer_uncompressed_bytes as _footer_bytes,
@@ -780,7 +780,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recomputing it costs a fact pass — at any scale where this
         # operator matters the pin is the cheaper side. Bucket purity
         # is untouched (bucket = f(price)).
-        .localCheckpoint(eager=False)
+        .transform(pin("ext27"))
     )
     # share_input=False: the spine is PINNED, so the totals branch
     # re-reads the materialized block (a near-free columnar read +

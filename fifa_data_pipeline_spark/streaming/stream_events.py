@@ -802,6 +802,10 @@ def stream_quarantine_late(
         except Exception:
             hwm = None  # first batch: no mark yet
         ep = F.unix_timestamp("ts").cast("bigint")
+        # raw localCheckpoint BY DESIGN (not materialize_once): inside
+        # foreachBatch, micro-batch replay already gives fault
+        # tolerance, so a durable scratch write per batch would be
+        # pure overhead.
         marked = batch_df.withColumn("__ep", ep).localCheckpoint()
         if hwm is not None:
             is_late = F.col("__ep") < F.lit(hwm - delay_s)
@@ -1033,7 +1037,10 @@ def stream_kmv_distinct(
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .select("g", "__h")
-            .localCheckpoint(eager=True)  # one computation feeds both sinks
+            .localCheckpoint(eager=True)
+            # one computation feeds both sinks; raw localCheckpoint
+            # BY DESIGN — see the foreachBatch note above
+
         )
         (
             state.withColumn("batch_id", F.lit(batch_id))
