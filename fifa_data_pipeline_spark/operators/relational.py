@@ -1685,6 +1685,7 @@ def exact_group_quantiles(
     value_col: str,
     permille: Sequence[int] = (250, 500, 750, 900, 990),
     num_partitions: int | None = None,
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """EXACT per-group quantiles at 100 TB — no ``approx_percentile``
     error bars and no ``Window.partitionBy(<few-value key>)``
@@ -1709,16 +1710,18 @@ def exact_group_quantiles(
     counts = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    # Bounds probed on the RAW fact (footer-stats cheap, never
-    # re-runs the counts aggregate); the bucketed spine machinery
-    # shuffles the distinct-value spine once with no checkpoint pin
-    # (r8 — the generic grouped_running_sums pays a range shuffle, a
-    # localCheckpoint materialization, AND a second full hash shuffle
-    # on a spine that is nearly fact-sized for high-cardinality
-    # value columns).
-    bounds = tuple(
-        df.agg(F.min(value_col), F.max(value_col)).first()
-    )
+    # Bounds probed on the RAW fact, or passed by the caller from
+    # parquet footer stats (r11 — zero Spark jobs; a superset range
+    # is fine, the machinery only buckets on it); the bucketed spine
+    # machinery shuffles the distinct-value spine once with no
+    # checkpoint pin (r8 — the generic grouped_running_sums pays a
+    # range shuffle, a localCheckpoint materialization, AND a second
+    # full hash shuffle on a spine that is nearly fact-sized for
+    # high-cardinality value columns).
+    if bounds is None:
+        bounds = tuple(
+            df.agg(F.min(value_col), F.max(value_col)).first()
+        )
     # share_input=False + totals re-aggregated from ``counts``: the
     # quantile spine is near-fact-sized for high-cardinality value
     # columns, so re-sorting it from shuffle files costs more than
@@ -1780,6 +1783,7 @@ def exact_group_quantiles_cont(
     value_col: str,
     permille: Sequence[int] = (250, 500, 750, 900, 990),
     num_partitions: int | None = None,
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """CONTINUOUS (interpolated, type-7 / ``percentile_cont``)
     per-group quantiles, exact at any scale — the companion of
@@ -1807,10 +1811,13 @@ def exact_group_quantiles_cont(
         F.count(F.lit(1)).alias("__cnt")
     )
     # Same bucketed-spine machinery as the discrete form (r8): one
-    # spine shuffle, no checkpoint; bounds probed on the raw fact.
-    bounds = tuple(
-        df.agg(F.min(value_col), F.max(value_col)).first()
-    )
+    # spine shuffle, no checkpoint; bounds probed on the raw fact or
+    # passed by the caller from parquet footer stats (r11 — zero
+    # Spark jobs; superset range suffices).
+    if bounds is None:
+        bounds = tuple(
+            df.agg(F.min(value_col), F.max(value_col)).first()
+        )
     # share_input=False + totals re-aggregated from ``counts``: the
     # quantile spine is near-fact-sized for high-cardinality value
     # columns, so re-sorting it from shuffle files costs more than

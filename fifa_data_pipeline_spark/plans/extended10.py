@@ -22,6 +22,9 @@ from fifa_data_pipeline_spark.operators import relational as R
 from fifa_data_pipeline_spark.operators import sketch as K
 from fifa_data_pipeline_spark.operators import text as X
 from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.sources.io import (
+    footer_minmax_int as _footer_minmax_int,
+)
 from fifa_data_pipeline_spark.sources.io import read_table
 
 #: Engine-portable epoch seconds (matches the Spark side's
@@ -192,7 +195,11 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = orders.groupBy("o_orderpriority", "o_totalprice").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    bounds = tuple(
+    # footer-stats bounds (r11): zero Spark jobs on the unfiltered
+    # table; machinery needs only a superset range. Agg fallback.
+    bounds = _footer_minmax_int(
+        f"{sf_dir}/orders.parquet", "o_totalprice"
+    ) or tuple(
         orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
     )
     # share_input=False + totals from ``counts``: near-unique price

@@ -13,6 +13,9 @@ from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.util import exploded, pin
 from fifa_data_pipeline_spark.operators.text import tokens
+from fifa_data_pipeline_spark.sources.io import (
+    footer_minmax_int as _footer_minmax_int,
+)
 from fifa_data_pipeline_spark.sources.io import read_table
 
 #: Seeded "regions": (region_id, center_x, center_y, radius) on the
@@ -248,11 +251,15 @@ def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view", "purchase")
     ).select("event_id", "event_type", "value")
-    # value bounds probe (footer-cheap) -> bucketed row ranks (r8):
-    # one fact shuffle, no checkpoint pin.
+    # value bounds from parquet footer stats when present (r11 —
+    # zero Spark jobs; the UNFILTERED table's min/max is a superset
+    # of the 3-type slice's range, which is all the bucketed
+    # machinery needs), else the r8 aggregate probe. One fact
+    # shuffle, no checkpoint pin.
     ranked = grouped_row_ranks(
         ev, ["event_type"], ["value", "event_id"], "__rk",
-        bounds=tuple(ev.agg(F.min("value"), F.max("value")).first()),
+        bounds=_footer_minmax_int(f"{sf_dir}/events.parquet", "value")
+        or tuple(ev.agg(F.min("value"), F.max("value")).first()),
     )
     ref = ranked.groupBy("__rk").agg(F.avg("value").alias("__ref"))
     return (

@@ -32,6 +32,9 @@ from pyspark.sql import functions as F
 
 from fifa_data_pipeline_spark.operators.text import tokens, token_count_expr
 from fifa_data_pipeline_spark.operators.util import exploded
+from fifa_data_pipeline_spark.sources.io import (
+    footer_minmax_int as _footer_minmax_int,
+)
 from fifa_data_pipeline_spark.sources.io import read_table
 
 #: Censoring horizon: a customer whose last order predates the study
@@ -216,7 +219,11 @@ def q_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         token_count_expr("text").alias("w"),
     )
-    bounds = tuple(
+    # footer-stats bounds (r11): zero Spark jobs on the unfiltered
+    # table; machinery needs only a superset range. Agg fallback.
+    bounds = _footer_minmax_int(
+        f"{sf_dir}/documents.parquet", "n_chars"
+    ) or tuple(
         read_table(spark, sf_dir, "documents")
         .agg(F.min("n_chars"), F.max("n_chars"))
         .first()

@@ -59,6 +59,9 @@ from fifa_data_pipeline_spark.operators.relational import (
     keyset_page,
     table_checksum,
 )
+from fifa_data_pipeline_spark.sources.io import (
+    footer_minmax_int as _footer_minmax_int,
+)
 from fifa_data_pipeline_spark.sources.io import read_table
 
 
@@ -106,12 +109,15 @@ def q_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``row_number() OVER (ORDER BY o_orderkey)`` (the oracle) but
     never collapsing the table into one task."""
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey")
-    # orderkey bounds probe (footer-cheap) -> bucketed split (r8):
-    # one shuffle, no checkpoint pin, no driver offset scan.
+    # orderkey bounds from parquet footer stats when present (r11 —
+    # zero Spark jobs; superset range suffices), else the r8
+    # aggregate probe -> bucketed split: one shuffle, no checkpoint
+    # pin, no driver offset scan.
     return assign_dense_ids(
         orders,
         ["o_orderkey"],
-        bounds=tuple(
+        bounds=_footer_minmax_int(f"{sf_dir}/orders.parquet", "o_orderkey")
+        or tuple(
             orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
         ),
     )

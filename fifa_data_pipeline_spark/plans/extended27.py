@@ -320,9 +320,14 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate ``cum.groupBy(pair).agg(max(rsum))`` consumer was a
     # whole extra sort+window pass over the reused spine exchange
     # plus a broadcast join; both are gone (r9).
+    # n_chars bounds from parquet footer stats when present (r11 —
+    # zero Spark jobs; exact on the raw unfiltered table, and the
+    # machinery only needs a superset range), else the r8 aggregate
+    # probe.
     cum = grouped_running_sums_bucketed(
         counts, ["lang_a", "lang_b"], "n_chars", ["ca", "cb"],
-        bounds=tuple(docs.agg(F.min("n_chars"), F.max("n_chars")).first()),
+        bounds=_footer_minmax_int(f"{sf_dir}/documents.parquet", "n_chars")
+        or tuple(docs.agg(F.min("n_chars"), F.max("n_chars")).first()),
         emit_totals=True,
     )
     return (
@@ -410,7 +415,11 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         grouped_running_sums_bucketed(
             counts, ["lang_a", "lang_b"], "n_chars", ["ct"],
-            bounds=tuple(
+            # footer-stats bounds (r11): zero Spark jobs, agg fallback
+            bounds=_footer_minmax_int(
+                f"{sf_dir}/documents.parquet", "n_chars"
+            )
+            or tuple(
                 docs.agg(F.min("n_chars"), F.max("n_chars")).first()
             ),
         )
@@ -749,15 +758,22 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = read_table(spark, sf_dir, "lineitem")
     g = "l_returnflag"
-    # ONE bounds probe covers both rank machines (r8): min/max of
-    # quantity AND price in a single fact pass; both prefix sums then
-    # run bucketed — one spine shuffle each, no checkpoint pins, no
-    # range-sampling jobs (the quantity machinery previously paid the
-    # full sample+checkpoint chain for a ~|distinct quantities| spine).
-    qlo, qhi, plo, phi = li.agg(
-        F.min("l_quantity"), F.max("l_quantity"),
-        F.min("l_extendedprice"), F.max("l_extendedprice"),
-    ).first()
+    # Bounds for both rank machines from parquet footer stats when
+    # present (r11 — zero Spark jobs; the machinery only needs a
+    # superset range and lineitem is unfiltered here), else ONE
+    # aggregate probe covering both columns in a single fact pass
+    # (r8 — no per-machine probes, no range-sampling jobs).
+    qb = _footer_minmax_int(f"{sf_dir}/lineitem.parquet", "l_quantity")
+    pb = _footer_minmax_int(
+        f"{sf_dir}/lineitem.parquet", "l_extendedprice"
+    )
+    if qb is not None and pb is not None:
+        (qlo, qhi), (plo, phi) = qb, pb
+    else:
+        qlo, qhi, plo, phi = li.agg(
+            F.min("l_quantity"), F.max("l_quantity"),
+            F.min("l_extendedprice"), F.max("l_extendedprice"),
+        ).first()
     rx_t = grouped_tie_rank2(li, g, "l_quantity", "rx", bounds=(qlo, qhi))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     spine = (

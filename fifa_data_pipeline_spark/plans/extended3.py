@@ -122,12 +122,17 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    # price bounds probe (footer-cheap) -> bucketed row ranks (r8):
-    # one fact shuffle, no checkpoint pin.
+    # price bounds from parquet footer stats when present (r11 —
+    # zero Spark jobs; superset range suffices), else the r8
+    # aggregate probe -> bucketed row ranks: one fact shuffle, no
+    # checkpoint pin.
     ranked = grouped_row_ranks(
         orders, ["o_orderpriority"], ["o_totalprice", "o_orderkey"],
         "__i",
-        bounds=tuple(
+        bounds=_footer_minmax_int(
+            f"{sf_dir}/orders.parquet", "o_totalprice"
+        )
+        or tuple(
             orders.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
         ),
     )

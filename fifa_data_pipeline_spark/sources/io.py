@@ -175,8 +175,13 @@ def clear_footer_caches() -> None:
 
 
 def footer_minmax_int(path: str, col: str) -> tuple | None:
-    """Driver-side (MIN, MAX) of an integer column read from parquet
-    footer statistics only — milliseconds and zero Spark jobs, the
+    """Driver-side (MIN, MAX) of a numeric column read from parquet
+    footer statistics only (named ``_int`` for its original integer
+    callers; the stats read is type-generic and r11 bounds probes
+    use it for DOUBLE columns too — parquet writers omit stats for
+    NaN-bearing double pages, which surfaces here as ``None`` →
+    callers fall back to an aggregate probe)
+    — milliseconds and zero Spark jobs, the
     cheap bounds probe plans use for bucketed-machinery bounds and
     for picking between an exactness-sensitive fast path and a safe
     fallback. Returns ``None`` when any row group lacks stats, which

@@ -489,6 +489,72 @@ def test_grouped_running_sums_bucketed_matches_window_form(spark):
     assert got == want
 
 
+def test_grouped_running_sums_bucketed_superset_bounds_equal(spark):
+    """Bounds are bucketing-only: a WIDENED (superset) bounds range
+    must produce byte-identical prefix sums — the invariant the r11
+    footer-stats bounds probes rely on (footer min/max of an
+    unfiltered table is exact, and of a filtered one a superset)."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.operators.relational import (
+        grouped_running_sums_bucketed,
+    )
+
+    rows = [
+        (
+            f"g{i % 3}",
+            None if i % 97 == 0 else float(i * i % 701) - 100.0,
+            i % 5 + 1,
+        )
+        for i in range(1500)
+    ]
+    df = (
+        spark.createDataFrame(rows, ["g", "v", "c"])
+        .groupBy("g", "v")
+        .agg(F.sum("c").alias("c"))
+    )
+    lo, hi = df.agg(F.min("v"), F.max("v")).first()
+    exact = {
+        (r["g"], r["v"]): r["c_rsum"]
+        for r in grouped_running_sums_bucketed(
+            df, ["g"], "v", ["c"], bounds=(lo, hi), num_buckets=7
+        ).collect()
+    }
+    widened = {
+        (r["g"], r["v"]): r["c_rsum"]
+        for r in grouped_running_sums_bucketed(
+            df, ["g"], "v", ["c"],
+            bounds=(lo - 250.0, hi + 1000.0), num_buckets=7,
+        ).collect()
+    }
+    assert widened == exact
+
+
+def test_footer_bounds_match_aggregate_probe():
+    """The r11 footer-stats bounds probes must agree with the Spark
+    aggregate probes they replace, on every (table, column) pair the
+    plans now probe — verified against pyarrow's own column read
+    (no Spark needed), including the DOUBLE columns."""
+    import pyarrow.parquet as pq
+
+    from fifa_data_pipeline_spark.sources.io import footer_minmax_int
+
+    for table, col in [
+        ("documents", "n_chars"),
+        ("lineitem", "l_quantity"),
+        ("lineitem", "l_extendedprice"),
+        ("orders", "o_totalprice"),
+        ("orders", "o_orderkey"),
+        ("events", "value"),
+    ]:
+        path = f"/root/testdata/sf0.001/{table}.parquet"
+        got = footer_minmax_int(path, col)
+        assert got is not None, (table, col)
+        vals = pq.read_table(path, columns=[col])[col].to_pylist()
+        vals = [v for v in vals if v is not None]
+        assert got == (min(vals), max(vals)), (table, col, got)
+
+
 def test_grouped_running_max_dense_matches_window_form(spark):
     """The data-derived range-bucket variant must equal the single-
     window running max — including cross-bucket handoff, a sparse /
