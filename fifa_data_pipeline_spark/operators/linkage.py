@@ -74,6 +74,115 @@ def field_u_probability(
     )
 
 
+#: Size switch for :func:`field_u_probabilities` — below this many
+#: UNCOMPRESSED input bytes the per-field form's many tiny concurrent
+#: scans beat the fused explode (measured at sf0.1: 2.55 vs 2.78 s
+#: min interleaved); at/above it — and whenever the size is unknown
+#: (``None`` = assume scale) — the fused ONE-pass-per-side form wins
+#: (sf1: 3.32 vs 3.42 s, and the gap grows with data since it is a
+#: 2K+2 → 1 scans-per-side reduction). Same convention as
+#: ``text.ARROW_TOKENIZE_MIN_BYTES``.
+FUSED_U_MIN_BYTES = 8 * 1024 * 1024
+
+
+def field_u_probabilities(
+    a: DataFrame,
+    b: DataFrame,
+    cols: list[str],
+    *,
+    input_bytes: int | None = None,
+) -> DataFrame:
+    """All K fields' exact u-probabilities in ONE pass per side —
+    one row ``(__u_<col>, ...)`` with the identical arithmetic of
+    :func:`field_u_probability` (u = Σ_v nA(v)·nB(v) / (NA·NB), NULL
+    never agrees, ``try_divide`` → NULL when a side is empty).
+
+    The per-field form scans each side 2K+2 times (a value groupBy
+    and a total count per field per side); r11 bench showed those
+    scans dominating q_record_linkage at sf1+. Here each side is
+    exploded to ``(field_index, value-as-string)`` rows (NULL values
+    skipped — they can never contribute agreement hits) plus one
+    sentinel arm per record carrying the side's row count, so ONE
+    hash aggregate per side yields every field's value counts AND
+    the side total; one join + one K-row aggregate then folds every
+    numerator.
+
+    Size-adaptive (``input_bytes`` = uncompressed bytes of the
+    larger side, footer-probed by callers; ``None`` = assume scale):
+    below :data:`FUSED_U_MIN_BYTES` the per-field scans all run
+    concurrently inside one job and beat the explode's bigger
+    stages, so tiny inputs keep that plan — both branches are
+    value-identical (pinned by a unit test).
+
+    Value matching is on the STRING cast — the same contract
+    :func:`fs_pattern_report` already imposes on its mask keys
+    (string/integer fields; injective, so counts per string value ==
+    counts per native value). Totals NA/NB come from the sentinel
+    rows and multiply in DOUBLE, exactly like the per-field form
+    (no NA·NB BIGINT overflow at 10⁹-row sides)."""
+    if input_bytes is not None and input_bytes < FUSED_U_MIN_BYTES:
+        ua = None
+        for c in cols:
+            u1 = field_u_probability(a, b, c).select(
+                F.col("u").alias(f"__u_{c}")
+            )
+            ua = u1 if ua is None else ua.crossJoin(u1)
+        return ua
+
+    def ex(df: DataFrame) -> DataFrame:
+        arms = [
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(i).alias("__f"),
+                    F.col(c).cast("string").alias("__v"),
+                ),
+            )
+            for i, c in enumerate(cols)
+        ]
+        # Sentinel arm: one non-null row per RECORD (field index −1),
+        # so count(f=−1) = the side's total row count — the NA/NB
+        # probe fused into the same scan.
+        arms.append(
+            F.struct(
+                F.lit(-1).alias("__f"), F.lit("").alias("__v")
+            )
+        )
+        return (
+            df.select(F.explode(F.array(*arms)).alias("__fv"))
+            .filter(F.col("__fv").isNotNull())
+            .select("__fv.__f", "__fv.__v")
+        )
+
+    ga = ex(a).groupBy("__f", "__v").agg(
+        F.count(F.lit(1)).alias("__na")
+    )
+    gb = ex(b).groupBy("__f", "__v").agg(
+        F.count(F.lit(1)).alias("__nb")
+    )
+    j = ga.join(gb, ["__f", "__v"])
+    return j.agg(
+        *[
+            F.try_divide(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__f") == i,
+                            F.col("__na") * F.col("__nb"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("double"),
+                F.max(
+                    F.when(F.col("__f") == -1, F.col("__na"))
+                ).cast("double")
+                * F.max(F.when(F.col("__f") == -1, F.col("__nb"))),
+            ).alias(f"__u_{c}")
+            for i, c in enumerate(cols)
+        ]
+    )
+
+
 def fs_link(
     a: DataFrame,
     b: DataFrame,
@@ -83,6 +192,7 @@ def fs_link(
     fields: list[tuple[str, float]],
     lower: float = 0.0,
     upper: float = 4.0,
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Fellegi–Sunter linkage of ``a`` × ``b``.
 
@@ -95,12 +205,12 @@ def fs_link(
     (6 dp), and the three-way ``decision``
     (match / possible / non_match).
     """
-    ua = None
-    for col, _m in fields:
-        u1 = field_u_probability(a, b, col).select(
-            F.col("u").alias(f"__u_{col}")
-        )
-        ua = u1 if ua is None else ua.crossJoin(u1)
+    # All u-probabilities in one pass per side at scale (r11) — the
+    # per-field loop re-scanned each side 2K+2 times; see
+    # :func:`field_u_probabilities` for the size switch.
+    ua = field_u_probabilities(
+        a, b, [c for c, _ in fields], input_bytes=input_bytes
+    )
     pa = a.select(
         F.col(id_a).alias("__ida"),
         F.col(block_col).alias("__blk"),
@@ -153,6 +263,7 @@ def fs_pattern_report(
     fields: list[tuple[str, float]],
     lower: float = 0.0,
     upper: float = 4.0,
+    input_bytes: int | None = None,
 ) -> DataFrame:
     """Fellegi–Sunter linkage QUALITY REPORT — the decision ×
     agreement-pattern grain of :func:`fs_link`, computed WITHOUT ever
@@ -248,12 +359,10 @@ def fs_pattern_report(
     pat_df = spark.createDataFrame(
         patterns, [f"agree_{c}" for c in cols] + ["n_pairs"]
     )
-    ua = None
-    for col, _m in fields:
-        u1 = field_u_probability(a, b, col).select(
-            F.col("u").alias(f"__u_{col}")
-        )
-        ua = u1 if ua is None else ua.crossJoin(u1)
+    # All u-probabilities in one pass per side at scale (r11) — the
+    # per-field loop re-scanned each side 2K+2 times; see
+    # :func:`field_u_probabilities` for the size switch.
+    ua = field_u_probabilities(a, b, cols, input_bytes=input_bytes)
     out = pat_df.crossJoin(F.broadcast(ua))
     weight: Column = F.lit(0.0)
     for c, m in fields:

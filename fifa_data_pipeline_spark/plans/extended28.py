@@ -159,12 +159,22 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fifa_data_pipeline_spark.operators.linkage import (
         fs_pattern_report,
     )
+    from fifa_data_pipeline_spark.sources.io import (
+        footer_uncompressed_bytes,
+    )
 
     a, b = _linkage_sides(spark, sf_dir)
+    # footer-probed input size routes the u-probability pass
+    # (size-adaptive, r11): fused one-pass-per-side at scale, the
+    # concurrent per-field scans below 8 MiB. Value-identical either
+    # way (linkage.field_u_probabilities).
     return fs_pattern_report(
         a, b, "blk",
         [("name", 0.95), ("segment", 0.9), ("bal", 0.99)],
         lower=0.0, upper=4.0,
+        input_bytes=footer_uncompressed_bytes(
+            f"{sf_dir}/customer.parquet"
+        ),
     )
 
 

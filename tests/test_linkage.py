@@ -121,3 +121,58 @@ def test_fs_pattern_report_matches_pairwise_rollup(spark):
     got = sorted(map(tuple, report.collect()))
     want = sorted(map(tuple, per_pair.collect()))
     assert got == want
+
+
+def test_field_u_probabilities_fused_equals_per_field(spark):
+    """The r11 fused one-pass u-probability frame must equal the
+    per-field form value-for-value — including a NULL-bearing field,
+    a zero-cross-overlap field (u = 0 before clamping), a constant
+    field (u = 1), and an integer field (string-cast join key)."""
+    from fifa_data_pipeline_spark.operators.linkage import (
+        field_u_probabilities,
+        field_u_probability,
+    )
+
+    a = spark.createDataFrame(
+        [
+            ("x", "only_a", "k", 1),
+            ("x", None, "k", 2),
+            ("y", "aa", "k", 2),
+            (None, "ab", "k", 3),
+        ],
+        ["c1", "c2", "c3", "c4"],
+    )
+    b = spark.createDataFrame(
+        [
+            ("x", "only_b", "k", 2),
+            ("y", None, "k", 2),
+            ("y", "bb", "k", 9),
+            ("z", "bc", "k", None),
+        ],
+        ["c1", "c2", "c3", "c4"],
+    )
+    cols = ["c1", "c2", "c3", "c4"]
+    fused = field_u_probabilities(a, b, cols).collect()[0]
+    for c in cols:
+        want = field_u_probability(a, b, c).collect()[0].u
+        got = fused[f"__u_{c}"]
+        assert (got is None) == (want is None), c
+        if want is not None:
+            assert abs(got - want) < 1e-15, (c, got, want)
+
+
+def test_field_u_probabilities_fused_empty_sides(spark):
+    """Empty side(s): the fused form must surface NULL u's, exactly
+    like the per-field try_divide(0, 0) path."""
+    from pyspark.sql import types as T
+
+    from fifa_data_pipeline_spark.operators.linkage import (
+        field_u_probabilities,
+    )
+
+    schema = T.StructType([T.StructField("c", T.StringType())])
+    empty = spark.createDataFrame([], schema)
+    full = spark.createDataFrame([("x",)], ["c"])
+    for a, b in [(empty, full), (full, empty), (empty, empty)]:
+        row = field_u_probabilities(a, b, ["c"]).collect()[0]
+        assert row["__u_c"] is None
