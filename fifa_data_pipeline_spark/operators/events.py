@@ -277,6 +277,7 @@ def ewma(
     alpha: float = 0.3,
     lookback: int = 20,
     num_partitions: int | None = None,
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """Bounded-lookback exponentially weighted moving average per key:
     for each event, fold EWMA over the trailing ``lookback`` values
@@ -350,8 +351,18 @@ def ewma(
     # monotone in ts and ties share a bucket; the ghost pool logic
     # is split-id-agnostic (it re-ranks per key across earlier
     # splits), so empty or uneven buckets change nothing.
+    # ``bounds`` = (min, max) EPOCH MICROS of ``ts_col``, from parquet
+    # footer stats when the caller knows the raw table
+    # (io.footer_minmax_micros, r11 — zero Spark jobs; a superset
+    # range only coarsens buckets, and a bucket id past
+    # num_partitions is just another group key); aggregate probe
+    # fallback otherwise.
     mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    lo, hi = df.agg(F.min(mic), F.max(mic)).first()
+    lo, hi = (
+        bounds
+        if bounds is not None
+        else df.agg(F.min(mic), F.max(mic)).first()
+    )
     width = max(((hi - lo) // num_partitions + 1), 1) if lo is not None else 1
     pinned = df.withColumn(
         "__pid",

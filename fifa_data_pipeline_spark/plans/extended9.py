@@ -91,8 +91,17 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-lookback (20-row) EWMA of value per event_type,
     α=0.3 — one smoothed point per event."""
+    from fifa_data_pipeline_spark.sources.io import (
+        footer_minmax_micros,
+    )
+
     ev = read_table(spark, sf_dir, "events")
-    return E.ewma(ev, "event_type", "ts", "event_id", "value").select(
+    # ts bounds from footer stats (r11): zero Spark jobs; the
+    # operator falls back to its aggregate probe on None.
+    return E.ewma(
+        ev, "event_type", "ts", "event_id", "value",
+        bounds=footer_minmax_micros(f"{sf_dir}/events.parquet", "ts"),
+    ).select(
         "event_id", "event_type", F.round("value", 6).alias("value_r"), "ewma"
     )
 

@@ -64,6 +64,14 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "2m"),
         )
+        # Join-strategy configs deliberately stay DEFAULT (r11): both
+        # preferSortMergeJoin=false and the AQE SMJ->SHJ rewrite
+        # (maxShuffledHashJoinLocalMapThreshold=advisory) were
+        # measured on the 10 SMJ headline queries with order-BALANCED
+        # same-session A/Bs — sf0.1 totals 6.04/6.08/6.25 and sf1
+        # 12.41 vs 12.32 (a <1% wash; a fixed-order A/B showed a fake
+        # -14% from warmup bias, see OPTIMIZATION_r11.md). No
+        # demonstrated win, so no plan-affecting global change.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")

@@ -243,6 +243,38 @@ def footer_max_int(path: str, col: str) -> int | None:
     return None if mm is None else mm[1]
 
 
+def footer_minmax_micros(path: str, col: str) -> tuple | None:
+    """(MIN, MAX) of a timestamp column as EPOCH MICROSECONDS, from
+    parquet footer statistics only (r11) — the zero-job bounds probe
+    for time-bucketed machinery (``events.ewma``). Handles the two
+    physical layouts the engine reads: TIMESTAMP(MICROS) (pyarrow
+    surfaces stats as datetimes — naive ones are the engine's
+    UTC-pinned semantics, aware ones are converted) and
+    TIMESTAMP(NANOS) read under ``nanosAsLong`` (int64 stats,
+    floor-divided ns→µs exactly like ``read_table``'s rebuild).
+    Returns ``None`` when stats are absent — callers fall back to
+    the aggregate probe. Bounds feed BUCKETING only, so exactness of
+    the query never depends on them."""
+    import calendar
+    import datetime as _dt
+
+    mm = footer_minmax_int(path, col)
+    if mm is None:
+        return None
+
+    def _mic(v):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return (
+                calendar.timegm(v.timetuple()) * 1_000_000
+                + v.microsecond
+            )
+        return int(v) // 1000  # int64 TIMESTAMP(NANOS) stats
+
+    return (_mic(mm[0]), _mic(mm[1]))
+
+
 _FOOTER_BYTES_CACHE: dict[tuple, int] = {}
 
 

@@ -799,3 +799,25 @@ def test_sweep_materialized_removes_only_expired_dirs(spark):
     assert os.path.exists(legacy)
     assert fresh.count() == 10  # live pin untouched
     os.rmdir(legacy)
+
+
+def test_footer_minmax_micros_matches_aggregate_probe(spark):
+    """footer_minmax_micros must equal the unix_micros aggregate
+    probe it replaces in events.ewma (r11)."""
+    from pyspark.sql import functions as F
+
+    from fifa_data_pipeline_spark.sources.io import (
+        footer_minmax_micros,
+        read_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = footer_minmax_micros(f"{sf_dir}/events.parquet", "ts")
+    assert got is not None
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    want = tuple(
+        read_table(spark, sf_dir, "events")
+        .agg(F.min(mic), F.max(mic))
+        .first()
+    )
+    assert got == want
