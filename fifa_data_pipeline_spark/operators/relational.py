@@ -1360,6 +1360,7 @@ def grouped_running_max_dense(
     max_cols: list[str],
     num_buckets: int | None = None,
     share_input: bool = False,
+    bounds: tuple | None = None,
 ) -> DataFrame:
     """:func:`grouped_running_max` specialized to a DENSE-ish integer
     ``order_col`` (an arrival sequence / row id): the parallel split
@@ -1385,9 +1386,15 @@ def grouped_running_max_dense(
     frames."""
     if num_buckets is None:
         num_buckets = 2 * df.sparkSession.sparkContext.defaultParallelism
-    lo, hi = df.agg(
-        F.min(order_col).cast("long"), F.max(order_col).cast("long")
-    ).first()
+    # caller-supplied (min, max) of ``order_col`` — footer-stats
+    # cheap on a raw table (r11); aggregate probe fallback.
+    lo, hi = (
+        (int(bounds[0]), int(bounds[1]))
+        if bounds is not None and bounds[0] is not None
+        else df.agg(
+            F.min(order_col).cast("long"), F.max(order_col).cast("long")
+        ).first()
+    )
     if lo is None:
         width = 1
     else:

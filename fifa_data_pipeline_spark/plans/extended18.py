@@ -142,6 +142,10 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_running_max_dense,
     )
 
+    from fifa_data_pipeline_spark.sources.io import (
+        footer_minmax_int as _footer_minmax_int,
+    )
+
     events = read_table(spark, sf_dir, "events")
     ep = F.unix_timestamp("ts").cast("bigint")
     marked = grouped_running_max_dense(
@@ -151,6 +155,9 @@ def q_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         "event_id",
         ["ep"],
+        # event_id bounds from footer stats (r11): zero Spark jobs,
+        # aggregate-probe fallback inside the operator.
+        bounds=_footer_minmax_int(f"{sf_dir}/events.parquet", "event_id"),
     ).select(
         "event_type",
         "ep",
