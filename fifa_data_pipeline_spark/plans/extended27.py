@@ -259,8 +259,11 @@ def _lang_pair_counts(docs: DataFrame) -> DataFrame:
     """Per-(lang pair, n_chars value) sample counts ``(lang_a,
     lang_b, n_chars, ca, cb)`` with lang_a < lang_b — the shared
     pooled-sample input of the KS and Mann–Whitney queries. Each doc
-    reaches its pairs through two broadcast EQUI-joins (one per pair
-    side) unioned — not an OR-condition nested-loop join — and the
+    reaches its pairs through ONE broadcast EQUI-join against the
+    exploded pair-ROLE grid (2·|pairs| rows: each pair listed once
+    per side, keyed by that side's language) — not an OR-condition
+    nested-loop join, and (r11) not the previous two unioned
+    per-side joins either, which scanned the corpus twice. The
     per-value aggregate collapses the result to |pairs| × |distinct
     values| rows before any window."""
     langs = docs.select("lang").distinct()
@@ -269,15 +272,26 @@ def _lang_pair_counts(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(langs.select(F.col("lang").alias("lang_b"))))
         .filter(F.col("lang_a") < F.col("lang_b"))
     )
-    side_a = docs.join(
-        F.broadcast(pairs), F.col("lang") == F.col("lang_a")
-    ).select("lang_a", "lang_b", "n_chars", F.lit(1).alias("is_a"))
-    side_b = docs.join(
-        F.broadcast(pairs), F.col("lang") == F.col("lang_b")
-    ).select("lang_a", "lang_b", "n_chars", F.lit(0).alias("is_a"))
-    return side_a.unionByName(side_b).groupBy(
-        "lang_a", "lang_b", "n_chars"
-    ).agg(
+    roles = pairs.select(
+        "lang_a",
+        "lang_b",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("lang_a").alias("__role_lang"),
+                    F.lit(1).alias("is_a"),
+                ),
+                F.struct(
+                    F.col("lang_b").alias("__role_lang"),
+                    F.lit(0).alias("is_a"),
+                ),
+            )
+        ).alias("__r"),
+    ).select("lang_a", "lang_b", "__r.__role_lang", "__r.is_a")
+    tagged = docs.join(
+        F.broadcast(roles), F.col("lang") == F.col("__role_lang")
+    )
+    return tagged.groupBy("lang_a", "lang_b", "n_chars").agg(
         F.sum("is_a").alias("ca"),
         F.sum(1 - F.col("is_a")).alias("cb"),
     )
