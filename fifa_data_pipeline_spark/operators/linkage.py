@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: u-probability clamp bound: keeps ln(m/u) and ln((1-m)/(1-u)) finite
 #: when a field has zero (u=0) or total (u=1) cross-frame agreement.
@@ -74,6 +75,35 @@ def field_u_probability(
     )
 
 
+def _reject_float_keys(
+    a: DataFrame, b: DataFrame, cols: list[str], who: str
+) -> None:
+    """Enforce the string-cast injectivity contract (r11 ADVICE):
+    the fused u-pass and the pattern report join on ``CAST(value AS
+    STRING)`` keys, but Spark normalizes ``-0.0 == 0.0`` (and NaN)
+    in NATIVE float group/join keys while their string casts differ
+    — a DOUBLE field would silently diverge between the per-field
+    and string-keyed forms. Every current caller passes
+    string/integer fields; this turns the documented assumption into
+    a hard error instead of silent divergence."""
+    bad = sorted(
+        {
+            f.name
+            for df in (a, b)
+            for f in df.schema.fields
+            if f.name in cols
+            and f.dataType.typeName() in ("float", "double")
+        }
+    )
+    if bad:
+        raise TypeError(
+            f"{who}: float-typed field(s) {bad} would be compared on"
+            " a string cast, which disagrees with native float"
+            " equality on -0.0/NaN; round or cast them to an exact"
+            " type (string/int/decimal) first"
+        )
+
+
 #: Size switch for :func:`field_u_probabilities` — below this many
 #: UNCOMPRESSED input bytes the per-field form's many tiny concurrent
 #: scans beat the fused explode (measured at sf0.1: 2.55 vs 2.78 s
@@ -113,6 +143,10 @@ def field_u_probabilities(
     concurrently inside one job and beat the explode's bigger
     stages, so tiny inputs keep that plan — both branches are
     value-identical (pinned by a unit test).
+    :func:`fs_pattern_report` no longer calls this at all (r12): it
+    derives every u from its own masked aggregates, zero extra
+    scans; this fused form remains the scan-minimal u-pass for
+    pair-grain callers (:func:`fs_link`).
 
     Value matching is on the STRING cast — the same contract
     :func:`fs_pattern_report` already imposes on its mask keys
@@ -128,6 +162,11 @@ def field_u_probabilities(
             )
             ua = u1 if ua is None else ua.crossJoin(u1)
         return ua
+
+    # The fused form joins on CAST(value AS STRING); the per-field
+    # branch above joins native values — enforce the injectivity
+    # contract before the two can diverge (r11 ADVICE).
+    _reject_float_keys(a, b, cols, "field_u_probabilities")
 
     def ex(df: DataFrame) -> DataFrame:
         arms = [
@@ -277,35 +316,79 @@ def fs_pattern_report(
 
     1. Explode each side to one row per (record, field-subset mask)
        keyed by the mask's value tuple (rows with a NULL field in the
-       mask are skipped — NULL never agrees); ONE aggregate per side
-       gives every subset's group counts in one shuffle.
-    2. One join + one 8-row aggregate yields N(S) = #pairs agreeing
-       on AT LEAST S, for all 2^k subsets at once.
+       mask are skipped — NULL never agrees), PLUS — fused into the
+       same explode (r12) — one GLOBAL row per (record, non-null
+       field) under a sentinel mask id with a constant block, and
+       one global total row per record: exactly the value-frequency
+       tables and row counts the u-probabilities need, riding the
+       explode the lattice already pays for. ONE aggregate per side
+       gives every count in one shuffle; no separate u-pass ever
+       touches the base tables.
+    2. One join + one dimension-sized aggregate + ONE collect yields
+       N(S) = #pairs agreeing on AT LEAST S for all 2^k subsets, the
+       K u numerators (the constant-block sentinel rows join
+       globally, so their Σ na·nb IS Σ_v nA(v)·nB(v)), and both side
+       totals (2^k + K + 1 output rows).
     3. Möbius inversion on the subset lattice turns N(·) into exact
        per-pattern counts: P(T) = Σ_{S⊇T} (−1)^{|S\\T|} N(S). The
        2^k-row lattice is collected driver-side (dimension-sized,
        like the PCA Gram — k is the number of compared FIELDS).
     4. Weights/decisions are computed once per pattern (2^k rows)
-       with the same clamped-u arithmetic as :func:`fs_link`;
+       with the same clamped-u arithmetic as :func:`fs_link`. The
+       u division happens driver-side in IEEE doubles — bit-equal
+       to :func:`field_u_probability`'s ``try_divide(CAST(hits AS
+       DOUBLE), CAST(na AS DOUBLE) * nb)`` (exact BIGINT numerator,
+       one double multiply, one double divide, NULL on an empty
+       side) — and the clamp/ln/round stay Spark expressions, so the
+       output is byte-identical to the r11 form (pinned by
+       ``test_fs_pattern_report_matches_pairwise_rollup``).
        min_weight = max_weight = the pattern's weight by
        construction.
 
-    Scale: O(records · 2^k) narrow rows through one shuffle, versus
-    the pair form's O(Σ block²) fan-out — at sf1 measured 8.8 s
-    (per-pair fs_link + groupBy) → 2.5 s, identical output, and the
-    quadratic-in-block-size term is gone entirely. Value keys join
-    as chr(1)-joined strings (fields are cast to string; values must
+    Scale: O(records · 2^k) narrow rows through one shuffle and TWO
+    base-table scans total (one per side — r12; the r11 form paid 4:
+    masked + fused-u explode per side), versus the pair form's
+    O(Σ block²) fan-out — at sf1 measured 8.8 s (per-pair fs_link +
+    groupBy) → 2.5 s, identical output, and the quadratic-in-
+    block-size term is gone entirely. Value keys join as
+    chr(1)-joined strings (fields are cast to string; values must
     not contain control chars — true for every table here).
     ``fields`` values must be NUL-free strings/numerics; k ≤ ~20
     (the lattice is 2^k).
+
+    ``input_bytes`` is accepted for API compatibility and ignored
+    since r12 — there is no separate u-pass left to size-switch.
     """
+    del input_bytes  # no separate u-pass since r12; see docstring
     cols = [c for c, _ in fields]
     k = len(cols)
     spark = a.sparkSession
+    # Singleton-mask keys are CAST(value AS STRING) — same contract
+    # as the fused u-pass (r11 ADVICE): refuse float fields.
+    _reject_float_keys(a, b, cols, "fs_pattern_report")
+
+    # Mask-id layout of the ONE exploded grain per side:
+    #   m in [0, 2^k)      — lattice arms: per-(block, value-tuple)
+    #                        counts for subset mask m (b = the real
+    #                        block; NULL fields in the mask skip).
+    #   m = G + 2^i        — GLOBAL singleton arms (r12): the same
+    #                        (field i, value) rows with a constant
+    #                        b='' — their cross-side join products
+    #                        ARE the u-probability numerators
+    #                        Σ_v nA(v)·nB(v), because the constant
+    #                        block makes the join global.
+    #   m = 2·G            — GLOBAL total arm, one per record: its
+    #                        single join row carries NA and NB.
+    # The disjoint m ranges keep the sentinel rows from ever
+    # colliding with a real (block, mask) group, whatever the block
+    # values are; blocks join on their string cast (injective for
+    # the string/integer keys the float guard admits).
+    G = 2 ** k
 
     def masked(df: DataFrame) -> DataFrame:
         arms = []
-        for mask in range(2 ** k):
+        blk = F.col(block_col).cast("string")
+        for mask in range(G):
             sel = [cols[i] for i in range(k) if mask >> i & 1]
             nonnull: Column = F.lit(True)
             for c in sel:
@@ -320,30 +403,73 @@ def fs_pattern_report(
             arms.append(
                 F.when(
                     nonnull,
-                    F.struct(F.lit(mask).alias("m"), key.alias("k")),
+                    F.struct(
+                        blk.alias("b"),
+                        F.lit(mask).alias("m"),
+                        key.alias("k"),
+                    ),
                 )
             )
-        return (
-            df.select(
-                F.col(block_col).alias("__blk"),
-                F.explode(F.array(*arms)).alias("mk"),
+        for i, c in enumerate(cols):
+            arms.append(
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.lit("").alias("b"),
+                        F.lit(G + (1 << i)).alias("m"),
+                        F.col(c).cast("string").alias("k"),
+                    ),
+                )
             )
+        arms.append(
+            F.struct(
+                F.lit("").alias("b"),
+                F.lit(2 * G).alias("m"),
+                F.lit("").alias("k"),
+            )
+        )
+        return (
+            df.select(F.explode(F.array(*arms)).alias("mk"))
             .filter(F.col("mk").isNotNull())
-            .select("__blk", "mk.m", "mk.k")
+            .select("mk.b", "mk.m", "mk.k")
         )
 
-    ga = masked(a).groupBy("__blk", "m", "k").agg(
+    ga = masked(a).groupBy("b", "m", "k").agg(
         F.count(F.lit(1)).alias("na")
     )
-    gb = masked(b).groupBy("__blk", "m", "k").agg(
+    gb = masked(b).groupBy("b", "m", "k").agg(
         F.count(F.lit(1)).alias("nb")
     )
-    n_s = (
-        ga.join(gb, ["__blk", "m", "k"])
+    # ONE join + ONE dimension-sized aggregate + ONE collect yields
+    # the whole lattice AND every u input. The when-guard keeps the
+    # total row's NA/NB as separate columns — never the NA·NB BIGINT
+    # product, which would overflow at 10⁹-row sides (every other
+    # product stays a per-(block,)value Σ nA·nB, the r11 profile).
+    stats = (
+        ga.join(gb, ["b", "m", "k"])
         .groupBy("m")
-        .agg(F.sum(F.col("na") * F.col("nb")).alias("n_atleast"))
+        .agg(
+            F.sum(
+                F.when(F.col("m") != 2 * G, F.col("na") * F.col("nb"))
+            ).alias("v"),
+            F.max(F.when(F.col("m") == 2 * G, F.col("na"))).alias(
+                "vna"
+            ),
+            F.max(F.when(F.col("m") == 2 * G, F.col("nb"))).alias(
+                "vnb"
+            ),
+        )
     )
-    at_least = {r["m"]: r["n_atleast"] for r in n_s.collect()}
+    at_least: dict[int, int] = {}
+    u_hits: dict[int, int] = {}
+    n_tot = {"a": 0, "b": 0}
+    for r in stats.collect():
+        if r["m"] < G:
+            at_least[r["m"]] = r["v"]
+        elif r["m"] == 2 * G:
+            n_tot["a"], n_tot["b"] = r["vna"], r["vnb"]
+        else:
+            u_hits[r["m"] - G] = r["v"]
     patterns = []
     for t in range(2 ** k):
         total = 0
@@ -359,10 +485,23 @@ def fs_pattern_report(
     pat_df = spark.createDataFrame(
         patterns, [f"agree_{c}" for c in cols] + ["n_pairs"]
     )
-    # All u-probabilities in one pass per side at scale (r11) — the
-    # per-field loop re-scanned each side 2K+2 times; see
-    # :func:`field_u_probabilities` for the size switch.
-    ua = field_u_probabilities(a, b, cols, input_bytes=input_bytes)
+    # u = hits / (NA·NB) in IEEE doubles, exactly the
+    # field_u_probability arithmetic (exact integer numerator, one
+    # double multiply, one double divide; NULL when a side is empty
+    # — the try_divide contract). Python floats ARE IEEE doubles,
+    # so the one-row frame is bit-identical to the r11 broadcast.
+    den = float(n_tot["a"]) * float(n_tot["b"])
+    ua = spark.createDataFrame(
+        [
+            tuple(
+                None if den == 0.0 else float(u_hits.get(1 << i, 0)) / den
+                for i in range(k)
+            )
+        ],
+        T.StructType(
+            [T.StructField(f"__u_{c}", T.DoubleType()) for c in cols]
+        ),
+    )
     out = pat_df.crossJoin(F.broadcast(ua))
     weight: Column = F.lit(0.0)
     for c, m in fields:

@@ -155,26 +155,22 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's 1.4 s because Σ block² pair fan-out is quadratic in
     block size; the value-grain form is 2.5 s and O(records),
     identical output). The per-pair :func:`linkage.fs_link` remains
-    the operator for workloads that need the pair-level decisions."""
+    the operator for workloads that need the pair-level decisions.
+
+    r12: the report derives every u-probability from its own masked
+    (block, mask, value) aggregates — the singleton masks ARE the
+    per-field value-frequency tables — so the separate u-pass (and
+    its size switch) is gone: the plan scans customer.parquet twice
+    (once per side), down from four."""
     from fifa_data_pipeline_spark.operators.linkage import (
         fs_pattern_report,
     )
-    from fifa_data_pipeline_spark.sources.io import (
-        footer_uncompressed_bytes,
-    )
 
     a, b = _linkage_sides(spark, sf_dir)
-    # footer-probed input size routes the u-probability pass
-    # (size-adaptive, r11): fused one-pass-per-side at scale, the
-    # concurrent per-field scans below 8 MiB. Value-identical either
-    # way (linkage.field_u_probabilities).
     return fs_pattern_report(
         a, b, "blk",
         [("name", 0.95), ("segment", 0.9), ("bal", 0.99)],
         lower=0.0, upper=4.0,
-        input_bytes=footer_uncompressed_bytes(
-            f"{sf_dir}/customer.parquet"
-        ),
     )
 
 

@@ -251,7 +251,10 @@ def footer_minmax_micros(path: str, col: str) -> tuple | None:
     surfaces stats as datetimes — naive ones are the engine's
     UTC-pinned semantics, aware ones are converted) and
     TIMESTAMP(NANOS) read under ``nanosAsLong`` (int64 stats,
-    floor-divided ns→µs exactly like ``read_table``'s rebuild).
+    ns→µs with truncation TOWARD ZERO — ``ts div 1000`` — exactly
+    like ``read_table``'s rebuild; Python's ``//`` floors, which for
+    a pre-epoch MAX would undershoot the true value by 1 µs and
+    break the superset-bounds contract, r11 ADVICE).
     Returns ``None`` when stats are absent — callers fall back to
     the aggregate probe. Bounds feed BUCKETING only, so exactness of
     the query never depends on them."""
@@ -270,7 +273,9 @@ def footer_minmax_micros(path: str, col: str) -> tuple | None:
                 calendar.timegm(v.timetuple()) * 1_000_000
                 + v.microsecond
             )
-        return int(v) // 1000  # int64 TIMESTAMP(NANOS) stats
+        v = int(v)  # int64 TIMESTAMP(NANOS) stats
+        # Spark's `div` truncates toward zero; mirror it for v < 0.
+        return v // 1000 if v >= 0 else -((-v) // 1000)
 
     return (_mic(mm[0]), _mic(mm[1]))
 

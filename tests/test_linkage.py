@@ -176,3 +176,87 @@ def test_field_u_probabilities_fused_empty_sides(spark):
     for a, b in [(empty, full), (full, empty), (empty, empty)]:
         row = field_u_probabilities(a, b, ["c"]).collect()[0]
         assert row["__u_c"] is None
+
+
+def test_fs_pattern_report_sentinel_arms_cannot_collide(spark):
+    """r12 internals: the report fuses the u inputs into the masked
+    explode as sentinel-mask rows with a constant '' block. The
+    disjoint mask-id ranges must keep them from ever colliding with
+    real groups — exercised with the worst case: a real EMPTY-STRING
+    block, a NULL block (pairs in it never join), and duplicate
+    values. Equivalence is against the per-pair fs_link rollup."""
+    from fifa_data_pipeline_spark.operators.linkage import (
+        fs_pattern_report,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", ""), (2, "y", ""), (3, "x", None), (4, "x", "b1"),
+         (5, None, "b1")],
+        ["rid", "name", "blk"],
+    )
+    b = spark.createDataFrame(
+        [(11, "x", ""), (12, None, ""), (13, "y", None),
+         (14, "x", "b1")],
+        ["rid", "name", "blk"],
+    )
+    fields = [("name", 0.9)]
+    per_pair = (
+        fs_link(a, b, "rid", "rid", "blk", fields)
+        .groupBy("decision", "agree_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("weight"), 6).alias("min_weight"),
+            F.round(F.max("weight"), 6).alias("max_weight"),
+        )
+    )
+    got = sorted(map(tuple, fs_pattern_report(a, b, "blk", fields).collect()))
+    want = sorted(map(tuple, per_pair.collect()))
+    assert got == want
+
+
+def test_fs_pattern_report_integer_block_key(spark):
+    """Blocks join on their string cast since r12 — injective for
+    integer keys; pin the integer-block path against fs_link."""
+    from fifa_data_pipeline_spark.operators.linkage import (
+        fs_pattern_report,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 10), (3, "x", 2)],
+        ["rid", "name", "blk"],
+    )
+    b = spark.createDataFrame(
+        [(11, "x", 10), (12, "y", 2), (13, "x", 2)],
+        ["rid", "name", "blk"],
+    )
+    fields = [("name", 0.9)]
+    per_pair = (
+        fs_link(a, b, "rid", "rid", "blk", fields)
+        .groupBy("decision", "agree_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("weight"), 6).alias("min_weight"),
+            F.round(F.max("weight"), 6).alias("max_weight"),
+        )
+    )
+    got = sorted(map(tuple, fs_pattern_report(a, b, "blk", fields).collect()))
+    want = sorted(map(tuple, per_pair.collect()))
+    assert got == want
+
+
+def test_linkage_rejects_float_fields(spark):
+    """r11 ADVICE: the string-cast forms must refuse float fields
+    instead of silently diverging on -0.0/NaN."""
+    import pytest
+
+    from fifa_data_pipeline_spark.operators.linkage import (
+        field_u_probabilities,
+        fs_pattern_report,
+    )
+
+    a = spark.createDataFrame([(1.0, "b")], ["val", "blk"])
+    b = spark.createDataFrame([(2.0, "b")], ["val", "blk"])
+    with pytest.raises(TypeError, match="float-typed"):
+        field_u_probabilities(a, b, ["val"])
+    with pytest.raises(TypeError, match="float-typed"):
+        fs_pattern_report(a, b, "blk", [("val", 0.9)])

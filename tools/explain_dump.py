@@ -1,11 +1,14 @@
 """Dump ``explain("formatted")`` for queries into per-query files.
 
 Optimization-round evidence capture: writes
-``plans/r11/<query>_<tag>.txt`` for each named query (default: every
-bench HEADLINE query), so plan claims in OPTIMIZATION_r11.md are
-checkable without running Spark. Usage::
+``plans/<round>/<query>_<tag>.txt`` for each named query (default:
+every bench HEADLINE query), so plan claims in OPTIMIZATION_r{N}.md
+are checkable without running Spark. Usage::
 
     python tools/explain_dump.py <tag> [sf_dir] [query ...]
+
+``$SPARK_GRAFT_PLANS_ROUND`` picks the output round dir (default
+``r12``, the current optimization round).
 
 ``tag`` is ``before`` / ``after``. Plan SHAPE is sf-independent for
 these queries (same reasoning as tools/plan_audit.py), so the default
@@ -23,6 +26,9 @@ from pathlib import Path
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
     tag = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repo = Path(__file__).resolve().parents[1]
@@ -33,7 +39,9 @@ def main() -> int:
     from fifa_data_pipeline_spark.session import get_spark
 
     names = sys.argv[3:] or HEADLINE
-    out_dir = repo / "plans" / "r11"
+    out_dir = repo / "plans" / os.environ.get(
+        "SPARK_GRAFT_PLANS_ROUND", "r12"
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
 
     spark = get_spark("explain-dump")
