@@ -1100,28 +1100,40 @@ def trim_repeated_spans(
         F.coalesce("__starts", F.expr("array()").cast("array<int>")),
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    kept = F.element_at(
+    # r12 (guide §1.2 per-task work): bind BOTH the split and the
+    # O(tokens × spans) keep-mask ONCE in a struct under the let
+    # binding — the r11 form re-ran the split 4× and the whole mask
+    # pipeline 2× in the final Project (HOFs are interpreted, no CSE;
+    # see text.gopher_rules). The struct lands in its own projection
+    # so CollapseProject keeps it single-evaluation.
+    stats = F.element_at(
         F.transform(
             F.array(toks),
-            lambda t: F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t)),
-                    lambda p: F.when(
-                        ~F.exists(
-                            F.col("__starts"),
-                            lambda s: (s <= p) & (p < s + w),
+            lambda t: F.struct(
+                F.size(t).alias("n"),
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t)),
+                        lambda p: F.when(
+                            ~F.exists(
+                                F.col("__starts"),
+                                lambda s: (s <= p) & (p < s + w),
+                            ),
+                            F.element_at(t, p),
                         ),
-                        F.element_at(t, p),
                     ),
-                ),
-                lambda x: x.isNotNull(),
+                    lambda x: x.isNotNull(),
+                ).alias("kept"),
             ),
         ),
         1,
     )
-    return joined.select(
+    st = joined.select(F.col(id_col), stats.alias("__st"))
+    return st.select(
         F.col(id_col),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_removed"),
-        F.concat_ws(" ", kept).alias("cleaned_text"),
+        F.col("__st.n").cast("bigint").alias("n_tokens"),
+        (F.col("__st.n") - F.size("__st.kept")).cast("bigint").alias(
+            "n_removed"
+        ),
+        F.concat_ws(" ", F.col("__st.kept")).alias("cleaned_text"),
     )

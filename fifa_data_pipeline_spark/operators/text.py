@@ -1212,40 +1212,84 @@ def gopher_rules(
     Everything is a closed-form per-row expression (split + filter +
     size) — no shuffle, no UDF; at 100 TB this is a map-only stage
     fused into the scan, and the SQL twin reproduces each rule
-    exactly (IEEE-double ratios, same tokenizations)."""
+    exactly (IEEE-double ratios, same tokenizations).
+
+    Expression economics (r12, guide §1.2 "per-task work" / RUNBOOK
+    §3 HOF note): the rules are higher-order functions, which run
+    interpreted with NO common-subexpression elimination — the r11
+    form re-ran the whitespace SPLIT once per token rule (5×) and
+    the newline split once per line rule (3×+), measured as ~2/3 of
+    the query's sf1 wall time. Both splits are now BOUND once with
+    the ``transform(array(x), t -> struct(...))[0]`` idiom (the HOF
+    *input argument* evaluates once) and every rule count comes out
+    of that one struct; the struct column lands in its OWN projection
+    so the rule expressions reference cheap field extracts
+    (CollapseProject does not duplicate non-cheap expressions, which
+    keeps the struct single-evaluation — verified in the plan dump).
+    Each rule's predicate/arithmetic is token-for-token the r11
+    expression, so results are byte-identical (oracle-pinned)."""
     toks = tokens(text_col)
     lines = F.split(F.col(text_col), "\n")
-    nw = F.size(toks)
-    nl = F.size(lines)
-    tok_chars = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-    )
-    n_symbols = F.size(
-        F.filter(toks, lambda t: t.contains("#") | t.contains("...") | t.contains("…"))
-    )
-    n_bullets = F.size(
-        F.filter(
-            lines,
-            lambda l: F.trim(l).startswith("-")
-            | F.trim(l).startswith("*")
-            | F.trim(l).startswith("•"),
-        )
-    )
-    n_ellipsis_end = F.size(
-        F.filter(
-            lines,
-            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
-        )
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
-    n_required = F.size(
-        F.array_intersect(
-            F.array_distinct(F.transform(toks, F.lower)),
-            F.array(*[F.lit(w) for w in GOPHER_REQUIRED]),
-        )
-    )
+    tstats = F.transform(
+        F.array(toks),
+        lambda t: F.struct(
+            F.size(t).alias("nw"),
+            F.aggregate(
+                t,
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x),
+            ).alias("chars"),
+            F.size(
+                F.filter(
+                    t,
+                    lambda x: x.contains("#")
+                    | x.contains("...")
+                    | x.contains("…"),
+                )
+            ).alias("symbols"),
+            F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]"))).alias(
+                "alpha"
+            ),
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.transform(t, F.lower)),
+                    F.array(*[F.lit(w) for w in GOPHER_REQUIRED]),
+                )
+            ).alias("required"),
+        ),
+    )[0]
+    lstats = F.transform(
+        F.array(lines),
+        lambda ls: F.struct(
+            F.size(ls).alias("nl"),
+            F.size(
+                F.filter(
+                    ls,
+                    lambda l: F.trim(l).startswith("-")
+                    | F.trim(l).startswith("*")
+                    | F.trim(l).startswith("•"),
+                )
+            ).alias("bullets"),
+            F.size(
+                F.filter(
+                    ls,
+                    lambda l: F.trim(l).endswith("...")
+                    | F.trim(l).endswith("…"),
+                )
+            ).alias("ellipsis"),
+        ),
+    )[0]
+    st = df.select("*", tstats.alias("__ts"), lstats.alias("__ls"))
+    nw = F.col("__ts.nw")
+    tok_chars = F.col("__ts.chars")
+    n_symbols = F.col("__ts.symbols")
+    n_alpha = F.col("__ts.alpha")
+    n_required = F.col("__ts.required")
+    nl = F.col("__ls.nl")
+    n_bullets = F.col("__ls.bullets")
+    n_ellipsis_end = F.col("__ls.ellipsis")
     out = (
-        df.withColumn("__nw", nw)
+        st.withColumn("__nw", nw)
         .withColumn(
             "r_word_count",
             (F.col("__nw") >= min_words) & (F.col("__nw") <= max_words),
@@ -1268,7 +1312,9 @@ def gopher_rules(
     acc = F.col(rules[0])
     for r in rules[1:]:
         acc = acc & F.col(r)
-    return out.withColumn("passes_gopher", acc).drop("__nw")
+    return out.withColumn("passes_gopher", acc).drop(
+        "__nw", "__ts", "__ls"
+    )
 
 
 def dsir_scores(

@@ -111,6 +111,15 @@ def get_spark(
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+    # Parameterized config hook (r12): ';'-separated k=v pairs, e.g.
+    # SPARK_GRAFT_EXTRA_CONF='spark.io.compression.codec=zstd'.
+    # Exists so codec/fetch A/Bs (and cluster submits) can vary conf
+    # without code edits; defaults above stay the bench posture.
+    # Caller-passed extra_conf still wins (applied last).
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if kv.strip():
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
