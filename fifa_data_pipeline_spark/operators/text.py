@@ -561,9 +561,21 @@ def lang_id(df: DataFrame, text_col: str = "text", alias: str = "lang_guess") ->
     """Heuristic language ID: stopword-hit-ratio n-gram heuristic —
     classify as 'en' when the English-stopword token ratio clears a
     threshold. (A real pipeline plugs a model here; the engine
-    surface — per-row scoring, no shuffle — is identical.)"""
+    surface — per-row scoring, no shuffle — is identical.)
+
+    The ratio runs under a :func:`~fifa_data_pipeline_spark.operators.
+    util.let1` binding (r12): the numerator and denominator otherwise
+    each inline their own copy of the split, doubling the tokenize
+    cost per evaluation site (and grouping keys built on ``alias``
+    get substituted into aggregates, multiplying sites)."""
+    from fifa_data_pipeline_spark.operators.util import let1
+
     toks = tokens(text_col)
-    ratio = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))) / F.size(toks)
+    ratio = let1(
+        toks,
+        lambda t: F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+        / F.size(t),
+    )
     return df.withColumn(
         alias, F.when(ratio >= 0.08, F.lit("en")).otherwise(F.lit("unk"))
     )
@@ -1031,9 +1043,21 @@ def unigram_logprob(
     per distinct token — broadcastable for a bounded vocabulary),
     then the exploded corpus joins the LM broadcast-side and reduces
     per document. Two map-side-combined aggregates plus one
-    broadcast join; the corpus shuffles only on ``id_col``."""
+    broadcast join; the corpus shuffles only on ``id_col``.
+
+    The LM is pinned (r12, guide §2.4): its two consumers (the
+    corpus-total rollup and the broadcast join build) otherwise each
+    re-execute the full corpus scan+tokenize+explode+aggregate — the
+    r11 plan scanned the corpus 3×. Pinning the vocabulary-sized
+    count table makes it one LM build + one probe scan (3 → 2)."""
+    from fifa_data_pipeline_spark.operators.util import pin
+
     ex = exploded(df, tokens(text_col), "token", keep=[id_col])
-    lm = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__tc"))
+    lm = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__tc"))
+        .transform(pin("unigram_lm"))
+    )
     total = lm.agg(F.sum("__tc").alias("__total"))
     return (
         ex.join(F.broadcast(lm), "token")

@@ -46,6 +46,28 @@ def exploded(
     return df.select(*cols, gen).filter(F.col(alias).isNotNull())
 
 
+def let1(bound: Column, body) -> Column:
+    """Single-evaluation let binding for expensive per-row
+    expressions: ``body(x)`` with ``x`` = ``bound`` evaluated exactly
+    ONCE per row — ``transform(array(bound), x -> body(x))[0]``.
+
+    Why it exists (r12): higher-order array functions run interpreted
+    with NO common-subexpression elimination, and both
+    CollapseProject's alias inlining and PushDownPredicates' filter
+    substitution happily duplicate a deterministic expression into
+    every reference site. An expression referenced N times in one
+    projection or filter therefore runs N times per row — measured
+    ~5× on ``gopher_rules``'s whitespace split (the 1.69× sf1 fix).
+    A HOF's *input argument* is evaluated once and its lambda
+    variable is a bound attribute, so routing the expensive
+    expression through a 1-element ``transform`` forces one
+    evaluation no matter how many times the body references it.
+    ``element_at(..., 1)`` also blocks SimplifyExtractValueOps from
+    rewriting field extracts back into the duplicated form when
+    ``body`` returns a struct."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 #: Environment override for :func:`materialize_once` — set to
 #: ``table`` on a real cluster so every pin site gains executor-loss
 #: durability without code changes.

@@ -171,15 +171,25 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = guessed.groupBy("lang", "lang_guess").agg(
         F.count(F.lit(1)).alias("n")
     )
-    totals = cells.groupBy("lang").agg(F.sum("n").alias("__t"))
-    return (
-        cells.join(F.broadcast(totals), "lang")
-        .select(
-            "lang",
-            "lang_guess",
-            "n",
-            F.round(F.col("n") / F.col("__t"), 6).alias("share_of_lang"),
-        )
+    # r12 (guide §2.4): the totals side used to be a SECOND aggregate
+    # over ``cells`` joined back — but ``cells`` is a plan subtree,
+    # not a materialized table, so the totals branch re-executed the
+    # whole corpus scan + lang_id + aggregate (2 scans, no exchange
+    # reuse: the branches prune different columns and never
+    # canonicalize equal). A window SUM over the |lang|×|guess|-sized
+    # cells computes the identical LONG total with one cells-sized
+    # exchange and ONE corpus pass. Same rows (the inner join on
+    # lang always matched), same values.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias(
+            "share_of_lang"
+        ),
     )
 
 

@@ -127,8 +127,19 @@ def q_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = read_table(spark, sf_dir, "documents")
     toks = exploded(docs, tokens("text"), "token", keep=["source"])
-    c_sv = toks.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("c_sv")
+    # r12 (guide §2.4/§5): c_sv feeds FOUR consumers (n_s, c_v →
+    # scalars, c_v → grid, grid's left join) and each branch
+    # re-executed the whole corpus scan+tokenize+explode+shuffle —
+    # the r11 plan had 4 parquet scans and zero exchange reuse
+    # (column pruning makes the branches canonicalize differently).
+    # Pinning the |sources|×|vocab|-sized count table turns that
+    # into ONE corpus pass plus distribution-sized re-reads.
+    from fifa_data_pipeline_spark.operators.util import pin
+
+    c_sv = (
+        toks.groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c_sv"))
+        .transform(pin("kl_csv"))
     )
     n_s = c_sv.groupBy("source").agg(F.sum("c_sv").alias("n_s"))
     c_v = c_sv.groupBy("token").agg(F.sum("c_sv").alias("c_v"))

@@ -153,16 +153,27 @@ def q_quality_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     plumbing (signal extraction fused into one projection, no UDF,
     threshold audit per source) is the production shape."""
     docs = read_table(spark, sf_dir, "documents")
-    t = tokens("text")
+    from fifa_data_pipeline_spark.operators.util import let1
+
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(t)
-    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
-    n_dist = F.size(F.array_distinct(t))
-    score = (
-        0.4 * (n_stop / n_tok)
-        + 0.4 * (n_dist / n_tok)
-        + 0.2 * F.least(n_tok, F.lit(500)) / 500
-    )
+
+    # let1 binding (r12, guide §1.2 per-task work): the three signals
+    # reference the token array five times in one projection, and
+    # interpreted HOFs get no CSE — the r11 plan re-ran the split 5×
+    # per row. Same expressions token-for-token, split bound once.
+    def _score(t):
+        n_tok = F.size(t)
+        n_stop = F.size(
+            F.filter(t, lambda x: F.array_contains(stop_arr, x))
+        )
+        n_dist = F.size(F.array_distinct(t))
+        return (
+            0.4 * (n_stop / n_tok)
+            + 0.4 * (n_dist / n_tok)
+            + 0.2 * F.least(n_tok, F.lit(500)) / 500
+        )
+
+    score = let1(tokens("text"), _score)
     scored = docs.select(
         "source", F.round(score, 9).alias("q")
     )

@@ -213,19 +213,60 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("__min_id"))
         .drop("__min_id")
     )
-    scored = X.lang_id(X.text_stats(deduped))
-    cleaned = scored.filter(
-        (F.col("n_tokens") >= 20)
-        & (F.col("quality_score") >= 0.3)
-        & (F.col("lang_guess") == "en")
+    # r12 (guide §1.2): the composed text_stats→lang_id→filter form
+    # re-ran the whitespace split 7× per row — PushDownPredicates
+    # substitutes each derived column's full expression into every
+    # filter predicate (n_tokens, quality_score, lang_guess each
+    # carried their own split; quality_score alone inlines three).
+    # Both the keep-predicate and the output stats now run under
+    # util.let1 bindings (split once per row in the Filter, once per
+    # SURVIVING row in the output Project — 7 → 2 evaluations), with
+    # every expression token-for-token text_stats'/lang_id's
+    # arithmetic, so the result is byte-identical (oracle-pinned):
+    #   n_tokens  = size(toks) cast bigint
+    #   stopword_ratio = round(stop_hits/n_tokens, 6)  [bigint/bigint]
+    #   quality_score  = round(least(n_tokens,50)/50.0
+    #                          * (1.0 - stopword_ratio), 6)
+    #   lang_guess=='en'  ⇔  size(filter)/size(toks) >= 0.08 [int/int]
+    # (null ratio → 'unk' ≠ 'en' in the old form, null predicate in
+    # the new one — identical under Filter semantics).
+    from fifa_data_pipeline_spark.operators.util import let1
+
+    def _stop_hits(t):
+        return F.size(F.filter(t, lambda x: x.isin(*X.STOPWORDS)))
+
+    def _quality(nb, sb):
+        sr = F.round(sb / nb, 6)
+        return F.round(
+            F.least(nb, F.lit(50)) / F.lit(50.0) * (F.lit(1.0) - sr), 6
+        )
+
+    def _keep(t):
+        ni, si = F.size(t), _stop_hits(t)
+        nb, sb = ni.cast("bigint"), si.cast("bigint")
+        return (
+            (nb >= 20) & (_quality(nb, sb) >= 0.3) & ((si / ni) >= 0.08)
+        )
+
+    toks = X.tokens("text")
+    cleaned = deduped.filter(let1(toks, _keep)).select(
+        "source",
+        let1(
+            toks,
+            lambda t: F.struct(
+                F.size(t).alias("ni"), _stop_hits(t).alias("si")
+            ),
+        ).alias("__s"),
     )
+    n_tokens = F.col("__s.ni").cast("bigint")
+    quality = _quality(n_tokens, F.col("__s.si").cast("bigint"))
     # MIN (not AVG) of the rounded scores: averaging 6dp-rounded
     # values lands exactly on .xxxxxx5 halves where engines' float
     # state diverges; MIN is a comparison, bit-exact everywhere.
     return cleaned.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.min("quality_score").alias("min_quality"),
+        F.sum(n_tokens).alias("total_tokens"),
+        F.min(quality).alias("min_quality"),
     )
 
 

@@ -661,3 +661,64 @@ def test_token_doc_vocab_union_matches_two_leg_form(spark):
     assert sorted(map(tuple, first.collect())) == sorted(
         map(tuple, ref_first.collect())
     )
+
+
+def test_clean_corpus_matches_composed_form(spark, sf_dir):
+    """r12 equivalence pin: q_clean_corpus's let1-bound keep
+    predicate + output struct must reproduce the r11 composed
+    text_stats -> lang_id -> filter -> agg pipeline byte-for-byte
+    (the rewrite only changes HOW OFTEN the split evaluates, never
+    what any rule computes)."""
+    from pyspark.sql import Window
+
+    from fifa_data_pipeline_spark.plans.northstar import q_clean_corpus
+    from fifa_data_pipeline_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = X.fingerprint(docs)
+    w = Window.partitionBy("fp")
+    deduped = (
+        fp.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .drop("__min_id")
+    )
+    scored = X.lang_id(X.text_stats(deduped))
+    cleaned = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("quality_score") >= 0.3)
+        & (F.col("lang_guess") == "en")
+    )
+    old = cleaned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("quality_score").alias("min_quality"),
+    )
+    new = q_clean_corpus(spark, sf_dir)
+    assert sorted(map(tuple, old.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_let1_value_identity(spark):
+    """util.let1 is a pure evaluation-count optimization: the bound
+    form must equal the direct form on edge inputs (empty array from
+    empty text, NULL text, single token)."""
+    from fifa_data_pipeline_spark.operators.util import let1
+
+    df = _docs(spark, [(1, "a bb ccc"), (2, ""), (3, None), (4, "x")])
+    toks = X.tokens("text")
+    direct = df.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        (F.size(F.filter(toks, lambda t: t.isin("a", "x"))) / F.size(toks)).alias("r"),
+    )
+    bound = df.select(
+        "doc_id",
+        let1(toks, lambda t: F.size(t)).alias("n"),
+        let1(
+            toks,
+            lambda t: F.size(F.filter(t, lambda x: x.isin("a", "x")))
+            / F.size(t),
+        ).alias("r"),
+    )
+    assert direct.collect() == bound.collect()
